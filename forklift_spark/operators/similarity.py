@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (array<float>).
+
+  cosine              JVM-side cosine between two array columns
+                      (zip_with product + aggregate sum — stays in codegen)
+  brute_force_topk    exact top-k neighbours of a query vector — the
+                      correctness baseline; one scan, no shuffle beyond topk
+  cosine_pairs        all pairs above a threshold (optionally blocked by a
+                      grouping column so the join is never all-pairs)
+  lsh_topk            random-hyperplane LSH: b seeded hyperplanes -> b-bit
+                      bucket signature; candidates = same bucket (multi-probe
+                      via n_tables independent sign-bit sets), re-ranked
+                      exactly. The scale path: candidate generation is an
+                      equi-join on (table, bucket).
+
+Hyperplanes are derived deterministically from a seed via numpy and shipped
+as literal arrays (they are tiny: n_tables * bits * dim floats), so plans
+stay reproducible and executor-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k).select(
+        id_col, F.round("cos", 4).alias("cos")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (a<b) with cosine >= threshold. block_col turns the self-join
+    into a per-block equi-join (e.g. an LSH bucket or a label) — without it
+    this is the exact-but-quadratic baseline."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("_blk_b")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk") == F.col("_blk_b"))
+    out = (
+        a.join(b, cond)
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+    return out
+
+
+def _hyperplanes(dim: int, bits: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> list[Column]:
+    """For each table, the bucket id = sign-bit signature vs its hyperplanes."""
+    buckets = []
+    for t in range(planes.shape[0]):
+        acc = F.lit(0).cast("long")
+        for i in range(planes.shape[1]):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
+            bit = (_dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), plane) > 0)
+            acc = acc + F.when(bit, F.lit(1 << i)).otherwise(0)
+        buckets.append(acc.alias(f"bkt_{t}"))
+    return buckets
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: candidates from any LSH table whose bucket matches the query's,
+    exact re-rank of candidates only."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, n_tables, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_buckets = [
+        int(sum((1 << i) for i in range(bits) if float(planes[t, i] @ qv) > 0))
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(F.col(id_col), F.col(vec_col), *lsh_bucket_expr(vec_col, planes))
+    cand_cond = None
+    for t, qb in enumerate(q_buckets):
+        c = F.col(f"bkt_{t}") == qb
+        cand_cond = c if cand_cond is None else (cand_cond | c)
+    cands = bucketed.filter(cand_cond)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines — all JVM column
+expressions (whole-stage codegen; no Python on the data path), each designed
+to be independently recomputable in ANSI SQL for the DuckDB oracle.
+
+  token_stats     whitespace tokens + alnum-run ("BPE-ish") tokens
+  quality_score   length / punctuation / stopword-ratio quality heuristics
+  lang_id         n-gram/stopword-hit language heuristic
+  fingerprint     document fingerprint: min-of-k-gram rolling hashes
+                  (winnowing-style min selection over md5 of char 8-grams)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_RE = r"[.,;:!?]"
+
+#: tiny deterministic stopword lists per language for the heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z0-9]+"), F.lit(0))).alias(
+            "n_alnum_tokens"
+        ),
+        F.length(text_col).alias("len_chars"),
+    )
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — (len - len(removed)) / len(needle),
+    identical arithmetic in Spark and ANSI SQL."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Ratio outputs are emitted as floor(x * 10^d) integers: the doubles are
+    computed by the identical IEEE op tree in Spark and the SQL oracle, and
+    floor (unlike round) has no half-tie rule, so the results are
+    bit-for-bit comparable across engines."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    stop_hits = _count_occurrences(F.concat(F.lit(" "), t, F.lit(" ")), " the ") + \
+        _count_occurrences(F.concat(F.lit(" "), t, F.lit(" ")), " a ")
+    punct_ratio = n_punct / n_chars
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
+        + F.least(F.lit(1.0), stop_hits / F.lit(4.0)) * 0.3
+        + (1 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.floor(n_chars * F.lit(10_000) / n_tokens).cast("long").alias("avg_tok_len_e4"),
+        F.floor(n_punct * F.lit(1_000_000) / n_chars).cast("long").alias("punct_ratio_e6"),
+        F.floor(stop_hits * F.lit(1_000_000) / n_tokens).cast("long").alias("stop_ratio_e6"),
+        F.floor(score * F.lit(1_000_000)).cast("long").alias("quality_e6"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Predict language by stopword hits; deterministic tie-break by
+    language code order. A real system uses char-n-gram models; the shape
+    (per-language score columns -> argmax) is the same."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, f" {w} ") for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # first (alphabetically) winner sticks
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out_scores = [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return df.select(F.col(id_col), *out_scores, pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum hash over all
+    character k-gram rolling windows (md5 so the oracle can recompute it)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_c"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - (k - 1)))
+            ).alias("_i"),
+        )
+        .select("_id", F.md5(F.expr(f"substring(_c, _i, {k})")).alias("h"))
+        .groupBy("_id")
+        .agg(F.min("h").alias("fingerprint"))
+        .select(F.col("_id").alias(id_col), "fingerprint")
+    )

@@ -1,0 +1,179 @@
+"""M2/M3 — the ingest pipeline: change-feed tail -> exactly-once merge.
+
+Two entry points with identical semantics (LWW merge is confluent, so any
+batching of the same event set converges to the same table state):
+
+  replay_batch  — whole-log batch replay (the minimum end-to-end slice;
+                  also the oracle path for streaming tests)
+  run_ingest    — Structured Streaming: rate-limited file tail
+                  (`maxFilesPerTrigger`) -> `foreachBatch(merge_into)` with
+                  Spark checkpoint offsets + lakette epoch markers. Spark's
+                  offset WAL gives replayable source ranges; our marker
+                  protocol makes the sink idempotent => exactly-once.
+
+`verify_state` (C9) checks the final table against an expected state by
+sha2(content, 256) equality per row, both directions (anti-joins empty).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lakette.table import LaketteTable
+from ..operators.merge import MergeStats, merge_into
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("schema_ver", T.IntegerType(), True),
+    ]
+)
+
+#: schema_ver=2 envelope — additive evolution fixture (adds size_bytes)
+CHANGELOG_SCHEMA_V2 = T.StructType(
+    list(CHANGELOG_SCHEMA.fields) + [T.StructField("size_bytes", T.LongType(), True)]
+)
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+KEY_COLS = ["repo", "path"]
+
+
+def create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
+    return LaketteTable.create(root, ENTITY_SCHEMA, KEY_COLS, n_buckets=n_buckets)
+
+
+def open_or_create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
+    if LaketteTable.exists(root):
+        return LaketteTable(root)
+    return create_entity_table(root, n_buckets=n_buckets)
+
+
+@dataclass
+class IngestReport:
+    epochs: list[MergeStats] = field(default_factory=list)
+
+    @property
+    def applied_rows(self) -> int:
+        return sum(s.applied_rows for s in self.epochs)
+
+
+def replay_batch(
+    spark: SparkSession,
+    log_dir: str,
+    table: LaketteTable,
+    *,
+    query_id: str = "batch-replay",
+    epoch: int = 0,
+    salt_buckets: int | None = None,
+    schema: T.StructType | None = None,
+) -> MergeStats:
+    """M2: read the whole change log as one batch and merge it."""
+    df = spark.read.schema(schema or CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-*.parquet")
+    return merge_into(
+        spark, table, df, query_id=query_id, epoch=epoch, salt_buckets=salt_buckets
+    )
+
+
+def run_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    table: LaketteTable,
+    checkpoint_dir: str,
+    *,
+    query_id: str = "cdc-ingest",
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+    salt_buckets: int | None = None,
+    schema: T.StructType | None = None,
+    timeout_sec: int | None = None,
+) -> IngestReport:
+    """M3: streaming replay. `availableNow` drains the backlog in rate-limited
+    micro-batches and stops — the 10^10-replay mode; with a live feed, pass
+    available_now=False and manage the returned query yourself."""
+    report = IngestReport()
+
+    src = (
+        spark.readStream.schema(schema or CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{log_dir}/seg-*.parquet")
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = merge_into(
+            spark,
+            table,
+            batch_df,
+            query_id=query_id,
+            epoch=epoch_id,
+            salt_buckets=salt_buckets,
+        )
+        report.epochs.append(stats)
+
+    writer = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_id)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+    else:
+        q = writer.start()
+        return report, q  # caller manages lifecycle
+    return report
+
+
+def verify_state(
+    spark: SparkSession,
+    table: LaketteTable,
+    expected: DataFrame,
+    *,
+    content_col: str = "content",
+) -> dict:
+    """C9 — per-row sha2(content,256) equality vs an expected final state.
+
+    `expected` carries key cols + content (+ optionally seq). Returns dict
+    with counts; `ok` iff both anti-joins are empty and all hashes match."""
+    snap = table.snapshot(spark).select(
+        *KEY_COLS, F.col("content_sha"), F.col("seq").alias("_snap_seq")
+    )
+    exp = expected.select(
+        *KEY_COLS, F.sha2(F.col(content_col), 256).alias("_exp_sha")
+    )
+    j = snap.join(exp, KEY_COLS, "full_outer")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("content_sha").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("_exp_sha").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(
+            F.when(
+                F.col("content_sha").isNotNull()
+                & F.col("_exp_sha").isNotNull()
+                & (F.col("content_sha") != F.col("_exp_sha")),
+                1,
+            ).otherwise(0)
+        ).alias("sha_mismatch"),
+    ).collect()[0]
+    res = {k: int(agg[k] or 0) for k in ("total", "missing", "extra", "sha_mismatch")}
+    res["ok"] = res["missing"] == 0 and res["extra"] == 0 and res["sha_mismatch"] == 0
+    return res

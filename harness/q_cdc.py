@@ -1,0 +1,117 @@
+"""CDC-engine harness entries (SURVEY.md §2.10) — the batch-expressible
+faces of the engine. `scan_snapshot` runs the REAL pipeline (changelog ->
+LWW dedupe -> copy-on-write merge -> lakette snapshot scan) over a change
+log derived deterministically from the sf documents table.
+
+`cdc_lww_batch` is the SQL-expressible core of the merge decision (argmax
+per key, deletes drop the key) so the DuckDB oracle can check the exact
+semantics the streaming engine applies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.merge import merge_into
+from forklift_spark.streaming.ingest import create_entity_table
+
+from .queries import q, t
+
+
+def _doc_changelog(spark, sf):
+    """Deterministic changelog derived from documents: every doc is an
+    insert; docs with doc_id % 3 == 0 get a later update (content + ' v2');
+    docs with doc_id % 10 == 7 get a final delete."""
+    d = t(spark, sf, "documents")
+    base = d.select(
+        F.lit("I").alias("op"),
+        F.col("doc_id").alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    n = 10_000_000  # seq offset between waves (doc_id << n)
+    updates = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("U").alias("op"),
+        (F.col("doc_id") + n).alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    )
+    deletes = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 2 * n).alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+    )
+    return base.unionByName(updates).unionByName(deletes)
+
+
+#: the same final-state rule in pure SQL (for the DuckDB oracle):
+#: last writer wins per key, delete removes the key
+_CDC_LWW_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, lang, sha256(content) AS content_sha
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@q("cdc_lww_batch", _CDC_LWW_SQL)
+def cdc_lww_batch(spark, sf):
+    """The merge decision rule as one batch query — W5 argmax + delete drop,
+    with the sha2(content,256) invariant in the output."""
+    log = _doc_changelog(spark, sf)
+    from forklift_spark.operators.merge import lww_dedupe
+
+    final = lww_dedupe(log, ["repo", "path"], "seq").filter(F.col("op") != "D")
+    return final.select(
+        "repo", "path", "seq", "lang", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+@q("scan_snapshot", _CDC_LWW_SQL)
+def scan_snapshot(spark, sf):
+    """End-to-end: replay the derived changelog through the REAL engine in
+    three epochs (inserts, updates, deletes) into a lakette table, then
+    snapshot-scan it. Must equal the pure-SQL LWW oracle exactly."""
+    root = os.path.join(tempfile.gettempdir(), f"fk_snap_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="harness",
+            epoch=i,
+        )
+    snap = table.snapshot(spark)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")

@@ -1,0 +1,209 @@
+"""Training-data pipeline harness: dedup family, similarity search, text
+analysis, multimodal plumbing — over the documents/embeddings tables.
+
+Thresholds are calibrated against the seed-fixed testdata so the operators
+return non-trivial results at sf0.01 (the synthetic corpus has no true
+near-dups; thresholds sit just inside the observed similarity tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from forklift_spark.operators import dedup as dd
+from forklift_spark.operators import multimodal as mm
+from forklift_spark.operators import similarity as sim
+from forklift_spark.operators.text import fingerprint, lang_id, quality_score, token_stats
+
+from .queries import q, t
+
+# ------------------------------------------------------------------- dedup
+
+_SHINGLE_IDX_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i),
+sh AS (SELECT DISTINCT d.doc_id, substr(d.text, idx.i, 5) AS s
+       FROM documents d JOIN idx ON idx.i <= greatest(1, length(d.text) - 4)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.22
+"""
+
+
+@q(
+    "dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY text""",
+)
+def dedup_exact(spark, sf):
+    return dd.exact_dedup(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@q("dedup_ngram_jaccard", _SHINGLE_IDX_SQL)
+def dedup_ngram_jaccard(spark, sf):
+    """Exact char-5-gram Jaccard near-dup pairs via shingle inverted index."""
+    return dd.shingle_jaccard_pairs(
+        t(spark, sf, "documents"), "text", "doc_id", k=5, threshold=0.22
+    )
+
+
+@q("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+def dedup_minhash_lsh(spark, sf):
+    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified >= 0.2."""
+    return dd.minhash_lsh_pairs(
+        t(spark, sf, "documents"), "text", "doc_id",
+        k=5, n_hashes=32, bands=8, threshold=0.2,
+    )
+
+
+@q("dedup_simhash")  # rows-only: simhash is hash-family specific
+def dedup_simhash(spark, sf):
+    return dd.simhash_pairs(t(spark, sf, "documents"), "text", "doc_id", max_hamming=24)
+
+
+@q(
+    "dedup_embed_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.vec_id < b.vec_id AND a.label = b.label
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+)
+def dedup_embed_cosine(spark, sf):
+    """Embedding near-dup pairs, blocked by label (the blocking column keeps
+    the self-join off the all-pairs path)."""
+    return sim.cosine_pairs(
+        t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.4, block_col="label"
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+
+@q(
+    "ann_cosine_topk",
+    """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 4)
+                AS cos
+       FROM embeddings
+       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)) DESC,
+                vec_id
+       LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force exact cosine top-k (the correctness baseline for ANN)."""
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.brute_force_topk(emb, "embedding", "vec_id", qvec, k=10)
+
+
+@q("ann_lsh")  # rows-only: ANN recall is approximate by design
+def ann_lsh(spark, sf):
+    """Random-hyperplane LSH ANN (the scale path; re-ranked exactly)."""
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.lsh_topk(emb, "embedding", "vec_id", qvec, k=10, bits=6, n_tables=4)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@q(
+    "text_tokens",
+    r"""SELECT doc_id,
+              len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alnum_tokens,
+              length(text) AS len_chars
+       FROM documents""",
+)
+def text_tokens(spark, sf):
+    return token_stats(t(spark, sf, "documents"), "text", "doc_id")
+
+
+_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         CAST(floor((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', ''))) / 5) AS BIGINT)
+         + CAST(floor((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', ''))) / 3) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(n_chars * 10000 / n_tokens) AS BIGINT) AS avg_tok_len_e4,
+       CAST(floor(n_punct * 1000000 / n_chars) AS BIGINT) AS punct_ratio_e6,
+       CAST(floor(stop_hits * 1000000 / n_tokens) AS BIGINT) AS stop_ratio_e6,
+       CAST(floor((
+         least(CAST(1.0 AS DOUBLE), n_tokens / CAST(64.0 AS DOUBLE)) * 0.5
+         + least(CAST(1.0 AS DOUBLE), stop_hits / CAST(4.0 AS DOUBLE)) * 0.3
+         + (1 - least(CAST(1.0 AS DOUBLE), (n_punct / n_chars) * 10)) * 0.2
+       ) * 1000000) AS BIGINT) AS quality_e6
+FROM base"""
+
+
+@q("text_quality", _QUALITY_SQL)
+def text_quality(spark, sf):
+    return quality_score(t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _hits_sql(words: list[str]) -> str:
+    terms = [
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', '')))"
+        f" / {len(w) + 2} AS BIGINT)"
+        for w in words
+    ]
+    return " + ".join(terms)
+
+
+_LANGID_SQL = None  # assembled below from the same marker lists the engine uses
+
+
+def _build_langid_sql():
+    from forklift_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n".join(
+        f"  {_hits_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""WITH s AS (SELECT doc_id,\n{score_cols}\nFROM documents)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)}, {case} AS pred_lang FROM s"""
+
+
+@q("text_langid", _build_langid_sql())
+def text_langid(spark, sf):
+    return lang_id(t(spark, sf, "documents"), "text", "doc_id")
+
+
+@q(
+    "text_fingerprint",
+    """WITH idx AS (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i)
+       SELECT d.doc_id, min(md5(substr(d.text, idx.i, 8))) AS fingerprint
+       FROM documents d JOIN idx ON idx.i <= greatest(1, length(d.text) - 7)
+       GROUP BY d.doc_id""",
+)
+def text_fingerprint(spark, sf):
+    return fingerprint(t(spark, sf, "documents"), "text", "doc_id", k=8)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@q("mm_features")  # rows-only: synthetic media, stubbed decode (no codec libs)
+def mm_features(spark, sf):
+    """Binary-column plumbing: synthetic media table -> mapInPandas feature
+    extraction (real schema/batching; decode dims stubbed deterministically)."""
+    media = mm.synth_media(spark, n=96)
+    return mm.extract_media_features(media)
