@@ -1,0 +1,152 @@
+"""Per-round benchmark: headline CDC replay throughput + representative
+operator timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "events": N,
+   "events_per_sec": T, ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     FK_BENCH_EVENTS    (default 1_000_000 change events),
+     FK_BENCH_EPOCHS    (default 8 micro-batches).
+
+The replay is the real pipeline: generated changelog segments ->
+streaming availableNow ingest -> LWW dedupe -> copy-on-write merge into a
+lakette table -> sha256-exact verification against the batch oracle.
+Generation/verification time is excluded from the reported throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_basic",
+    "join_sortmerge",
+    "join_broadcast",
+    "win_topk",
+    "win_lww",
+    "agg_rollup",
+    "sort_limit",
+    "fn_hash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = "mor") -> dict:
+    from forklift_spark.changelog import ChangelogSpec, expected_final_state, generate_changelog
+    from forklift_spark.operators.merge import compact
+    from forklift_spark.streaming.ingest import create_entity_table, run_ingest, verify_state
+
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_repos=max(20, n_events // 20_000),
+        paths_per_repo=200,
+        hot_repo_fraction=0.3,
+        duplicate_fraction=0.02,
+        disorder_window=256,
+        segment_rows=max(10_000, n_events // (n_epochs * 4)),
+        seed=42,
+    )
+    log_dir = os.path.join(workdir, f"log-{n_events}")
+    marker = os.path.join(log_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(log_dir, ignore_errors=True)
+        generate_changelog(spec, log_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    n_segments = len([s for s in os.listdir(log_dir) if s.startswith("seg-")])
+
+    table_root = os.path.join(workdir, "bench_table")
+    ckpt = os.path.join(workdir, "bench_ckpt")
+    shutil.rmtree(table_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    table = create_entity_table(table_root, n_buckets=n_buckets)
+
+    files_per_trigger = max(1, n_segments // n_epochs)
+    t0 = time.monotonic()
+    report = run_ingest(
+        spark,
+        log_dir,
+        table,
+        ckpt,
+        query_id="bench",
+        max_files_per_trigger=files_per_trigger,
+        salt_buckets=None,
+        mode=mode,
+    )
+    if mode == "mor":
+        compact(spark, table)  # fold deltas — part of the pipeline's cost
+    wall = time.monotonic() - t0
+
+    exp = spark.createDataFrame(expected_final_state(spec))
+    ver = verify_state(spark, table, exp)
+    return {
+        "replay_wall_sec": round(wall, 3),
+        "events": spec.n_events,
+        "events_per_sec": round(spec.n_events / wall, 1),
+        "epochs": len(report.epochs),
+        "sha_exact": ver["ok"],
+        "final_rows": ver["total"],
+        "mode": mode,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("FK_BENCH_EVENTS", "1000000"))
+    n_epochs = int(os.environ.get("FK_BENCH_EPOCHS", "8"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from forklift_spark.session import get_spark
+    from harness import QUERIES
+
+    spark = get_spark(
+        app_name="forklift-bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        driver_memory=os.environ.get("SPARK_DRIVER_MEM", "24g"),
+    )
+
+    workdir = os.environ.get("FK_BENCH_WORKDIR", "/tmp/fk_bench")
+    os.makedirs(workdir, exist_ok=True)
+    mode = os.environ.get("FK_BENCH_MODE", "mor")
+    replay = bench_replay(spark, n_events, n_epochs, workdir, mode=mode)
+
+    queries: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm (plan + file listing caches)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": replay["replay_wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "events": replay["events"],
+        "events_per_sec": replay["events_per_sec"],
+        "epochs": replay["epochs"],
+        "sha_exact": replay["sha_exact"],
+        "final_rows": replay["final_rows"],
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

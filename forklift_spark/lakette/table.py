@@ -170,6 +170,13 @@ class LaketteTable:
         else:
             paths = [os.path.join(self.root, f["path"]) for f in files]
             df = spark.read.schema(schema).parquet(*paths)
+        if meta.get("requires_dedup"):
+            # merge-on-read: delta appends may hold several versions of a
+            # key — resolve LWW (max seq) at read time (compact() folds
+            # this away)
+            from ..operators.merge import lww_dedupe
+
+            df = lww_dedupe(df, meta["key_cols"], "seq")
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
         return df
@@ -183,6 +190,7 @@ class LaketteTable:
         replaced_buckets: set[int],
         schema: T.StructType | None = None,
         writer: dict | None = None,
+        requires_dedup: bool | None = None,
     ) -> TableCommit:
         """Write metadata v{N+1}: files of untouched buckets carry over,
         touched buckets are replaced by new_files (copy-on-write), the
@@ -197,6 +205,8 @@ class LaketteTable:
         new_meta["files"] = kept + new_files
         if schema is not None:
             new_meta["schema"] = json.loads(schema.json())
+        if requires_dedup is not None:
+            new_meta["requires_dedup"] = requires_dedup
         new_meta["writer"] = writer
         name = f"v{new_meta['version']}.json"
         _atomic_write_json(os.path.join(self.meta_dir, name), new_meta)

@@ -48,13 +48,45 @@ def char_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 5) -> D
     )
 
 
+def word_shingles(df: DataFrame, content_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Word n-grams keep the inverted index sparse (shingle document-frequency
+    stays low), so the self-join below is ~linear in corpus size — char
+    shingles over a small vocabulary make every doc collide with every doc
+    and the join goes quadratic."""
+    words = F.split(F.trim(F.col(content_col)), r"\s+")
+    gram_expr = F.expr(
+        "transform(sequence(0, size(_w) - %d), i -> %s)"
+        % (n, " || ' ' || ".join(f"_w[i + {j}]" for j in range(n)))
+    )
+    # guard: ANSI mode (Spark 4 default) errors on OOB array indexing
+    gram = F.when(F.size(F.col("_w")) >= n, gram_expr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode(gram).alias("shingle"))
+        .distinct()
+    )
+
+
 def shingle_jaccard_pairs(
-    df: DataFrame, content_col: str, id_col: str, k: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    shingle_kind: str = "char",
+    ngram_n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard over char-k-gram shingle sets, computed via an
-    inverted-index self-join on the shingle (only docs sharing a shingle
-    ever meet — no cross product)."""
-    sh = char_shingles(df, content_col, id_col, k).cache()
+    """Exact Jaccard over shingle sets, computed via an inverted-index
+    self-join on the shingle (only docs sharing a shingle ever meet — no
+    cross product)."""
+    if shingle_kind == "word":
+        sh = word_shingles(df, content_col, id_col, ngram_n).cache()
+    else:
+        sh = char_shingles(df, content_col, id_col, k).cache()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -94,15 +126,20 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    shingle_kind: str = "char",
+    ngram_n: int = 3,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
     Shuffle structure at scale: shingling is a map, signatures one groupBy,
-    banding a map, candidate generation one groupBy per band-bucket (docs
+    banding a map, candidate generation one self-join per band-bucket (docs
     only meet inside a bucket), verification re-joins candidate ids to the
     (much smaller) shingle sets."""
     rows_per_band = n_hashes // bands
-    sh = char_shingles(df, content_col, id_col, k).cache()
+    if shingle_kind == "word":
+        sh = word_shingles(df, content_col, id_col, ngram_n).cache()
+    else:
+        sh = char_shingles(df, content_col, id_col, k).cache()
     sig = minhash_signatures(sh, n_hashes)
 
     band_cols = []

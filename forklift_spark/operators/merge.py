@@ -108,6 +108,7 @@ def merge_into(
     epoch: int = 0,
     salt_buckets: int | None = None,
     src_offsets: tuple[int, int] | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
     """Apply one micro-batch of change events transactionally.
 
@@ -123,6 +124,15 @@ def merge_into(
     Tombstones make the merge confluent: any partition of the event log into
     any sequence of batches converges to the same table state (the property
     tests rely on this).
+
+    mode="cow" (copy-on-write): merge-join against the touched buckets of
+    the current snapshot and rewrite them — read-optimized, write cost ~
+    touched-bucket size per epoch.
+    mode="mor" (merge-on-read): append the deduped batch as delta files in
+    ONE Spark job; the per-key argmax is deferred to snapshot reads (and
+    folded away by compact()). Identical final semantics because every row
+    carries `seq` and LWW-max is associative — this is the
+    Iceberg-v2-style high-throughput ingest path.
     """
     stats = MergeStats(epoch=epoch)
 
@@ -153,10 +163,19 @@ def merge_into(
     # --- in-batch LWW dedupe (C2), optionally salted (C5)
     batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
     batch = batch.withColumn("_bucket", table.bucket_expr())
+
+    if mode == "mor":
+        return _merge_mor(
+            table, batch, stats,
+            query_id=query_id, epoch=epoch, payload_cols=payload_cols,
+            new_schema=new_schema, src_offsets=src_offsets, meta=meta,
+        )
+
     batch.cache()
     try:
-        stats.batch_rows = batch.count()
-        touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+        per_bucket = batch.groupBy("_bucket").count().collect()
+        stats.batch_rows = sum(r["count"] for r in per_bucket)
+        touched = [r["_bucket"] for r in per_bucket]
         stats.touched_buckets = len(touched)
 
         # --- read only the touched buckets of the current snapshot (pruned scan)
@@ -227,6 +246,97 @@ def merge_into(
     finally:
         batch.unpersist()
     return stats
+
+
+def _merge_mor(
+    table: LaketteTable,
+    batch: DataFrame,
+    stats: MergeStats,
+    *,
+    query_id: str,
+    epoch: int,
+    payload_cols: list[str],
+    new_schema: T.StructType,
+    src_offsets: tuple[int, int] | None,
+    meta: dict,
+) -> MergeStats:
+    """Merge-on-read epoch: ONE Spark job — project the deduped batch into
+    the physical row shape (deletes become tombstone rows) and append it as
+    bucket-partitioned delta files. No snapshot read, no join, no rewrite."""
+    key_cols = table.key_cols()
+    sel = [F.col(k) for k in key_cols]
+    for c in payload_cols:
+        sel.append((F.col(c) if c in batch.columns else F.lit(None)).alias(c))
+    sel.append(F.col("seq"))
+    sel.append(
+        (F.sha2(F.col("content"), 256) if "content" in batch.columns else F.lit(None).cast("string")).alias("content_sha")
+    )
+    sel.append((F.col("op") == F.lit("D")).alias("deleted"))
+    sel.append(F.col("_bucket"))
+    delta = batch.select(*sel)
+
+    obs = Observation(f"mor-{query_id}-{epoch}")
+    delta = delta.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    snapshot_id = meta["snapshot_id"] + 1
+    tmp_dir = os.path.join(table.root, "tmp", f"epoch-{uuid.uuid4().hex}")
+    n_out = min(int(meta["n_buckets"]), 64)
+    (
+        delta.repartition(n_out, "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp_dir)
+    )
+    new_files = _promote_files(table, tmp_dir, snapshot_id)
+    stats.batch_rows = stats.applied_rows = stats.rows_rewritten = int(
+        obs.get.get("rows") or 0
+    )
+    stats.touched_buckets = len({f["bucket"] for f in new_files})
+
+    commit = table.commit_version(
+        new_files=new_files,
+        replaced_buckets=set(),
+        schema=new_schema,
+        writer={"query_id": query_id, "epoch": epoch},
+        requires_dedup=True,
+    )
+    stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
+    _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
+    table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
+    return stats
+
+
+def compact(spark: SparkSession, table: LaketteTable, *, drop_tombstones: bool = False) -> dict:
+    """C8 — fold merge-on-read deltas into compacted base files (and bin-pack
+    small files). Tombstones are kept by default: they are what makes the
+    merge confluent for events still in flight; drop them only when the
+    source guarantees no event below the table's max seq will ever arrive."""
+    meta = table.current_metadata()
+    snap = table.snapshot(spark, include_deleted=True, metadata=meta)
+    if drop_tombstones:
+        snap = snap.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+    merged = snap.withColumn("_bucket", table.bucket_expr())
+    snapshot_id = meta["snapshot_id"] + 1
+    tmp_dir = os.path.join(table.root, "tmp", f"compact-{uuid.uuid4().hex}")
+    (
+        merged.repartition(int(meta["n_buckets"]), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp_dir)
+    )
+    new_files = _promote_files(table, tmp_dir, snapshot_id)
+    all_buckets = {f["bucket"] for f in meta["files"]}
+    commit = table.commit_version(
+        new_files=new_files,
+        replaced_buckets=all_buckets,
+        writer={"query_id": "__compact__", "epoch": meta["version"]},
+        requires_dedup=False,
+    )
+    return {
+        "version": commit.version,
+        "files_before": len(meta["files"]),
+        "files_after": len(new_files),
+    }
 
 
 def _promote_files(table: LaketteTable, tmp_dir: str, snapshot_id: int) -> list[dict]:

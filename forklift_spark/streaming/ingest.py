@@ -86,11 +86,13 @@ def replay_batch(
     epoch: int = 0,
     salt_buckets: int | None = None,
     schema: T.StructType | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
     """M2: read the whole change log as one batch and merge it."""
     df = spark.read.schema(schema or CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-*.parquet")
     return merge_into(
-        spark, table, df, query_id=query_id, epoch=epoch, salt_buckets=salt_buckets
+        spark, table, df, query_id=query_id, epoch=epoch, salt_buckets=salt_buckets,
+        mode=mode,
     )
 
 
@@ -106,6 +108,7 @@ def run_ingest(
     salt_buckets: int | None = None,
     schema: T.StructType | None = None,
     timeout_sec: int | None = None,
+    mode: str = "cow",
 ) -> IngestReport:
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -126,6 +129,7 @@ def run_ingest(
             query_id=query_id,
             epoch=epoch_id,
             salt_buckets=salt_buckets,
+            mode=mode,
         )
         report.epochs.append(stats)
 

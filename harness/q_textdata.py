@@ -19,49 +19,86 @@ from .queries import q, t
 
 # ------------------------------------------------------------------- dedup
 
-_SHINGLE_IDX_SQL = """
-WITH idx AS (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM documents))) AS i),
-sh AS (SELECT DISTINCT d.doc_id, substr(d.text, idx.i, 5) AS s
-       FROM documents d JOIN idx ON idx.i <= greatest(1, length(d.text) - 4)),
+#: documents plus deterministic planted near-duplicates (suffix mutation) —
+#: the synthetic corpus has no natural near-dups, so the dedup operators are
+#: exercised against known-similar pairs (id + 1000000 marks the mutant)
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz aaa qqq' FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_SHINGLE_IDX_SQL = (
+    "WITH "
+    + _DUP_CORPUS_SQL
+    + r""",
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+             FROM w)),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
 FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
-WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.22
+WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
 """
+)
+
+
+def _dup_corpus(spark, sf):
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    mutants = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz aaa qqq")).alias("text"),
+        )
+    )
+    return d.unionByName(mutants)
 
 
 @q(
     "dedup_exact",
-    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-       FROM documents GROUP BY text""",
+    "WITH " + _DUP_CORPUS_SQL.replace("text || ' zzz aaa qqq'", "text")
+    + "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies "
+      "FROM corpus GROUP BY text",
 )
 def dedup_exact(spark, sf):
-    return dd.exact_dedup(t(spark, sf, "documents"), "text", "doc_id")
+    """Exact dedup over a corpus with planted EXACT duplicates (the mutants
+    here copy the text verbatim), so n_copies=2 groups exist."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dd.exact_dedup(d.unionByName(dups), "text", "doc_id")
 
 
 @q("dedup_ngram_jaccard", _SHINGLE_IDX_SQL)
 def dedup_ngram_jaccard(spark, sf):
-    """Exact char-5-gram Jaccard near-dup pairs via shingle inverted index."""
+    """Exact word-trigram Jaccard near-dup pairs via shingle inverted index
+    (word shingles keep the index sparse => join stays ~linear)."""
     return dd.shingle_jaccard_pairs(
-        t(spark, sf, "documents"), "text", "doc_id", k=5, threshold=0.22
+        _dup_corpus(spark, sf), "text", "doc_id",
+        threshold=0.8, shingle_kind="word", ngram_n=3,
     )
 
 
 @q("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
 def dedup_minhash_lsh(spark, sf):
-    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified >= 0.2."""
+    """MinHash(32) + 8-band LSH candidates, exact-Jaccard verified >= 0.8."""
     return dd.minhash_lsh_pairs(
-        t(spark, sf, "documents"), "text", "doc_id",
-        k=5, n_hashes=32, bands=8, threshold=0.2,
+        _dup_corpus(spark, sf), "text", "doc_id",
+        n_hashes=32, bands=8, threshold=0.8, shingle_kind="word", ngram_n=3,
     )
 
 
 @q("dedup_simhash")  # rows-only: simhash is hash-family specific
 def dedup_simhash(spark, sf):
-    return dd.simhash_pairs(t(spark, sf, "documents"), "text", "doc_id", max_hamming=24)
+    return dd.simhash_pairs(_dup_corpus(spark, sf), "text", "doc_id", max_hamming=8)
 
 
 @q(

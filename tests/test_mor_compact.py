@@ -1,0 +1,102 @@
+"""Merge-on-read mode + compaction: identical final semantics to COW,
+delta-append writes, read-side LWW, compaction folds deltas into base."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.changelog import ChangelogSpec, expected_final_state, generate_changelog
+from forklift_spark.operators.merge import compact, merge_into
+from forklift_spark.streaming.ingest import (
+    CHANGELOG_SCHEMA,
+    create_entity_table,
+    run_ingest,
+    verify_state,
+)
+
+SPEC = ChangelogSpec(
+    n_events=4_000, n_repos=10, paths_per_repo=20, seed=7, duplicate_fraction=0.1
+)
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("morlog")
+    generate_changelog(SPEC, str(d))
+    return str(d)
+
+
+def test_mor_replay_sha_exact(spark, log_dir, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=8)
+    report = run_ingest(
+        spark, log_dir, table, str(tmp_path / "ckpt"),
+        query_id="mor", max_files_per_trigger=1, mode="mor",
+    )
+    assert len(report.epochs) >= 2
+    assert table.current_metadata()["requires_dedup"] is True
+    exp = spark.createDataFrame(expected_final_state(SPEC))
+    assert verify_state(spark, table, exp)["ok"]
+
+
+def test_mor_then_compact(spark, log_dir, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl2"), n_buckets=8)
+    run_ingest(
+        spark, log_dir, table, str(tmp_path / "ckpt2"),
+        query_id="mor2", max_files_per_trigger=1, mode="mor",
+    )
+    before = table.current_metadata()
+    res = compact(spark, table)
+    after = table.current_metadata()
+    assert after["requires_dedup"] is False
+    assert res["files_after"] <= res["files_before"]
+    exp = spark.createDataFrame(expected_final_state(SPEC))
+    assert verify_state(spark, table, exp)["ok"]
+    # snapshot row identity pre/post compact
+    assert before["snapshot_id"] < after["snapshot_id"]
+
+
+def test_mixed_modes_converge(spark, log_dir, tmp_path):
+    """MOR epochs followed by a COW epoch (and vice versa) still converge:
+    the COW merge reads the deduped view of the delta-bearing snapshot."""
+    segs = sorted(os.listdir(log_dir))
+    half = len(segs) // 2
+    table = create_entity_table(str(tmp_path / "tbl3"), n_buckets=8)
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(
+        *[os.path.join(log_dir, s) for s in segs[:half]]
+    )
+    df2 = spark.read.schema(CHANGELOG_SCHEMA).parquet(
+        *[os.path.join(log_dir, s) for s in segs[half:]]
+    )
+    merge_into(spark, table, df1, query_id="mix", epoch=0, mode="mor")
+    merge_into(spark, table, df2, query_id="mix", epoch=1, mode="cow")
+    exp = spark.createDataFrame(expected_final_state(SPEC))
+    assert verify_state(spark, table, exp)["ok"]
+
+
+def test_mor_epoch_idempotent(spark, log_dir, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl4"), n_buckets=8)
+    df = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-00000.parquet")
+    s1 = merge_into(spark, table, df, query_id="q", epoch=0, mode="mor")
+    rows1 = table.snapshot(spark).count()
+    s2 = merge_into(spark, table, df, query_id="q", epoch=0, mode="mor")
+    assert not s1.skipped and s2.skipped
+    assert table.snapshot(spark).count() == rows1
+
+
+def test_mor_delete_tombstone(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl5"), n_buckets=4)
+    rows_i = [("I", 5, "r", "p", "c", "py", "content x", None, 1)]
+    rows_d = [("D", 10, "r", "p", None, None, None, None, 1)]
+    merge_into(spark, table, spark.createDataFrame(rows_i, CHANGELOG_SCHEMA),
+               query_id="t", epoch=0, mode="mor")
+    assert table.snapshot(spark).count() == 1
+    merge_into(spark, table, spark.createDataFrame(rows_d, CHANGELOG_SCHEMA),
+               query_id="t", epoch=1, mode="mor")
+    assert table.snapshot(spark).count() == 0
+    assert table.snapshot(spark, include_deleted=True).filter(F.col("deleted")).count() == 1
+    # compaction keeps the tombstone by default, drops it when told to
+    compact(spark, table)
+    assert table.snapshot(spark, include_deleted=True).count() == 1
+    compact(spark, table, drop_tombstones=True)
+    assert table.snapshot(spark, include_deleted=True).count() == 0
