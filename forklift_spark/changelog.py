@@ -46,6 +46,7 @@ class ChangelogSpec:
     segment_rows: int = 2_000
     seed: int = 42
     content_tokens_max: int = 24  # content length knob (bench scales this)
+    seq_start: int = 1  # first commit sequence (chunked generation offsets this)
 
 
 @dataclass
@@ -60,7 +61,7 @@ def _events_frame(spec: ChangelogSpec) -> pd.DataFrame:
     """All events in commit (seq) order, before delivery shuffling."""
     n = spec.n_events
     rng = np.random.default_rng(spec.seed)
-    seq = np.arange(1, n + 1, dtype=np.int64)
+    seq = np.arange(spec.seq_start, spec.seq_start + n, dtype=np.int64)
 
     # key skew: hot repo_0 gets hot_repo_fraction of events
     hot = rng.random(n) < spec.hot_repo_fraction
@@ -124,7 +125,9 @@ def _delivery_order(spec: ChangelogSpec, n: int) -> np.ndarray:
     return np.argsort(keys, kind="stable")
 
 
-def generate_changelog(spec: ChangelogSpec, log_dir: str) -> GeneratedChangelog:
+def generate_changelog(
+    spec: ChangelogSpec, log_dir: str, segment_start: int = 0
+) -> GeneratedChangelog:
     """Write ordered segment files `seg-{i:05d}.parquet` under log_dir."""
     os.makedirs(log_dir, exist_ok=True)
     df = _events_frame(spec)
@@ -148,7 +151,7 @@ def generate_changelog(spec: ChangelogSpec, log_dir: str) -> GeneratedChangelog:
     for i in range(n_segs):
         lo = i * spec.segment_rows
         hi = min(len(delivered), lo + spec.segment_rows)
-        seg_path = os.path.join(log_dir, f"seg-{i:05d}.parquet")
+        seg_path = os.path.join(log_dir, f"seg-{segment_start + i:05d}.parquet")
         pq.write_table(
             table.slice(lo, hi - lo),
             seg_path,
@@ -157,6 +160,39 @@ def generate_changelog(spec: ChangelogSpec, log_dir: str) -> GeneratedChangelog:
             allow_truncated_timestamps=True,
         )
         out.segments.append(seg_path)
+    return out
+
+
+def generate_changelog_chunked(
+    spec: ChangelogSpec, log_dir: str, chunk_events: int = 2_000_000
+) -> GeneratedChangelog:
+    """Bench-scale generation: emit the log in independent chunks so driver
+    memory stays bounded at 10^8+-event scale. Chunk i draws from
+    seed+i with seq offset i*chunk_events — deterministic, globally unique
+    increasing seqs, same key/hot-repo distribution in every chunk.
+    (Out-of-order delivery and duplicates stay within a chunk; the disorder
+    window is orders of magnitude smaller than a chunk, so semantics match
+    the single-shot generator.)"""
+    out = GeneratedChangelog(spec=spec, log_dir=log_dir)
+    seg_start = 0
+    done = 0
+    chunk_idx = 0
+    while done < spec.n_events:
+        n = min(chunk_events, spec.n_events - done)
+        sub = ChangelogSpec(
+            **{
+                **spec.__dict__,
+                "n_events": n,
+                "seed": spec.seed + chunk_idx,
+                "seq_start": spec.seq_start + done,
+            }
+        )
+        g = generate_changelog(sub, log_dir, segment_start=seg_start)
+        out.segments.extend(g.segments)
+        out.n_delivered += g.n_delivered
+        seg_start += len(g.segments)
+        done += n
+        chunk_idx += 1
     return out
 
 

