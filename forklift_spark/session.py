@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # keep file listing on the driver; the default (32 files) launches a
+        # cluster-wide listing job per source resolution, which stalls
+        # rate-limited streams over many small segments
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,74 @@
+"""S3/S6 — external connectors (JDBC extract, Kafka binlog tail).
+
+This image ships no JDBC driver jars and no spark-sql-kafka package
+(SURVEY.md §0 [V]), so these are *gated* builders: they construct the real
+reader and fail with an actionable message offline. The call shapes are the
+production ones — on a cluster with the jars present they work unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Forklift-style RDBMS source extract. Parallel reads require a numeric
+    partition column + bounds (one executor-side query per stride)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # no driver jar in this image
+        raise ConnectorUnavailable(
+            f"JDBC scan of {table} needs a driver jar on the classpath "
+            f"(--jars/--packages); unavailable in this offline image: {e}"
+        ) from e
+
+
+def kafka_changefeed(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Binlog tail via Kafka (BASELINE.json:6 'file/Kafka source'). Returns
+    the raw key/value stream; pipe through parse_events (C1) downstream."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        return reader.load()
+    except Exception as e:  # spark-sql-kafka not on the classpath
+        raise ConnectorUnavailable(
+            "Kafka source needs org.apache.spark:spark-sql-kafka-0-10 on the "
+            f"classpath (--packages); unavailable in this offline image: {e}"
+        ) from e

@@ -116,6 +116,9 @@ batch-oracle final state.
 
 "Sustained" excludes the warm-up epoch (JVM/codegen/stream-init), per the
 protocol in `BASELINE.md`; per-epoch numbers below show steady state.
+Why local[{lo['cores']}] vs local[{hi['cores']}]: see "Choice of N" in
+`BASELINE.md` — measured memory-bandwidth ceilings of this single VM make
+wider pairs measure the box, not the engine.
 
 Per-epoch events/sec at local[{lo['cores']}]: {lo['epoch_events_per_sec']}
 Per-epoch events/sec at local[{hi['cores']}]: {hi['epoch_events_per_sec']}

@@ -35,7 +35,15 @@ def build_session(cores: int):
 
     spark = (
         SparkSession.builder.appName(f"forklift-replay-{cores}")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        # 2x cores: smooths straggler tails without flooding tiny tasks
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        # bench segments are ~5 MB; keep scan splits ~ one file so scan
+        # parallelism is file-count-, not 128MB-split-, bound
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # keep file listing on the driver: with >32 files Spark otherwise
+        # launches a cluster-wide listing job per source resolution/batch,
+        # which serializes the whole replay behind tiny listing tasks
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -79,7 +87,7 @@ def main() -> None:
     ckpt = os.path.join(args.workdir, "ckpt")
     shutil.rmtree(table_root, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    table = create_entity_table(table_root, n_buckets=args.cores)
+    table = create_entity_table(table_root, n_buckets=2 * args.cores)
 
     files_per_trigger = max(1, n_segments // args.epochs)
     t0 = time.monotonic()
