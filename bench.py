@@ -8,7 +8,7 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
-     FK_BENCH_EVENTS    (default 1_000_000 change events),
+     FK_BENCH_EVENTS    (default 4_000_000 change events),
      FK_BENCH_EPOCHS    (default 8 micro-batches).
 
 The replay is the real pipeline: generated changelog segments ->
@@ -54,7 +54,9 @@ def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = 
         hot_repo_fraction=0.3,
         duplicate_fraction=0.02,
         disorder_window=256,
-        segment_rows=max(10_000, n_events // (n_epochs * 4)),
+        # many small segments: scan parallelism is per-file, so per-epoch
+        # file count must exceed the core count (see BENCH/BASELINE.md)
+        segment_rows=max(4_000, n_events // 256),
         seed=42,
     )
     log_dir = os.path.join(workdir, f"log-{n_events}")
@@ -84,6 +86,9 @@ def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = 
         max_files_per_trigger=files_per_trigger,
         salt_buckets=None,
         mode=mode,
+        # high-throughput MOR path: one exchange per byte; LWW resolved at
+        # snapshot read and folded by the compact() below
+        dedupe_in_batch=(mode != "mor"),
     )
     if mode == "mor":
         compact(spark, table)  # fold deltas — part of the pipeline's cost
@@ -105,7 +110,7 @@ def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("FK_BENCH_EVENTS", "1000000"))
+    n_events = int(os.environ.get("FK_BENCH_EVENTS", "4000000"))
     n_epochs = int(os.environ.get("FK_BENCH_EPOCHS", "8"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
