@@ -168,6 +168,12 @@ def merge_into(
         f.name for f in new_schema.fields if f.name not in META_COL_NAMES and f.name not in key_cols
     ]
 
+    # batch_rows must mean INPUT events (throughput metrics), not the
+    # post-dedupe survivor count — observe on the incoming frame so the
+    # count rides along with whichever job executes below (no extra pass)
+    obs_in = Observation(f"in-{query_id}-{epoch}")
+    batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+
     # --- in-batch LWW dedupe (C2), optionally salted (C5).
     # For merge-on-read this is an optional *optimization*: the snapshot
     # read resolves LWW anyway, so the high-throughput path skips the dedupe
@@ -185,6 +191,7 @@ def merge_into(
             table, batch, stats,
             query_id=query_id, epoch=epoch, payload_cols=payload_cols,
             new_schema=new_schema, src_offsets=src_offsets, meta=meta,
+            obs_in=obs_in,
         )
         stats.wall_sec = round(time.monotonic() - t_start, 3)
         _write_metrics(table, query_id, stats)
@@ -193,7 +200,7 @@ def merge_into(
     batch.cache()
     try:
         per_bucket = batch.groupBy("_bucket").count().collect()
-        stats.batch_rows = sum(r["count"] for r in per_bucket)
+        stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
         touched = [r["_bucket"] for r in per_bucket]
         stats.touched_buckets = len(touched)
 
@@ -280,6 +287,7 @@ def _merge_mor(
     new_schema: T.StructType,
     src_offsets: tuple[int, int] | None,
     meta: dict,
+    obs_in: Observation,
 ) -> MergeStats:
     """Merge-on-read epoch: ONE Spark job — project the deduped batch into
     the physical row shape (deletes become tombstone rows) and append it as
@@ -309,9 +317,8 @@ def _merge_mor(
         .parquet(tmp_dir)
     )
     new_files = _promote_files(table, tmp_dir, snapshot_id)
-    stats.batch_rows = stats.applied_rows = stats.rows_rewritten = int(
-        obs.get.get("rows") or 0
-    )
+    stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
+    stats.applied_rows = stats.rows_rewritten = int(obs.get.get("rows") or 0)
     stats.touched_buckets = len({f["bucket"] for f in new_files})
 
     commit = table.commit_version(

@@ -112,6 +112,7 @@ def run_ingest(
     mode: str = "cow",
     source: str = "file",
     dedupe_in_batch: bool = True,
+    compact_every: int | None = None,
 ) -> IngestReport:
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -154,6 +155,15 @@ def run_ingest(
             dedupe_in_batch=dedupe_in_batch,
         )
         report.epochs.append(stats)
+        # bound merge-on-read delta accumulation: periodically fold deltas
+        # into compacted base files (a crash mid-compact is harmless — the
+        # next compact rewrites from the committed snapshot)
+        if compact_every and not stats.skipped:
+            applied = sum(1 for e in report.epochs if not e.skipped)
+            if applied % compact_every == 0:
+                from ..operators.merge import compact
+
+                compact(spark, table)
 
     writer = (
         src.writeStream.foreachBatch(_merge)
