@@ -191,6 +191,7 @@ class LaketteTable:
         schema: T.StructType | None = None,
         writer: dict | None = None,
         requires_dedup: bool | None = None,
+        n_buckets: int | None = None,
     ) -> TableCommit:
         """Write metadata v{N+1}: files of untouched buckets carry over,
         touched buckets are replaced by new_files (copy-on-write), the
@@ -207,6 +208,14 @@ class LaketteTable:
             new_meta["schema"] = json.loads(schema.json())
         if requires_dedup is not None:
             new_meta["requires_dedup"] = requires_dedup
+        if n_buckets is not None:
+            if kept and n_buckets != meta["n_buckets"]:
+                raise ValueError(
+                    "re-bucketing requires replacing every bucket in the same "
+                    "commit (carried-over files would disagree with the new "
+                    "bucket function)"
+                )
+            new_meta["n_buckets"] = n_buckets
         new_meta["writer"] = writer
         name = f"v{new_meta['version']}.json"
         _atomic_write_json(os.path.join(self.meta_dir, name), new_meta)

@@ -334,20 +334,37 @@ def _merge_mor(
     return stats
 
 
-def compact(spark: SparkSession, table: LaketteTable, *, drop_tombstones: bool = False) -> dict:
+def compact(
+    spark: SparkSession,
+    table: LaketteTable,
+    *,
+    drop_tombstones: bool = False,
+    n_buckets: int | None = None,
+) -> dict:
     """C8 — fold merge-on-read deltas into compacted base files (and bin-pack
     small files). Tombstones are kept by default: they are what makes the
     merge confluent for events still in flight; drop them only when the
-    source guarantees no event below the table's max seq will ever arrive."""
+    source guarantees no event below the table's max seq will ever arrive.
+
+    `n_buckets` re-buckets the table in the same commit — the growth path
+    at scale: a table created with B buckets eventually makes each bucket
+    (the copy-on-write rewrite unit and merge-join grain) too large, so a
+    periodic compact(n_buckets=4*B) re-spreads the keys. Safe because the
+    bucket of a key is recomputed from metadata everywhere, never stored
+    in row data; one atomic metadata swap flips the whole table over."""
     meta = table.current_metadata()
     snap = table.snapshot(spark, include_deleted=True, metadata=meta)
     if drop_tombstones:
         snap = snap.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
-    merged = snap.withColumn("_bucket", table.bucket_expr())
+    out_buckets = int(n_buckets or meta["n_buckets"])
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in meta["key_cols"]]), F.lit(out_buckets)
+    ).cast("int")
+    merged = snap.withColumn("_bucket", bucket)
     snapshot_id = meta["snapshot_id"] + 1
     tmp_dir = os.path.join(table.root, "tmp", f"compact-{uuid.uuid4().hex}")
     (
-        merged.repartition(int(meta["n_buckets"]), "_bucket")
+        merged.repartition(out_buckets, "_bucket")
         .write.mode("overwrite")
         .partitionBy("_bucket")
         .parquet(tmp_dir)
@@ -359,11 +376,13 @@ def compact(spark: SparkSession, table: LaketteTable, *, drop_tombstones: bool =
         replaced_buckets=all_buckets,
         writer={"query_id": "__compact__", "epoch": meta["version"]},
         requires_dedup=False,
+        n_buckets=out_buckets,
     )
     return {
         "version": commit.version,
         "files_before": len(meta["files"]),
         "files_after": len(new_files),
+        "n_buckets": out_buckets,
     }
 
 

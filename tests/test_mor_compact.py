@@ -100,3 +100,37 @@ def test_mor_delete_tombstone(spark, tmp_path):
     assert table.snapshot(spark, include_deleted=True).count() == 1
     compact(spark, table, drop_tombstones=True)
     assert table.snapshot(spark, include_deleted=True).count() == 0
+
+
+def test_compact_rebucket_grows_table(spark, tmp_path):
+    """compact(n_buckets=4B) re-spreads keys atomically; subsequent merges
+    use the new bucket function and the state stays sha-exact."""
+    from forklift_spark.changelog import ChangelogSpec, expected_final_state, generate_changelog
+    from forklift_spark.operators.merge import compact
+    from forklift_spark.streaming.ingest import (
+        create_entity_table,
+        replay_batch,
+        verify_state,
+    )
+
+    spec = ChangelogSpec(n_events=3_000, n_repos=8, paths_per_repo=15, seed=17)
+    log = tmp_path / "log"
+    generate_changelog(spec, str(log))
+    segs = sorted(str(p) for p in log.glob("seg-*.parquet"))
+    half = len(segs) // 2
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    from forklift_spark.operators.merge import merge_into
+    from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA
+
+    df1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(*segs[:half])
+    merge_into(spark, table, df1, query_id="g", epoch=0, mode="mor")
+    out = compact(spark, table, n_buckets=16)
+    assert out["n_buckets"] == 16 and table.n_buckets() == 16
+
+    df2 = spark.read.schema(CHANGELOG_SCHEMA).parquet(*segs[half:])
+    merge_into(spark, table, df2, query_id="g", epoch=1)  # cow against new buckets
+    exp = spark.createDataFrame(expected_final_state(spec))
+    assert verify_state(spark, table, exp)["ok"]
+    buckets = {f["bucket"] for f in table.current_metadata()["files"]}
+    assert max(buckets) > 3  # keys actually spread into the new bucket space
