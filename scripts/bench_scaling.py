@@ -146,6 +146,8 @@ def main() -> None:
     ap.add_argument("--verify", default="spark", choices=["spark", "pandas", "skip"])
     ap.add_argument("--batch-dedupe", action="store_true",
                     help="keep the in-batch dedupe shuffle (default: MOR fast path skips it)")
+    ap.add_argument("--out", default=os.path.join("BENCH", "BASELINE.md"),
+                    help="report path relative to the repo root")
     args = ap.parse_args()
 
     zip_path = make_pyfiles_zip()
@@ -165,7 +167,7 @@ def main() -> None:
                          args.epochs, zip_path, args.verify, args.batch_dedupe)
         )
     summary = write_report(results[0], results[1], args.n_events, args.mode,
-                           os.path.join(REPO, "BENCH", "BASELINE.md"))
+                           os.path.join(REPO, args.out))
     print(json.dumps(summary))
 
 
