@@ -81,6 +81,7 @@ class MergeStats:
     rows_rewritten: int = 0
     evolved_columns: list[str] = field(default_factory=list)
     wall_sec: float = 0.0
+    bucket_skew: float = 0.0  # max/median rows written per bucket this epoch
 
     @property
     def events_per_sec(self) -> float:
@@ -448,6 +449,7 @@ def _write_metrics(table: LaketteTable, query_id: str, stats: MergeStats) -> Non
         "touched_buckets": stats.touched_buckets,
         "wall_sec": stats.wall_sec,
         "events_per_sec": stats.events_per_sec,
+        "bucket_skew": stats.bucket_skew,
         "snapshot_id": stats.snapshot_id,
         "version": stats.version,
         "evolved_columns": stats.evolved_columns,
@@ -506,6 +508,10 @@ def _write_lineage(
     per_bucket: dict[int, int] = {}
     for f in new_files:
         per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + f["rows"]
+    if per_bucket:
+        counts = sorted(per_bucket.values())
+        median = counts[len(counts) // 2] or 1
+        stats.bucket_skew = round(counts[-1] / median, 2)
     rows = [
         {
             "query_id": query_id,
