@@ -123,6 +123,7 @@ def run_ingest(
     DataSource (SURVEY.md §2.1 S5) — identical semantics, custom offsets."""
     report = IngestReport()
 
+    dead_letter_dir: str | None = None
     if source == "wal_tail":
         from ..sources.wal_source import register_wal_source
 
@@ -136,6 +137,16 @@ def run_ingest(
             .option("progressFile", os.path.join(checkpoint_dir, f"{query_id}.hwm"))
             .load()
         )
+    elif source == "jsonl":
+        # raw binlog wire format: JSON lines, parsed + dead-letter-routed
+        # inside each epoch (C1); rejects land under table/_dead_letters/
+        src = (
+            spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(f"{log_dir}/seg-*.jsonl")
+        )
+        dead_letter_dir = os.path.join(table.root, "_dead_letters")
+        os.makedirs(dead_letter_dir, exist_ok=True)
     else:
         src = (
             spark.readStream.schema(schema or CHANGELOG_SCHEMA)
@@ -144,6 +155,16 @@ def run_ingest(
         )
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if source == "jsonl":
+            from ..operators.parse import parse_events
+
+            batch_df, dead = parse_events(batch_df, "value")
+            # marker-gated like the table commit: a re-run epoch must not
+            # duplicate its dead-letter rows
+            if not table.epoch_committed(query_id, epoch_id):
+                dead.write.mode("overwrite").parquet(
+                    os.path.join(dead_letter_dir, f"epoch={epoch_id}")
+                )
         stats = merge_into(
             spark,
             table,

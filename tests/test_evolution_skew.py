@@ -105,3 +105,33 @@ def test_salting_balances_first_shuffle(spark, hot_log):
         "repo", "path", "seq"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_schema_evolution_mor_mode(spark, tmp_path):
+    """Additive evolution on the merge-on-read path: pre-evolution delta
+    files read as NULL for the new column, post-evolution deltas populate
+    it, and compaction folds both into one consistent base."""
+    from forklift_spark.operators.merge import compact
+
+    d = str(tmp_path / "log3")
+    generate_changelog(EVOLVE_SPEC, d)
+    table = create_entity_table(str(tmp_path / "tbl3"), n_buckets=8)
+
+    full = spark.read.schema(CHANGELOG_SCHEMA_V2).parquet(f"{d}/seg-*.parquet")
+    v1_events = full.filter(F.col("schema_ver") == 1).drop("size_bytes")
+    merge_into(spark, table, v1_events, query_id="evm", epoch=0, mode="mor")
+    v2_events = full.filter(F.col("schema_ver") == 2)
+    stats = merge_into(spark, table, v2_events, query_id="evm", epoch=1, mode="mor",
+                       dedupe_in_batch=False)
+    assert stats.evolved_columns == ["size_bytes"]
+
+    compact(spark, table)
+    snap = table.snapshot(spark)
+    bad = snap.filter(
+        F.col("size_bytes").isNotNull() & (F.col("size_bytes") != F.length("content"))
+    ).count()
+    assert bad == 0
+    exp = spark.createDataFrame(expected_final_state(EVOLVE_SPEC)[
+        ["repo", "path", "commit", "lang", "content"]
+    ])
+    assert verify_state(spark, table, exp)["ok"]
