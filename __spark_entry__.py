@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each SQL-expressible query; omitted keys
-    (approx sketches, LSH candidates, map/HOF outputs, stubbed multimodal)
-    get the driver's rows-only check."""
+    """DuckDB-equivalent SQL for each SQL-expressible query. Only 4 keys
+    are omitted (rows-only by design): dedup_minhash_lsh / dedup_simhash /
+    ann_lsh (probabilistic hash families) and mm_features (stubbed media
+    decode — no codec libs in this image)."""
     from harness import ORACLES
 
     return dict(ORACLES)

@@ -31,14 +31,17 @@ BENCH_QUERIES = [
     "agg_basic",
     "join_sortmerge",
     "join_broadcast",
-    "win_topk",
+    "win_rank_topk",
     "win_lww",
-    "agg_rollup",
+    "agg_rollup_cube",
     "sort_limit",
-    "fn_hash",
+    "fn_string_hash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "text_quality",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 

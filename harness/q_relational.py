@@ -1,6 +1,20 @@
 """SURVEY.md §2.1–2.8 relational operator harness (scan/project/filter/
 join/agg/window/sort/set/function families), each with a DuckDB oracle.
 
+Round 2: near-duplicate entries are merged so the WHOLE registry fits in
+the driver's 50-query correctness window (VERDICT.md next-round #1) — each
+merged query still exhibits every §2 op it absorbed, in one plan:
+
+  scan_csv_json        = S2 csv + S2 json        filter_case   = P3 + P4
+  project_map          = P1 + P2 + P5 (casts)    join_semi_anti = J4 + J5
+  agg_basic            = A1 + A2 (distinct agg)  agg_rollup_cube = A5 both
+  agg_pivot_unpivot    = A6 + A7 (round-trip)    set_union_distinct = U1+U3
+  set_intersect_except = U2 both                 win_rank_topk = W1 + W4
+  win_offset_frame     = W2 + W3                 fn_string_hash = F1 + F2
+  fn_date_math         = F3 + F4                 fn_json_struct = F7 + F8
+  fn_array             = F5 incl. higher-order fns (array outputs
+                         stringified so the driver value-hash is scalar)
+
 Float discipline: every double-valued aggregate/computed column is rounded
 identically on both sides so the order-insensitive value hash is stable.
 """
@@ -35,38 +49,42 @@ def scan_parquet(spark, sf):
     )
 
 
-@q("scan_csv", "SELECT r_regionkey, r_name FROM region")
-def scan_csv(spark, sf):
-    """CSV round-trip: parquet -> csv -> explicit-schema csv scan (S2)."""
-    out = os.path.join(tempfile.gettempdir(), f"fk_csv_{os.path.basename(sf)}")
+@q(
+    "scan_csv_json",
+    """SELECT n_nationkey, n_name, r_name FROM nation
+       JOIN region ON n_regionkey = r_regionkey""",
+)
+def scan_csv_json(spark, sf):
+    """S2 both formats in one plan: region round-trips through CSV, nation
+    through JSON-lines (both with explicit schemas), then a broadcast join."""
+    csv_out = os.path.join(tempfile.gettempdir(), f"fk_csv_{os.path.basename(sf)}")
     t(spark, sf, "region").select("r_regionkey", "r_name").coalesce(1).write.mode(
         "overwrite"
-    ).option("header", True).csv(out)
-    schema = T.StructType(
-        [
-            T.StructField("r_regionkey", T.IntegerType()),
-            T.StructField("r_name", T.StringType()),
-        ]
-    )
-    return spark.read.schema(schema).option("header", True).csv(out)
+    ).option("header", True).csv(csv_out)
+    region = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("r_regionkey", T.IntegerType()),
+                T.StructField("r_name", T.StringType()),
+            ]
+        )
+    ).option("header", True).csv(csv_out)
 
-
-@q(
-    "scan_json",
-    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-)
-def scan_json(spark, sf):
-    """JSON-lines round-trip with explicit schema (S2)."""
-    out = os.path.join(tempfile.gettempdir(), f"fk_json_{os.path.basename(sf)}")
-    t(spark, sf, "nation").coalesce(1).write.mode("overwrite").json(out)
-    schema = T.StructType(
-        [
-            T.StructField("n_nationkey", T.IntegerType()),
-            T.StructField("n_name", T.StringType()),
-            T.StructField("n_regionkey", T.IntegerType()),
-        ]
+    json_out = os.path.join(tempfile.gettempdir(), f"fk_json_{os.path.basename(sf)}")
+    t(spark, sf, "nation").coalesce(1).write.mode("overwrite").json(json_out)
+    nation = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        )
+    ).json(json_out)
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
     )
-    return spark.read.schema(schema).json(out).select("n_nationkey", "n_name", "n_regionkey")
 
 
 # ------------------------------------------------- 2.2 project/filter/case
@@ -77,29 +95,45 @@ def scan_json(spark, sf):
     """SELECT o_orderkey AS order_id,
               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
               lower(o_orderstatus) AS status_lower,
+              CAST(o_orderkey AS VARCHAR) AS okey_str,
+              CAST(o_orderdate AS DATE) AS odate,
               'forklift' AS src
        FROM orders""",
 )
 def project_map(spark, sf):
-    """The declarative column-mapping spec compiler (P1+P2) — rename, cast,
-    scalar transform, constant, all in ONE Catalyst select."""
+    """The declarative column-mapping spec compiler (P1+P2) — rename, cast
+    (P5), scalar transform, constant, all in ONE Catalyst select."""
     spec = {
         "order_id": "o_orderkey",
         "total_cents": F.round(F.col("o_totalprice") * 100, 0).cast("long"),
         "status_lower": "lower(o_orderstatus)",
+        "okey_str": F.col("o_orderkey").cast("string"),
+        "odate": F.col("o_orderdate").cast("date"),
         "src": ("const", "forklift"),
     }
     return compile_mapping(t(spark, sf, "orders"), spec)
 
 
 @q(
-    "filter_pred",
-    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    "filter_case",
+    """SELECT o_orderpriority,
+              CASE WHEN o_totalprice < 120000 THEN 'low'
+                   WHEN o_totalprice < 160000 THEN 'mid'
+                   ELSE 'high' END AS price_band,
+              count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+       FROM orders
        WHERE o_totalprice BETWEEN 100000 AND 200000
          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-         AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'""",
+         AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       GROUP BY 1, 2""",
 )
-def filter_pred(spark, sf):
+def filter_case(spark, sf):
+    """P3 (compound predicate incl. BETWEEN/IN/timestamp) + P4 (CASE WHEN)."""
+    band = (
+        F.when(F.col("o_totalprice") < 120000, "low")
+        .when(F.col("o_totalprice") < 160000, "mid")
+        .otherwise("high")
+    )
     return (
         t(spark, sf, "orders")
         .filter(
@@ -107,48 +141,8 @@ def filter_pred(spark, sf):
             & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
             & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         )
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    )
-
-
-@q(
-    "case_when",
-    """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
-                   WHEN c_acctbal < 5000 THEN 'mid'
-                   ELSE 'high' END AS bal_class,
-              count(*) AS n,
-              round(sum(c_acctbal), 2) AS sum_bal
-       FROM customer GROUP BY 1""",
-)
-def case_when(spark, sf):
-    cls = (
-        F.when(F.col("c_acctbal") < 0, "neg")
-        .when(F.col("c_acctbal") < 5000, "mid")
-        .otherwise("high")
-    )
-    return (
-        t(spark, sf, "customer")
-        .groupBy(cls.alias("bal_class"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
-    )
-
-
-@q(
-    "cast_types",
-    """SELECT l_orderkey, l_linenumber,
-              CAST(l_quantity AS INTEGER) AS qty_int,
-              CAST(l_orderkey AS VARCHAR) AS okey_str,
-              CAST(l_shipdate AS DATE) AS ship_date
-       FROM lineitem""",
-)
-def cast_types(spark, sf):
-    li = t(spark, sf, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("int").alias("qty_int"),
-        F.col("l_orderkey").cast("string").alias("okey_str"),
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        .groupBy("o_orderpriority", band.alias("price_band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
 
 
@@ -208,26 +202,27 @@ def join_outer(spark, sf):
 
 
 @q(
-    "join_semi",
-    """SELECT c_custkey, c_name FROM customer c
+    "join_semi_anti",
+    """SELECT 'semi' AS side, c_custkey, c_name FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o
-                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
-)
-def join_semi(spark, sf):
-    c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@q(
-    "join_anti",
-    """SELECT c_custkey, c_name FROM customer c
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       UNION ALL
+       SELECT 'anti' AS side, c_custkey, c_name FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 )
-def join_anti(spark, sf):
+def join_semi_anti(spark, sf):
+    """J4 + J5 in one tagged result: big-spender customers via LEFT SEMI,
+    order-less customers via LEFT ANTI."""
     c = t(spark, sf, "customer")
+    big = t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     o = t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @q(
@@ -297,13 +292,15 @@ def join_asof(spark, sf):
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
               round(avg(l_quantity), 4) AS avg_qty,
               round(avg(l_discount), 6) AS avg_disc,
+              count(DISTINCT l_partkey) AS n_parts,
               count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
 )
 def agg_basic(spark, sf):
-    """TPC-H Q1 shape — partial+final hash aggregate."""
+    """TPC-H Q1 shape — partial+final hash aggregate, plus a distinct
+    aggregate (A2) in the same groupBy."""
     li = t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
@@ -315,32 +312,35 @@ def agg_basic(spark, sf):
         ),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
 
 @q(
-    "agg_distinct",
-    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
-       FROM orders GROUP BY o_orderpriority""",
+    "agg_approx",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS within_tol
+       FROM lineitem GROUP BY l_returnflag""",
 )
-def agg_distinct(spark, sf):
-    return (
-        t(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-@q("agg_approx")  # rows-only: sketch results are engine-specific by design
 def agg_approx(spark, sf):
+    """A3 — HLL++ sketch checked against the exact distinct count IN-QUERY:
+    the sketch value itself is engine-specific, so the deterministic output
+    is (exact count, |approx-exact|/exact < 3*rsd). The oracle asserts the
+    tolerance flag is TRUE, i.e. the sketch really is within its error bound."""
+    rsd = 0.02
+    ex = F.countDistinct("l_partkey")
+    ap = F.approx_count_distinct("l_partkey", rsd)
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            ex.alias("exact_parts"),
+            (
+                F.abs(ap.cast("double") - ex.cast("double")) / ex.cast("double")
+                < 3 * rsd
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -362,74 +362,66 @@ def agg_quantile(spark, sf):
 
 
 @q(
-    "agg_rollup",
-    """SELECT l_returnflag, l_linestatus,
+    "agg_rollup_cube",
+    """SELECT 'rollup' AS src, l_returnflag, l_linestatus,
               grouping(l_returnflag, l_linestatus) AS gid,
               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-)
-def agg_rollup(spark, sf):
-    return (
-        t(spark, sf, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
-    )
-
-
-@q(
-    "agg_cube",
-    """SELECT l_returnflag, l_linestatus,
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       UNION ALL
+       SELECT 'cube' AS src, l_returnflag, l_linestatus,
               grouping(l_returnflag, l_linestatus) AS gid,
-              round(sum(l_extendedprice), 2) AS sum_price
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
-def agg_cube(spark, sf):
-    return (
-        t(spark, sf, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "sum_price")
+def agg_rollup_cube(spark, sf):
+    """A5 — ROLLUP and CUBE grouping sets with grouping_id, tagged union."""
+    li = t(spark, sf, "lineitem")
+    aggs = [
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    cols = ["src", "l_returnflag", "l_linestatus", "gid", "sum_qty", "n"]
+    r = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .withColumn("src", F.lit("rollup"))
+        .select(*cols)
     )
+    c = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .withColumn("src", F.lit("cube"))
+        .select(*cols)
+    )
+    return r.unionByName(c)
 
 
 @q(
-    "agg_pivot",
-    """SELECT l_returnflag,
-              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
-              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+    "agg_pivot_unpivot",
+    """SELECT l_returnflag, 'qty_f' AS metric,
+              round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty
+       FROM lineitem GROUP BY l_returnflag
+       UNION ALL
+       SELECT l_returnflag, 'qty_o' AS metric,
+              round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty
        FROM lineitem GROUP BY l_returnflag""",
 )
-def agg_pivot(spark, sf):
+def agg_pivot_unpivot(spark, sf):
+    """A6 + A7 round-trip: pivot to wide, then unpivot the pivoted frame
+    back to long — both operators in one plan."""
     p = (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
-    return p.select(
-        "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
+    p = p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
     )
-
-
-@q(
-    "agg_unpivot",
-    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
-       UNION ALL
-       SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part""",
-)
-def agg_unpivot(spark, sf):
-    p = t(spark, sf, "part").select(
-        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
-    )
-    return p.unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+    return p.unpivot("l_returnflag", ["qty_f", "qty_o"], "metric", "qty")
 
 
 @q(
@@ -473,78 +465,56 @@ def agg_udaf(spark, sf):
 
 
 @q(
-    "win_rank",
-    """SELECT c_custkey, c_mktsegment,
-              row_number() OVER w AS rn,
-              rank() OVER w AS rnk,
-              dense_rank() OVER w AS drnk
-       FROM customer
-       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""",
+    "win_rank_topk",
+    """SELECT c_custkey, c_mktsegment, rn, rnk, drnk FROM (
+         SELECT c_custkey, c_mktsegment,
+                row_number() OVER w AS rn,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+       ) WHERE rn <= 5""",
 )
-def win_rank(spark, sf):
+def win_rank_topk(spark, sf):
+    """W1 (row_number/rank/dense_rank) + W4 (top-k per group) in one plan."""
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
-    return t(spark, sf, "customer").select(
-        "c_custkey",
-        "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+    return (
+        t(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
     )
 
 
 @q(
-    "win_offset",
+    "win_offset_frame",
     """SELECT o_orderkey, o_custkey,
               round(lag(o_totalprice) OVER w, 2) AS prev_price,
-              round(lead(o_totalprice) OVER w, 2) AS next_price
-       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+              round(lead(o_totalprice) OVER w, 2) AS next_price,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+              round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
 )
-def win_offset(spark, sf):
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+def win_offset_frame(spark, sf):
+    """W2 (lag/lead) + W3 (row frames) over the same partition spec — one
+    shuffle, one sort."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
     return t(spark, sf, "orders").select(
         "o_orderkey",
         "o_custkey",
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-    )
-
-
-@q(
-    "win_frame",
-    """SELECT o_orderkey, o_custkey,
-              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-              round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
-       FROM orders""",
-)
-def win_frame(spark, sf):
-    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
-    return t(spark, sf, "orders").select(
-        "o_orderkey",
-        "o_custkey",
         F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
             "running_total"
         ),
         F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("avg3"),
-    )
-
-
-@q(
-    "win_topk",
-    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-         SELECT o_orderpriority, o_orderkey, o_totalprice,
-                row_number() OVER (PARTITION BY o_orderpriority
-                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
-         FROM orders) WHERE rn <= 3""",
-)
-def win_topk(spark, sf):
-    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        t(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
 
 
@@ -644,68 +614,61 @@ def sort_limit(spark, sf):
 
 
 @q(
-    "set_union",
-    """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
-       UNION ALL
-       SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000""",
+    "set_union_distinct",
+    """SELECT DISTINCT o_orderkey, o_orderpriority FROM (
+         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000)""",
 )
-def set_union(spark, sf):
+def set_union_distinct(spark, sf):
+    """U1 (union by name) + U3 (distinct) in one plan."""
     o = t(spark, sf, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey", "o_orderpriority"
     )
     b = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderpriority")
-    return a.unionByName(b)
+    return a.unionByName(b).distinct()
 
 
 @q(
-    "set_intersect",
-    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-       INTERSECT
-       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "set_intersect_except",
+    """SELECT 'intersect' AS side, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       UNION ALL
+       SELECT 'except' AS side, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
 )
-def set_intersect(spark, sf):
+def set_intersect_except(spark, sf):
+    """U2 — INTERSECT and EXCEPT ALL, tagged union."""
     o = t(spark, sf, "orders")
-    return o.filter(F.col("o_orderstatus") == "O").select("o_custkey").intersect(
-        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    )
-
-
-@q(
-    "set_except",
-    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-       EXCEPT ALL
-       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
-)
-def set_except(spark, sf):
-    o = t(spark, sf, "orders")
-    return o.filter(F.col("o_orderstatus") == "O").select("o_custkey").exceptAll(
-        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    )
-
-
-@q(
-    "set_distinct",
-    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
-)
-def set_distinct(spark, sf):
-    return t(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    lhs = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    rhs = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    i = lhs.intersect(rhs).select(F.lit("intersect").alias("side"), "o_custkey")
+    e = lhs.exceptAll(rhs).select(F.lit("except").alias("side"), "o_custkey")
+    return i.unionByName(e)
 
 
 # --------------------------------------------------- 2.8 function families
 
 
 @q(
-    "fn_string",
+    "fn_string_hash",
     """SELECT p_partkey,
               upper(p_name) AS name_upper,
               substr(p_name, 1, 5) AS name_pfx,
               length(p_name) AS name_len,
               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
-              concat(p_brand, '#', p_type) AS brand_type
+              concat(p_brand, '#', p_type) AS brand_type,
+              md5(p_name) AS name_md5,
+              sha256(p_name) AS name_sha256
        FROM part""",
 )
-def fn_string(spark, sf):
+def fn_string_hash(spark, sf):
+    """F1 string fns + F2 hash/checksum (sha2 is what verify_state uses)."""
     return t(spark, sf, "part").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
@@ -713,51 +676,18 @@ def fn_string(spark, sf):
         F.length("p_name").alias("name_len"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
     )
 
 
 @q(
-    "fn_hash",
-    """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
-       FROM customer""",
-)
-def fn_hash(spark, sf):
-    """F2 — the content-sha invariant machinery (sha2 is what verify_state uses)."""
-    return t(spark, sf, "customer").select(
-        "c_custkey",
-        F.md5("c_name").alias("name_md5"),
-        F.sha2("c_name", 256).alias("name_sha256"),
-    )
-
-
-@q(
-    "fn_date",
-    """SELECT o_orderkey,
-              CAST(year(o_orderdate) AS INTEGER) AS y,
-              CAST(month(o_orderdate) AS INTEGER) AS m,
-              date_trunc('month', o_orderdate) AS month_start,
-              CAST(datediff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INTEGER)
-                AS days_to_98,
-              CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
-       FROM orders""",
-)
-def fn_date(spark, sf):
-    o = t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.datediff(
-            F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
-        ).alias("days_to_98"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
-    )
-
-
-@q(
-    "fn_math",
+    "fn_date_math",
     """SELECT l_orderkey, l_linenumber,
+              CAST(year(l_shipdate) AS INTEGER) AS y,
+              CAST(month(l_shipdate) AS INTEGER) AS m,
+              date_trunc('month', l_shipdate) AS month_start,
+              CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s,
               round(l_extendedprice * l_discount, 6) AS disc_amt,
               abs(l_quantity - 25) AS dev_qty,
               CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
@@ -766,11 +696,16 @@ def fn_date(spark, sf):
               round(pow(l_discount, 2), 8) AS disc_sq
        FROM lineitem""",
 )
-def fn_math(spark, sf):
+def fn_date_math(spark, sf):
+    """F3 date/time + F4 math, one projection over lineitem."""
     li = t(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
+        F.year("l_shipdate").alias("y"),
+        F.month("l_shipdate").alias("m"),
+        F.date_trunc("month", "l_shipdate").alias("month_start"),
+        F.unix_timestamp("l_shipdate").alias("epoch_s"),
         F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("disc_amt"),
         F.abs(F.col("l_quantity") - 25).alias("dev_qty"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
@@ -782,13 +717,22 @@ def fn_math(spark, sf):
 
 @q(
     "fn_array",
-    r"""SELECT doc_id,
-              len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-              (regexp_split_to_array(trim(text), '\s+'))[1] AS first_word,
-              (regexp_split_to_array(trim(text), '\s+'))[-1] AS last_word
-       FROM documents""",
+    r"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents)
+       SELECT doc_id,
+              len(ws) AS n_words,
+              ws[1] AS first_word,
+              ws[-1] AS last_word,
+              round(list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE))) / len(ws), 4)
+                AS avg_word_len,
+              len(list_filter(ws, x -> length(x) > 4)) AS n_long_words,
+              array_to_string(list_sort(list_distinct(list_sort(ws)[1:3])), '|') AS top3_sorted
+       FROM w""",
 )
 def fn_array(spark, sf):
+    """F5 — array fns INCLUDING higher-order transform/filter/aggregate.
+    Array-valued outputs are stringified (array_join) so every output column
+    is scalar and driver-hashable (VERDICT.md next-round #2)."""
     d = t(spark, sf, "documents")
     words = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
@@ -796,15 +740,6 @@ def fn_array(spark, sf):
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
-    )
-
-
-@q("fn_array_hof")  # rows-only: higher-order array fns have no clean ANSI twin
-def fn_array_hof(spark, sf):
-    d = t(spark, sf, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
-        "doc_id",
         F.round(
             F.aggregate(
                 F.transform(words, lambda w: F.length(w).cast("double")),
@@ -815,45 +750,59 @@ def fn_array_hof(spark, sf):
             4,
         ).alias("avg_word_len"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
-        F.array_distinct(F.slice(F.sort_array(words), 1, 3)).alias("top3_sorted"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.slice(F.sort_array(words), 1, 3))), "|"
+        ).alias("top3_sorted"),
     )
 
 
-@q("fn_map")  # rows-only: map type comparison across engines is unstable
+@q(
+    "fn_map",
+    """SELECT event_id,
+              event_type || ',uid' AS keys,
+              2 AS n_keys,
+              round(value, 4) AS v_self,
+              CASE WHEN event_type = 'click' THEN round(value, 4) ELSE -1.0 END AS v_click
+       FROM events""",
+)
 def fn_map(spark, sf):
+    """F6 — map build/keys/size/lookup with SCALAR outputs (map_keys joined
+    to a string; element_at lookups), so the driver value-hash works
+    (VERDICT.md next-round #2)."""
     ev = t(spark, sf, "events")
-    m = F.create_map(F.lit("value"), F.col("value"), F.lit("uid"), F.col("user_id").cast("double"))
+    m = F.create_map(
+        F.col("event_type"),
+        F.col("value").cast("double"),
+        F.lit("uid"),
+        F.col("user_id").cast("double"),
+    )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("keys"),
-        F.element_at(m, "value").alias("v"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.size(m).alias("n_keys"),
+        F.round(F.element_at(m, F.col("event_type")), 4).alias("v_self"),
+        F.round(F.coalesce(F.element_at(m, F.lit("click")), F.lit(-1.0)), 4).alias(
+            "v_click"
+        ),
     )
 
 
 @q(
-    "fn_json",
-    """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val FROM events""",
+    "fn_json_struct",
+    """SELECT event_id,
+              CAST(props->>'k' AS BIGINT) AS k_val,
+              user_id AS uid,
+              round(value, 4) AS val
+       FROM events""",
 )
-def fn_json(spark, sf):
-    return t(spark, sf, "events").select(
+def fn_json_struct(spark, sf):
+    """F7 JSON extraction + F8 struct pack/unpack round-trip in one query."""
+    ev = t(spark, sf, "events")
+    packed = ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-    )
-
-
-@q(
-    "fn_struct",
-    """SELECT o_orderkey, o_custkey AS cust, round(o_totalprice, 2) AS price
-       FROM orders""",
-)
-def fn_struct(spark, sf):
-    """Struct pack/unpack round-trip — net effect is a projection the oracle
-    can state directly."""
-    o = t(spark, sf, "orders")
-    packed = o.select(
-        "o_orderkey",
         F.struct(
-            F.col("o_custkey").alias("cust"), F.round("o_totalprice", 2).alias("price")
+            F.col("user_id").alias("uid"), F.round("value", 4).alias("val")
         ).alias("info"),
     )
-    return packed.select("o_orderkey", "info.cust", "info.price")
+    return packed.select("event_id", "k_val", "info.uid", "info.val")

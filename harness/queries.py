@@ -37,8 +37,14 @@ def t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-# registration side effects
-from . import q_relational  # noqa: E402,F401
+# registration side effects. ORDER MATTERS: the driver's correctness gate
+# checks the first 50 registered queries, so the engine-defining families
+# (CDC, LLM-data-pipeline, UDTF, multi-join) register first and the whole
+# registry is kept at <= 50 entries (VERDICT.md round-1 next-round #1).
 from . import q_cdc  # noqa: E402,F401
 from . import q_textdata  # noqa: E402,F401
 from . import q_advanced  # noqa: E402,F401
+from . import q_tpch  # noqa: E402,F401
+from . import q_relational  # noqa: E402,F401
+
+assert len(QUERIES) <= 50, f"driver checks only 50 queries; got {len(QUERIES)}"
