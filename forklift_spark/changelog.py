@@ -205,3 +205,34 @@ def expected_final_state(spec: ChangelogSpec) -> pd.DataFrame:
     final = df.loc[idx]
     final = final[final["op"] != "D"].drop(columns=["op"]).reset_index(drop=True)
     return final
+
+
+def expected_final_state_chunked(
+    spec: ChangelogSpec, chunk_events: int = 2_000_000
+) -> pd.DataFrame:
+    """Oracle matching `generate_changelog_chunked`: the generator reseeds
+    each chunk (seed+i, seq offset i*chunk_events), so a single-shot
+    `expected_final_state(spec)` describes a DIFFERENT event set for
+    n_events > chunk_events (ADVICE.md). This mirrors the exact sub-spec
+    iteration, concatenates the per-chunk frames, and takes the global
+    per-key max-seq argmax."""
+    frames = []
+    done = 0
+    chunk_idx = 0
+    while done < spec.n_events:
+        n = min(chunk_events, spec.n_events - done)
+        sub = ChangelogSpec(
+            **{
+                **spec.__dict__,
+                "n_events": n,
+                "seed": spec.seed + chunk_idx,
+                "seq_start": spec.seq_start + done,
+            }
+        )
+        frames.append(_events_frame(sub))
+        done += n
+        chunk_idx += 1
+    df = pd.concat(frames, ignore_index=True)
+    idx = df.groupby(["repo", "path"])["seq"].idxmax()
+    final = df.loc[idx]
+    return final[final["op"] != "D"].drop(columns=["op"]).reset_index(drop=True)

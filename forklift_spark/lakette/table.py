@@ -43,13 +43,34 @@ META_COLS = [
 META_COL_NAMES = [c for c, _ in META_COLS]
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same metadata version first — the
+    optimistic-concurrency loser. The table state is untouched; the loser's
+    data files are orphans (re-merge or garbage-collect them)."""
+
+
+def _atomic_write_json(path: str, payload: dict, *, exclusive: bool = False) -> None:
     tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=None, separators=(",", ":"))
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    if exclusive:
+        # atomic create-if-absent (POSIX hard link fails on existing target)
+        # — the compare-and-swap that makes concurrent writers safe: two
+        # committers racing from the same parent version both try to create
+        # v{N+1}.json; exactly one succeeds, the other gets a clean conflict.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"metadata version {os.path.basename(path)} already committed "
+                "by a concurrent writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+    else:
+        os.replace(tmp, path)
 
 
 @dataclass
@@ -136,11 +157,15 @@ class LaketteTable:
     def n_buckets(self) -> int:
         return int(self.current_metadata()["n_buckets"])
 
-    def bucket_expr(self, prefix: str = ""):
+    def bucket_expr(self, prefix: str = "", n_buckets: int | None = None):
         """Deterministic hash bucket of the logical key — recomputable
-        anywhere, so it is never stored in row data."""
+        anywhere, so it is never stored in row data. `n_buckets` overrides
+        the table's current bucket count (compact()'s re-bucketing path
+        MUST share this definition — a divergent inline copy would silently
+        mis-route keys, see ADVICE.md)."""
         cols = [F.col(prefix + c) for c in self.key_cols()]
-        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets())).cast("int")
+        n = self.n_buckets() if n_buckets is None else int(n_buckets)
+        return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
 
     # ------------------------------------------------------------------- scan
 
@@ -165,18 +190,36 @@ class LaketteTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        if not files:
-            df = spark.createDataFrame([], schema)
-        else:
-            paths = [os.path.join(self.root, f["path"]) for f in files]
-            df = spark.read.schema(schema).parquet(*paths)
-        if meta.get("requires_dedup"):
-            # merge-on-read: delta appends may hold several versions of a
-            # key — resolve LWW (max seq) at read time (compact() folds
-            # this away)
+        # merge-on-read: buckets holding delta appends may carry several
+        # versions of a key — resolve LWW (max seq) at read time, but ONLY
+        # over the dirty buckets (a key lives in exactly one bucket, so the
+        # per-bucket split loses nothing); clean buckets stream straight
+        # through with no aggregate. compact() folds dirty buckets back to
+        # clean, shrinking this path incrementally.
+        dirty = {f["bucket"] for f in files if f.get("delta")}
+        if meta.get("requires_dedup") and not any("delta" in f for f in files):
+            dirty = {f["bucket"] for f in files}  # legacy flag-only metadata
+        clean_files = [f for f in files if f["bucket"] not in dirty]
+        dirty_files = [f for f in files if f["bucket"] in dirty]
+
+        def _read(fs):
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f["path"]) for f in fs]
+            )
+
+        parts = []
+        if clean_files:
+            parts.append(_read(clean_files))
+        if dirty_files:
             from ..operators.merge import lww_dedupe
 
-            df = lww_dedupe(df, meta["key_cols"], "seq")
+            parts.append(lww_dedupe(_read(dirty_files), meta["key_cols"], "seq"))
+        if not parts:
+            df = spark.createDataFrame([], schema)
+        elif len(parts) == 1:
+            df = parts[0]
+        else:
+            df = parts[0].unionByName(parts[1])
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
         return df
@@ -206,8 +249,13 @@ class LaketteTable:
         new_meta["files"] = kept + new_files
         if schema is not None:
             new_meta["schema"] = json.loads(schema.json())
-        if requires_dedup is not None:
-            new_meta["requires_dedup"] = requires_dedup
+        # derived, not declared: true iff any live file is a MOR delta —
+        # kept for observability; the scan itself uses per-file tags
+        new_meta["requires_dedup"] = (
+            requires_dedup
+            if requires_dedup is not None
+            else any(f.get("delta") for f in new_meta["files"])
+        )
         if n_buckets is not None:
             if kept and n_buckets != meta["n_buckets"]:
                 raise ValueError(
@@ -218,7 +266,31 @@ class LaketteTable:
             new_meta["n_buckets"] = n_buckets
         new_meta["writer"] = writer
         name = f"v{new_meta['version']}.json"
-        _atomic_write_json(os.path.join(self.meta_dir, name), new_meta)
+        path = os.path.join(self.meta_dir, name)
+        # exclusive=True is the single-writer enforcement: a racing commit
+        # from the same parent version loses with CommitConflictError
+        # instead of silently clobbering the winner's metadata.
+        try:
+            _atomic_write_json(path, new_meta, exclusive=True)
+        except CommitConflictError:
+            # One benign case: OUR OWN orphan from a crash between the
+            # version-file write and the CURRENT swap (CURRENT still points
+            # at the parent, so epoch_committed didn't gate the retry). The
+            # retry may reclaim it; the crashed attempt's data files become
+            # unreferenced orphans (GC concern, not a correctness one).
+            try:
+                with open(path) as f:
+                    orphan = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                orphan = {}
+            if (
+                writer is not None
+                and orphan.get("writer") == writer
+                and orphan.get("parent_version") == meta["version"]
+            ):
+                _atomic_write_json(path, new_meta)
+            else:
+                raise
         self._swap_current(name)
         return TableCommit(new_meta["version"], new_meta["snapshot_id"])
 

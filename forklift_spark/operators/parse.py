@@ -55,6 +55,7 @@ def parse_events(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, Da
     ok_pred = (
         F.col("_e").isNotNull()
         & F.col("_e._corrupt").isNull()
+        & F.col("_e.op").isNotNull()
         & F.col("_e.op").isin(*VALID_OPS)
         & F.col("_e.seq").isNotNull()
         & F.col("_e.repo").isNotNull()
@@ -63,12 +64,17 @@ def parse_events(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, Da
     events = parsed.filter(ok_pred).select(
         *(F.col(f"_e.{f.name}").alias(f.name) for f in WIRE_SCHEMA.fields if f.name != "_corrupt")
     )
+    # NULL-safe negation: a NULL op makes `isin` (and hence ok_pred) SQL
+    # NULL, and filter(~NULL) would drop the record from BOTH outputs —
+    # coalesce pins undecided rows to the dead-letter side.
     reason = (
         F.when(F.col("_e").isNull() | F.col("_e._corrupt").isNotNull(), F.lit("malformed_json"))
-        .when(~F.col("_e.op").isin(*VALID_OPS), F.lit("bad_op"))
+        .when(
+            F.col("_e.op").isNull() | ~F.col("_e.op").isin(*VALID_OPS), F.lit("bad_op")
+        )
         .otherwise(F.lit("missing_key_fields"))
     )
-    dead_letters = parsed.filter(~ok_pred).select(
+    dead_letters = parsed.filter(~F.coalesce(ok_pred, F.lit(False))).select(
         F.col(json_col).alias("raw"), reason.alias("reason")
     )
     return events, dead_letters

@@ -60,10 +60,20 @@ def cosine_pairs(
     id_col: str,
     threshold: float,
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Pairs (a<b) with cosine >= threshold. block_col turns the self-join
     into a per-block equi-join (e.g. an LSH bucket or a label) — without it
-    this is the exact-but-quadratic baseline."""
+    this is the exact-but-QUADRATIC baseline, which no caller should hit by
+    accident at scale: omitting block_col requires allow_quadratic=True
+    (VERDICT r1 #6). The scale path is LSH bucketing (see lsh_topk /
+    dedup.minhash_lsh_pairs) feeding its bucket in as block_col."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "cosine_pairs without block_col is an all-pairs O(n^2) join; "
+            "pass a blocking column (label / LSH bucket) or explicitly "
+            "opt in with allow_quadratic=True"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),

@@ -113,6 +113,7 @@ def run_ingest(
     source: str = "file",
     dedupe_in_batch: bool = True,
     compact_every: int | None = None,
+    drop_dup_within_watermark: str | None = None,
 ) -> IngestReport:
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -120,7 +121,13 @@ def run_ingest(
 
     source="file" uses Spark's file stream source (maxFilesPerTrigger rate
     limit); source="wal_tail" uses the engine's pure-Python offset-tracked
-    DataSource (SURVEY.md §2.1 S5) — identical semantics, custom offsets."""
+    DataSource (SURVEY.md §2.1 S5) — identical semantics, custom offsets.
+
+    `drop_dup_within_watermark` (e.g. "10 minutes") enables T4: duplicate
+    deliveries of the same (repo, path, seq) within the watermark are
+    dropped by Spark's stateful dedup BEFORE the merge shuffle — an
+    optimization only; LWW idempotence remains the correctness backstop
+    for duplicates arriving outside the watermark."""
     report = IngestReport()
 
     dead_letter_dir: str | None = None
@@ -154,6 +161,10 @@ def run_ingest(
             .parquet(f"{log_dir}/seg-*.parquet")
         )
 
+    if drop_dup_within_watermark:
+        src = src.withWatermark("event_ts", drop_dup_within_watermark)
+        src = src.dropDuplicatesWithinWatermark(["repo", "path", "seq"])
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         if source == "jsonl":
             from ..operators.parse import parse_events
@@ -178,13 +189,18 @@ def run_ingest(
         report.epochs.append(stats)
         # bound merge-on-read delta accumulation: periodically fold deltas
         # into compacted base files (a crash mid-compact is harmless — the
-        # next compact rewrites from the committed snapshot)
+        # next compact rewrites from the committed snapshot). INCREMENTAL:
+        # only buckets whose delta backlog crossed the threshold are
+        # rewritten, so the epoch-latency spike is O(hot buckets), never
+        # O(table) — the 100 TB requirement (VERDICT r1 #4).
         if compact_every and not stats.skipped:
             applied = sum(1 for e in report.epochs if not e.skipped)
             if applied % compact_every == 0:
-                from ..operators.merge import compact
+                from ..operators.merge import compact, select_compaction_candidates
 
-                compact(spark, table)
+                cands = select_compaction_candidates(table)
+                if cands:
+                    compact(spark, table, buckets=cands)
 
     writer = (
         src.writeStream.foreachBatch(_merge)
@@ -219,11 +235,14 @@ def run_ingest(
             [s for s in os.listdir(log_dir) if s.startswith("seg-") and s.endswith(".parquet")]
         )
         deadline = _time.monotonic() + (timeout_sec or 300)
+        covered = -1
         while _time.monotonic() < deadline:
             p = q.lastProgress
             if p and p.get("sources"):
                 end = _parse_offset(p["sources"][0].get("endOffset"))
-                if end and int(end.get("segments", -1)) >= target:
+                if end:
+                    covered = int(end.get("segments", -1))
+                if covered >= target:
                     break
             if q.exception() is not None:
                 break
@@ -232,6 +251,14 @@ def run_ingest(
         q.awaitTermination(60)
         if q.exception() is not None:
             raise q.exception()
+        if covered < target:
+            # never return a silently-partial replay: callers assert
+            # sha-exact state afterwards and must see the timeout, not a
+            # quietly truncated table (ADVICE.md)
+            raise TimeoutError(
+                f"wal_tail drain timed out after {timeout_sec or 300}s: "
+                f"end offset covered {covered}/{target} segments"
+            )
     else:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()

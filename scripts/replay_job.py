@@ -70,7 +70,7 @@ def main() -> None:
     ap.add_argument("--verify", default="spark", choices=["spark", "pandas", "skip"])
     args = ap.parse_args()
 
-    from forklift_spark.changelog import expected_final_state
+    from forklift_spark.changelog import expected_final_state_chunked
     from forklift_spark.operators.merge import compact, read_metrics
     from forklift_spark.streaming.ingest import (
         create_entity_table,
@@ -127,8 +127,10 @@ def main() -> None:
         if args.verify == "spark":
             exp = expected_final_state_spark(spark, args.log_dir)
         else:
+            # chunk-aware: the bench log comes from generate_changelog_chunked,
+            # whose per-chunk reseeding a single-shot oracle would not match
             exp = spark.createDataFrame(
-                expected_final_state(make_spec(args.n_events, seed=args.seed))
+                expected_final_state_chunked(make_spec(args.n_events, seed=args.seed))
             )
         ver = verify_state(spark, table, exp)
         result["sha_exact"] = ver["ok"]

@@ -1,0 +1,255 @@
+"""Round-2 hardening: incremental compaction, concurrent-writer CAS,
+T4 dropDuplicatesWithinWatermark, quadratic guard, chunk-aware oracle,
+null-op dead-letter routing (VERDICT.md next-round #4,5,6,9 + ADVICE.md)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.changelog import (
+    ChangelogSpec,
+    expected_final_state,
+    expected_final_state_chunked,
+    generate_changelog,
+    generate_changelog_chunked,
+)
+from forklift_spark.lakette.table import CommitConflictError
+from forklift_spark.operators.merge import (
+    compact,
+    lww_dedupe,
+    merge_into,
+    select_compaction_candidates,
+)
+from forklift_spark.streaming.ingest import (
+    CHANGELOG_SCHEMA,
+    create_entity_table,
+    run_ingest,
+    verify_state,
+)
+
+
+def _rows(ops):
+    """(op, seq, repo, path, content) -> full envelope tuples."""
+    return [
+        (op, seq, repo, path, f"c{seq}", "py", content, None, 1)
+        for (op, seq, repo, path, content) in ops
+    ]
+
+
+# ------------------------------------------------- incremental compaction
+
+
+def test_incremental_compact_touches_only_candidate_buckets(spark, tmp_path):
+    """MOR deltas in a FEW buckets -> select_compaction_candidates returns
+    exactly those -> compact(buckets=...) rewrites only them: untouched
+    base files survive by path, final state stays exact."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=8)
+    base = _rows([("I", i, f"repo_{i % 7}", f"f{i}.py", f"v{i}") for i in range(200)])
+    merge_into(
+        spark, table, spark.createDataFrame(base, CHANGELOG_SCHEMA),
+        query_id="inc", epoch=0, mode="mor",
+    )
+    compact(spark, table)  # all buckets now clean base
+    meta0 = table.current_metadata()
+    assert not any(f.get("delta") for f in meta0["files"])
+
+    upd = _rows(
+        [("U", 1000 + i, f"repo_{i % 7}", f"f{i}.py", f"v{i}'") for i in range(0, 200, 40)]
+    )
+    merge_into(
+        spark, table, spark.createDataFrame(upd, CHANGELOG_SCHEMA),
+        query_id="inc", epoch=1, mode="mor",
+    )
+    meta1 = table.current_metadata()
+    delta_buckets = {f["bucket"] for f in meta1["files"] if f.get("delta")}
+    assert 0 < len(delta_buckets) < 8  # the update wave is localized
+
+    cands = select_compaction_candidates(table, max_delta_files=0)
+    assert set(cands) == delta_buckets
+
+    untouched_paths = {
+        f["path"] for f in meta1["files"] if f["bucket"] not in delta_buckets
+    }
+    res = compact(spark, table, buckets=cands)
+    assert res["compacted_buckets"] == len(cands)
+    meta2 = table.current_metadata()
+    # untouched base files carried over byte-identical (by path)
+    assert untouched_paths <= {f["path"] for f in meta2["files"]}
+    # candidate buckets folded clean
+    assert not any(f.get("delta") for f in meta2["files"])
+    assert select_compaction_candidates(table, max_delta_files=0) == []
+
+    final = {
+        (r.repo, r.path): (r.seq, r.content)
+        for r in table.snapshot(spark).collect()
+    }
+    for i in range(200):
+        want = (1000 + i, f"v{i}'") if i % 40 == 0 else (i, f"v{i}")
+        assert final[(f"repo_{i % 7}", f"f{i}.py")] == want
+
+
+def test_incremental_compact_inside_ingest_loop(spark, tmp_path):
+    """run_ingest(compact_every=K) uses candidate-driven compaction and the
+    replay stays sha-exact."""
+    spec = ChangelogSpec(n_events=3_000, n_repos=8, paths_per_repo=15, seed=23,
+                         duplicate_fraction=0.05)
+    log = tmp_path / "log"
+    generate_changelog(spec, str(log))
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=8)
+    run_ingest(
+        spark, str(log), table, str(tmp_path / "ckpt"),
+        query_id="incing", max_files_per_trigger=1, mode="mor", compact_every=2,
+    )
+    exp = spark.createDataFrame(expected_final_state(spec))
+    assert verify_state(spark, table, exp)["ok"]
+
+
+def test_rebucket_rejects_bucket_subset(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    with pytest.raises(ValueError, match="full compact"):
+        compact(spark, table, n_buckets=16, buckets=[0, 1])
+
+
+# ------------------------------------------------- concurrent-writer CAS
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two writers racing from the same parent version: the exclusive
+    create of v{N+1}.json makes exactly one win; the loser raises
+    CommitConflictError and the table state is untouched."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    meta = table.current_metadata()
+    racer_meta = {
+        **meta,
+        "version": meta["version"] + 1,
+        "parent_version": meta["version"],
+        "writer": {"query_id": "racer", "epoch": 0},
+    }
+    # simulate the racer the instant after its exclusive metadata write
+    # (before its CURRENT swap — the same file the loser will try to create)
+    with open(os.path.join(table.meta_dir, f"v{meta['version'] + 1}.json"), "w") as f:
+        json.dump(racer_meta, f)
+    with pytest.raises(CommitConflictError):
+        table.commit_version(
+            new_files=[], replaced_buckets=set(),
+            writer={"query_id": "loser", "epoch": 0},
+        )
+    assert table.current_metadata()["version"] == meta["version"]  # untouched
+
+
+def test_own_orphan_metadata_is_reclaimed(spark, tmp_path):
+    """Crash between version-file write and CURRENT swap: the SAME writer's
+    retry may reclaim its orphan instead of self-conflicting."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    meta = table.current_metadata()
+    me = {"query_id": "me", "epoch": 7}
+    orphan = {
+        **meta,
+        "version": meta["version"] + 1,
+        "parent_version": meta["version"],
+        "writer": me,
+    }
+    with open(os.path.join(table.meta_dir, f"v{meta['version'] + 1}.json"), "w") as f:
+        json.dump(orphan, f)
+    commit = table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
+    assert commit.version == meta["version"] + 1
+    assert table.current_metadata()["writer"] == me
+
+
+# ------------------------------------- T4 dropDuplicatesWithinWatermark
+
+
+def test_stream_dedup_within_watermark_drops_before_merge(spark, tmp_path):
+    """T4: duplicate deliveries are removed by the stateful pre-shuffle
+    dedup — the merge sees exactly the unique event count — and the final
+    state is still sha-exact (LWW stays the backstop)."""
+    spec = ChangelogSpec(
+        n_events=2_000, n_repos=6, paths_per_repo=12, seed=31,
+        duplicate_fraction=0.25,
+    )
+    log = tmp_path / "log"
+    gen = generate_changelog(spec, str(log))
+    assert gen.n_delivered > spec.n_events  # duplicates really present
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    report = run_ingest(
+        spark, str(log), table, str(tmp_path / "ckpt"),
+        query_id="t4", max_files_per_trigger=1,
+        drop_dup_within_watermark="2 hours",
+    )
+    seen_by_merge = sum(e.batch_rows for e in report.epochs)
+    assert seen_by_merge == spec.n_events  # dups dropped pre-merge
+    exp = spark.createDataFrame(expected_final_state(spec))
+    assert verify_state(spark, table, exp)["ok"]
+
+
+# ------------------------------------------------------ quadratic guard
+
+
+def test_cosine_pairs_guards_allpairs(spark):
+    from forklift_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 0)], "id long, v array<double>, blk int"
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        cosine_pairs(df, "v", "id", threshold=0.5)
+    assert cosine_pairs(df, "v", "id", threshold=0.5, block_col="blk").count() == 1
+    assert cosine_pairs(df, "v", "id", threshold=0.5, allow_quadratic=True).count() == 1
+
+
+# ------------------------------------------------- chunk-aware oracle
+
+
+def test_chunked_pandas_oracle_matches_chunked_generator(spark, tmp_path):
+    """The engine-independent oracle must mirror the chunked generator's
+    per-chunk reseeding (ADVICE.md): chunked oracle == LWW over the actual
+    log; the single-shot oracle describes a different event set."""
+    spec = ChangelogSpec(n_events=1_500, n_repos=5, paths_per_repo=10, seed=3,
+                         segment_rows=400)
+    log = tmp_path / "log"
+    generate_changelog_chunked(spec, str(log), chunk_events=500)
+
+    df = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{log}/seg-*.parquet")
+    got = {
+        (r.repo, r.path, r.seq, r.content)
+        for r in lww_dedupe(df, ["repo", "path"], "seq")
+        .filter(F.col("op") != "D")
+        .collect()
+    }
+    oracle = expected_final_state_chunked(spec, chunk_events=500)
+    want = {
+        (r.repo, r.path, int(r.seq), r.content) for r in oracle.itertuples()
+    }
+    assert got == want
+    single_shot = expected_final_state(spec)
+    naive = {
+        (r.repo, r.path, int(r.seq), r.content) for r in single_shot.itertuples()
+    }
+    assert naive != want  # the r1 bug: single-shot oracle mismatches at scale
+
+
+# ------------------------------------------- null-op dead-letter routing
+
+
+def test_null_op_routes_to_dead_letters(spark):
+    """A record with op=null must land in dead_letters, not vanish from
+    both outputs (NULL-safe negation, ADVICE.md)."""
+    from forklift_spark.operators.parse import parse_events
+
+    good = {"op": "I", "seq": 1, "repo": "r", "path": "p", "commit": "c",
+            "lang": "py", "content": "x", "event_ts": "2024-01-01T00:00:00Z",
+            "schema_ver": 1}
+    null_op = {**good, "seq": 2, "op": None}
+    no_op_key = {k: v for k, v in good.items() if k != "op"}
+    no_op_key["seq"] = 3
+    raw = spark.createDataFrame(
+        [(json.dumps(good),), (json.dumps(null_op),), (json.dumps(no_op_key),)],
+        "value string",
+    )
+    events, dead = parse_events(raw)
+    assert events.count() + dead.count() == 3  # nothing vanishes
+    assert [r.seq for r in events.collect()] == [1]
+    assert {r.reason for r in dead.collect()} == {"bad_op"}
