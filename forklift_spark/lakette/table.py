@@ -143,6 +143,53 @@ class LaketteTable:
         with open(os.path.join(self.meta_dir, name)) as f:
             return json.load(f)
 
+    def metadata_at(self, version: int) -> dict[str, Any]:
+        """Metadata of a specific committed version (time travel). Only
+        versions reachable from CURRENT are valid — an orphaned loser of a
+        commit race has a v{N}.json too, but it was never the table state,
+        so walk the parent chain instead of trusting the file name."""
+        meta = self.current_metadata()
+        while meta["version"] != version:
+            parent = meta.get("parent_version")
+            if parent is None or parent < version:
+                raise ValueError(f"version {version} not in this table's history")
+            ppath = os.path.join(self.meta_dir, f"v{parent}.json")
+            if not os.path.exists(ppath):
+                raise ValueError(
+                    f"version {version} expired (metadata pruned by vacuum)"
+                )
+            with open(ppath) as f:
+                cand = json.load(f)
+            if cand["version"] != parent:
+                raise ValueError(f"corrupt history at v{parent}.json")
+            meta = cand
+        return meta
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit log, newest first: one row per reachable version (the
+        chain ends early where vacuum() already expired old metadata)."""
+        out = []
+        meta = self.current_metadata()
+        while True:
+            out.append(
+                {
+                    "version": meta["version"],
+                    "snapshot_id": meta["snapshot_id"],
+                    "writer": meta.get("writer"),
+                    "n_files": len(meta["files"]),
+                    "rows": sum(f["rows"] for f in meta["files"]),
+                    "n_buckets": meta["n_buckets"],
+                }
+            )
+            parent = meta.get("parent_version")
+            if parent is None:
+                return out
+            ppath = os.path.join(self.meta_dir, f"v{parent}.json")
+            if not os.path.exists(ppath):
+                return out  # expired by vacuum
+            with open(ppath) as f:
+                meta = json.load(f)
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.current_metadata()["schema"])
 
@@ -176,14 +223,18 @@ class LaketteTable:
         include_deleted: bool = False,
         buckets: list[int] | None = None,
         metadata: dict | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the current committed snapshot.
+        """Read the current committed snapshot (or, with `version`, a past
+        one — time travel; fails if vacuum() already collected its files).
 
         `buckets` prunes to the given hash buckets using file-level metadata
         (driver-side planning — no Spark job needed to plan the scan).
         Reading with the *current* schema makes pre-evolution files surface
         NULL for later-added columns.
         """
+        if version is not None and metadata is None:
+            metadata = self.metadata_at(version)
         meta = metadata or self.current_metadata()
         schema = T.StructType.fromJson(meta["schema"])
         files = meta["files"]
@@ -314,3 +365,46 @@ class LaketteTable:
             self._marker_path(query_id, epoch),
             {"query_id": query_id, "epoch": epoch, "snapshot_id": snapshot_id},
         )
+
+    # ---------------------------------------------------------------- vacuum
+
+    def vacuum(self, *, keep_versions: int = 1) -> dict[str, int]:
+        """Garbage-collect data files not referenced by the newest
+        `keep_versions` reachable versions, plus metadata files of pruned
+        or orphaned versions (e.g. a CommitConflictError loser's v{N}.json
+        and the data files it promoted before losing the CAS).
+
+        Driver-side file ops only. At object-store scale this would be a
+        manifest diff + batched deletes; the referenced-set computation is
+        identical. Time travel beyond `keep_versions` stops working — same
+        contract as Iceberg's expire_snapshots."""
+        keep_versions = max(1, keep_versions)
+        history = self.history()
+        kept_meta = history[:keep_versions]
+        kept_versions = {h["version"] for h in kept_meta}
+        reachable = {h["version"] for h in history}
+        referenced: set[str] = set()
+        for h in kept_meta:
+            meta = self.metadata_at(h["version"])
+            referenced.update(f["path"] for f in meta["files"])
+
+        removed_data = 0
+        for fn in sorted(os.listdir(self.data_dir)):
+            rel = os.path.join("data", fn)
+            if fn.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(self.data_dir, fn))
+                removed_data += 1
+        removed_meta = 0
+        for fn in sorted(os.listdir(self.meta_dir)):
+            m = fn.removeprefix("v").removesuffix(".json")
+            if not fn.startswith("v") or not fn.endswith(".json") or not m.isdigit():
+                continue
+            v = int(m)
+            if v not in kept_versions and (v not in reachable or v < min(kept_versions)):
+                os.remove(os.path.join(self.meta_dir, fn))
+                removed_meta += 1
+        return {
+            "removed_data_files": removed_data,
+            "removed_metadata_files": removed_meta,
+            "kept_versions": len(kept_versions),
+        }

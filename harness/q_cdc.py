@@ -96,6 +96,46 @@ def cdc_lww_batch(spark, sf):
     )
 
 
+#: the diff the D+U epochs induce on the post-insert snapshot, in pure SQL
+_CDC_CHANGES_SQL = """
+WITH d AS (SELECT doc_id, source AS repo,
+                  'docs/doc_' || doc_id || '.txt' AS path, text
+           FROM documents)
+SELECT 'update' AS change, repo, path,
+       doc_id + 10000000 AS seq, sha256(text || ' v2') AS content_sha
+FROM d WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7
+UNION ALL
+SELECT 'delete' AS change, repo, path,
+       doc_id + 20000000 AS seq, CAST(NULL AS VARCHAR) AS content_sha
+FROM d WHERE doc_id % 10 = 7
+"""
+
+
+@q("cdc_changes", _CDC_CHANGES_SQL)
+def cdc_changes(spark, sf):
+    """CDC-out: replay the 3 epochs (I, U, D) through the real engine, then
+    emit the row-level change set between the post-insert version and the
+    final version via lakette time travel + snapshot_diff (one full-outer
+    join over bucket-pruned reads)."""
+    from forklift_spark.operators.changes import snapshot_diff
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_chg_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    versions = {}
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="chg",
+            epoch=i,
+        )
+        versions[op] = table.current_metadata()["version"]
+    return snapshot_diff(spark, table, versions["I"], versions["D"])
+
+
 @q("scan_snapshot", _CDC_LWW_SQL)
 def scan_snapshot(spark, sf):
     """End-to-end: replay the derived changelog through the REAL engine in

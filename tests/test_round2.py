@@ -253,3 +253,102 @@ def test_null_op_routes_to_dead_letters(spark):
     assert events.count() + dead.count() == 3  # nothing vanishes
     assert [r.seq for r in events.collect()] == [1]
     assert {r.reason for r in dead.collect()} == {"bad_op"}
+
+
+# --------------------------------------------- time travel + vacuum (GC)
+
+
+def test_time_travel_reads_past_versions(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    merge_into(spark, table, spark.createDataFrame(
+        _rows([("I", 1, "r", "a.py", "v1")]), CHANGELOG_SCHEMA), query_id="tt", epoch=0)
+    v_after_insert = table.current_metadata()["version"]
+    merge_into(spark, table, spark.createDataFrame(
+        _rows([("U", 2, "r", "a.py", "v2")]), CHANGELOG_SCHEMA), query_id="tt", epoch=1)
+
+    assert table.snapshot(spark).collect()[0].content == "v2"
+    past = table.snapshot(spark, version=v_after_insert).collect()
+    assert len(past) == 1 and past[0].content == "v1"
+    hist = table.history()
+    assert [h["version"] for h in hist] == sorted(
+        (h["version"] for h in hist), reverse=True
+    )
+    assert hist[0]["writer"] == {"query_id": "tt", "epoch": 1}
+    with pytest.raises(ValueError, match="not in this table's history"):
+        table.metadata_at(0)
+
+
+def test_vacuum_collects_unreferenced_files_and_orphans(spark, tmp_path):
+    """vacuum removes data files only referenced by expired versions AND
+    the unreachable metadata of a crashed commit-race loser (unblocking a
+    future commit of that version number)."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    for i in range(3):
+        merge_into(spark, table, spark.createDataFrame(
+            _rows([("U", i + 1, "r", "a.py", f"v{i + 1}")]), CHANGELOG_SCHEMA),
+            query_id="vac", epoch=i)
+    meta = table.current_metadata()
+    live_paths = {f["path"] for f in meta["files"]}
+    data_files = {os.path.join("data", f) for f in os.listdir(table.data_dir)}
+    assert live_paths < data_files  # old COW versions left superseded files
+
+    # plant an unreachable orphan (commit-race loser that crashed)
+    orphan_path = os.path.join(table.meta_dir, f"v{meta['version'] + 1}.json")
+    with open(orphan_path, "w") as f:
+        json.dump({**meta, "version": meta["version"] + 1,
+                   "parent_version": meta["version"],
+                   "writer": {"query_id": "dead", "epoch": 99}}, f)
+
+    res = table.vacuum(keep_versions=1)
+    assert res["removed_data_files"] == len(data_files - live_paths)
+    assert not os.path.exists(orphan_path)
+    left = {os.path.join("data", f) for f in os.listdir(table.data_dir)}
+    assert left == live_paths
+    # current snapshot unaffected; expired version now raises cleanly
+    assert table.snapshot(spark).collect()[0].content == "v3"
+    with pytest.raises(ValueError, match="expired|not in"):
+        table.snapshot(spark, version=meta["version"] - 1)
+    # the orphaned version number is committable again
+    merge_into(spark, table, spark.createDataFrame(
+        _rows([("U", 10, "r", "a.py", "v4")]), CHANGELOG_SCHEMA),
+        query_id="vac", epoch=3)
+    assert table.snapshot(spark).collect()[0].content == "v4"
+
+
+# ------------------------------------------------- CDC-out snapshot diff
+
+
+def test_snapshot_diff_taxonomy(spark, tmp_path):
+    """insert / update / delete / resurrection / no-change, across COW+MOR
+    epochs, via time-travel diff."""
+    from forklift_spark.operators.changes import snapshot_diff
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    merge_into(spark, table, spark.createDataFrame(_rows([
+        ("I", 1, "r", "stay.py", "s1"),     # unchanged afterwards
+        ("I", 2, "r", "upd.py", "u1"),      # later updated
+        ("I", 3, "r", "del.py", "d1"),      # later deleted
+        ("D", 4, "r", "ghost.py", None),    # tombstone for never-live key
+    ]), CHANGELOG_SCHEMA), query_id="d", epoch=0)
+    v_from = table.current_metadata()["version"]
+
+    merge_into(spark, table, spark.createDataFrame(_rows([
+        ("U", 10, "r", "upd.py", "u2"),
+        ("D", 11, "r", "del.py", None),
+        ("I", 12, "r", "new.py", "n1"),
+        ("I", 13, "r", "ghost.py", "g1"),   # resurrection (seq > tombstone)
+    ]), CHANGELOG_SCHEMA), query_id="d", epoch=1, mode="mor")
+    v_to = table.current_metadata()["version"]
+
+    got = {
+        (r.change, r.path): (r.seq, r.content_sha is not None)
+        for r in snapshot_diff(spark, table, v_from, v_to).collect()
+    }
+    assert got == {
+        ("update", "upd.py"): (10, True),
+        ("delete", "del.py"): (11, False),
+        ("insert", "new.py"): (12, True),
+        ("insert", "ghost.py"): (13, True),
+    }
+    # identity diff is empty
+    assert snapshot_diff(spark, table, v_to, v_to).count() == 0

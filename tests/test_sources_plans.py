@@ -135,7 +135,7 @@ def test_udtf_unpack_commit(spark):
 
 
 def test_no_row_python_udf_in_any_harness_query(spark, sf_tiny):
-    """BASELINE.json:15: no per-row Python anywhere in the 60-query surface."""
+    """BASELINE.json:15: no per-row Python anywhere in the 50-query surface."""
     import __spark_entry__ as entry
 
     for name, fn in entry.queries().items():
