@@ -79,14 +79,29 @@ def shingle_jaccard_pairs(
     threshold: float = 0.5,
     shingle_kind: str = "char",
     ngram_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, computed via an inverted-index
     self-join on the shingle (only docs sharing a shingle ever meet — no
-    cross product)."""
+    cross product).
+
+    Scale knob: a shingle appearing in d documents contributes O(d^2) join
+    pairs, so one corpus-wide stop-shingle can blow the join up. At 100 TB
+    pass `max_shingle_df` to drop shingles above that document frequency
+    from BOTH the index and the set sizes (the standard stop-shingle cut in
+    published near-dup pipelines). Default None keeps exact semantics —
+    the harness oracle runs exact; the LSH path is the true scale route."""
     if shingle_kind == "word":
-        sh = word_shingles(df, content_col, id_col, ngram_n).cache()
+        sh = word_shingles(df, content_col, id_col, ngram_n)
     else:
-        sh = char_shingles(df, content_col, id_col, k).cache()
+        sh = char_shingles(df, content_col, id_col, k)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df)),
+                    "shingle", "left_anti")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

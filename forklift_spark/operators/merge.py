@@ -88,22 +88,58 @@ class MergeStats:
         return round(self.batch_rows / self.wall_sec, 1) if self.wall_sec else 0.0
 
 
+#: safe widening chains (Iceberg's promotion subset). Parquet files written
+#: with the narrower physical type read correctly under the widened schema
+#: (verified against this image's Spark: int32->long, float->double upcast).
+_WIDENING_CHAINS = (
+    [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
+    [T.FloatType(), T.DoubleType()],
+)
+
+
+def _widened(old: T.DataType, new: T.DataType) -> T.DataType | None:
+    """The wider of two types if they sit on one widening chain, else None."""
+    for chain in _WIDENING_CHAINS:
+        if old in chain and new in chain:
+            return chain[max(chain.index(old), chain.index(new))]
+    return None
+
+
 def _schema_evolve(table_schema: T.StructType, batch_schema: T.StructType,
                    envelope_only: set[str]) -> tuple[T.StructType, list[str]]:
-    """Additive diff: batch columns absent from the table schema are
-    appended as nullable fields (C4). Type changes / drops are rejected —
-    lakette v1 supports additive evolution only, like Iceberg's safe subset."""
-    existing = {f.name for f in table_schema.fields}
-    added = []
+    """Additive diff (C4): batch columns absent from the table schema are
+    appended as nullable fields; existing columns may WIDEN along a safe
+    promotion chain (int->long, float->double — Iceberg's subset; data
+    files written before the widen read fine under the new schema).
+    Incompatible type changes and drops are rejected loudly."""
+    by_name = {f.name: f for f in table_schema.fields}
+    changes = []
     fields = list(table_schema.fields)
     meta_tail = [f for f in fields if f.name in META_COL_NAMES]
     body = [f for f in fields if f.name not in META_COL_NAMES]
     for f in batch_schema.fields:
-        if f.name in envelope_only or f.name in existing:
+        if f.name in envelope_only:
             continue
-        body.append(T.StructField(f.name, f.dataType, True))
-        added.append(f.name)
-    return T.StructType(body + meta_tail), added
+        cur = by_name.get(f.name)
+        if cur is None:
+            body.append(T.StructField(f.name, f.dataType, True))
+            changes.append(f.name)
+        elif cur.dataType != f.dataType and f.name not in META_COL_NAMES:
+            wide = _widened(cur.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"incompatible type change for column {f.name!r}: table has "
+                    f"{cur.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} (only additive columns and "
+                    "int->long / float->double widening are supported)"
+                )
+            if wide != cur.dataType:
+                body[body.index(cur)] = T.StructField(f.name, wide, True)
+                changes.append(
+                    f"{f.name}(widened:{cur.dataType.simpleString()}->"
+                    f"{wide.simpleString()})"
+                )
+    return T.StructType(body + meta_tail), changes
 
 
 def merge_into(

@@ -32,12 +32,16 @@ WIRE_SCHEMA = T.StructType(
 VALID_OPS = ("I", "U", "D")
 
 
-def parse_events(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, DataFrame]:
+def parse_events(
+    raw: DataFrame, json_col: str = "value", carry_cols: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Parse a raw JSON-lines feed column into the typed envelope.
 
     Returns (events, dead_letters):
       events       — rows that parsed AND satisfy the envelope invariants
-                     (op in {I,U,D}, seq/repo/path present)
+                     (op in {I,U,D}, seq/repo/path present), plus any
+                     `carry_cols` passed through from the wire frame
+                     (e.g. Kafka partition/offset for source lineage)
       dead_letters — original raw line + a reason column, for reprocessing
 
     Both come from ONE projection over the input (no double scan): the
@@ -62,7 +66,8 @@ def parse_events(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, Da
         & F.col("_e.path").isNotNull()
     )
     events = parsed.filter(ok_pred).select(
-        *(F.col(f"_e.{f.name}").alias(f.name) for f in WIRE_SCHEMA.fields if f.name != "_corrupt")
+        *(F.col(f"_e.{f.name}").alias(f.name) for f in WIRE_SCHEMA.fields if f.name != "_corrupt"),
+        *(F.col(c) for c in (carry_cols or [])),
     )
     # NULL-safe negation: a NULL op makes `isin` (and hence ok_pred) SQL
     # NULL, and filter(~NULL) would drop the record from BOTH outputs —

@@ -72,3 +72,28 @@ def kafka_changefeed(
             "Kafka source needs org.apache.spark:spark-sql-kafka-0-10 on the "
             f"classpath (--packages); unavailable in this offline image: {e}"
         ) from e
+
+
+def kafka_to_envelope(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Everything AFTER the Kafka reader, runnable offline: map the Kafka
+    record shape (key/value binary, topic, partition, offset, timestamp)
+    to the typed change-event envelope via parse_events (C1). The Kafka
+    read position rides along as `_kafka_partition`/`_kafka_offset`
+    (source-offset lineage for C7).
+
+    Returns (events, dead_letters). This is the executable happy path of
+    the S6 pipeline — only the socket read itself needs the jar; tests feed
+    a fabricated Kafka-shaped frame through it (tests/test_round2.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.parse import parse_events
+
+    decoded = raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("partition").cast("int").alias("_kafka_partition"),
+        F.col("offset").cast("long").alias("_kafka_offset"),
+    )
+    events, dead = parse_events(
+        decoded, "value", carry_cols=["_kafka_partition", "_kafka_offset"]
+    )
+    return events, dead

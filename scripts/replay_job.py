@@ -82,6 +82,15 @@ def main() -> None:
 
     spark = build_session(args.cores)
 
+    def read_steal() -> int:
+        """Cumulative host-steal jiffies (VM noise evidence for the report)."""
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return -1
+
+    steal0 = read_steal()
     n_segments = len([s for s in os.listdir(args.log_dir) if s.startswith("seg-")])
     table_root = os.path.join(args.workdir, "table")
     ckpt = os.path.join(args.workdir, "ckpt")
@@ -122,6 +131,7 @@ def main() -> None:
         "epochs": len(report.epochs),
         "epoch_events_per_sec": [m["events_per_sec"] for m in metrics],
         "epoch_wall_sec": [m["wall_sec"] for m in metrics],
+        "host_steal_jiffies": (read_steal() - steal0) if steal0 >= 0 else None,
     }
     if args.verify != "skip":
         if args.verify == "spark":

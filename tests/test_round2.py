@@ -352,3 +352,120 @@ def test_snapshot_diff_taxonomy(spark, tmp_path):
     }
     # identity diff is empty
     assert snapshot_diff(spark, table, v_to, v_to).count() == 0
+
+
+# --------------------------------------- S6 Kafka wire-format happy path
+
+
+def test_kafka_wire_format_to_envelope_and_merge(spark, tmp_path):
+    """The whole S6 pipeline minus the socket read: a Kafka-record-shaped
+    frame (key/value binary, topic, partition, offset, timestamp) flows
+    through kafka_to_envelope -> merge_into; offsets ride along as source
+    lineage; bad payloads land in dead letters."""
+    from forklift_spark.sources.external import kafka_to_envelope
+
+    recs = [
+        (b"k1", json.dumps({"op": "I", "seq": 1, "repo": "r", "path": "p",
+                            "commit": "c", "lang": "py", "content": "v1",
+                            "event_ts": "2024-01-01T00:00:00Z",
+                            "schema_ver": 1}).encode(), "t", 0, 100, None),
+        (b"k1", json.dumps({"op": "U", "seq": 2, "repo": "r", "path": "p",
+                            "commit": "c", "lang": "py", "content": "v2",
+                            "event_ts": "2024-01-01T00:00:01Z",
+                            "schema_ver": 1}).encode(), "t", 1, 7, None),
+        (b"k2", b"{broken", "t", 0, 101, None),
+    ]
+    raw = spark.createDataFrame(
+        recs,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    events, dead = kafka_to_envelope(raw)
+    evs = events.collect()
+    assert {(r.seq, r._kafka_partition, r._kafka_offset) for r in evs} == {
+        (1, 0, 100), (2, 1, 7)
+    }
+    assert dead.count() == 1
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    merge_into(spark, table,
+               events.drop("_kafka_partition", "_kafka_offset"),
+               query_id="k", epoch=0)
+    rows = table.snapshot(spark).collect()
+    assert len(rows) == 1 and rows[0].content == "v2"
+
+
+# --------------------------------------------- schema evolution widening
+
+
+def test_schema_widening_int_to_long(spark, tmp_path):
+    """C4+: a later batch may widen an evolved column along the safe chain
+    (int -> long); files written before the widen read fine under the new
+    schema, and post-widen values exceed int range."""
+    from pyspark.sql import types as T
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    v1 = T.StructType(list(CHANGELOG_SCHEMA.fields) + [
+        T.StructField("n_lines", T.IntegerType(), True)])
+    v2 = T.StructType(list(CHANGELOG_SCHEMA.fields) + [
+        T.StructField("n_lines", T.LongType(), True)])
+
+    merge_into(spark, table, spark.createDataFrame(
+        [("I", 1, "r", "a.py", "c", "py", "v1", None, 1, 7)], v1),
+        query_id="w", epoch=0)
+    s0 = merge_into(spark, table, spark.createDataFrame(
+        [("I", 2, "r", "b.py", "c", "py", "v1", None, 1, 5_000_000_000)], v2),
+        query_id="w", epoch=1, mode="mor")
+    assert any("widened:int->bigint" in c for c in s0.evolved_columns)
+    assert table.schema()["n_lines"].dataType.simpleString() == "bigint"
+    got = {r.path: r.n_lines for r in table.snapshot(spark).collect()}
+    assert got == {"a.py": 7, "b.py": 5_000_000_000}
+
+    # narrower batch after the widen: no schema change, still merges
+    merge_into(spark, table, spark.createDataFrame(
+        [("U", 3, "r", "a.py", "c", "py", "v2", None, 1, 9)], v1),
+        query_id="w", epoch=2)
+    got = {r.path: r.n_lines for r in table.snapshot(spark).collect()}
+    assert got == {"a.py": 9, "b.py": 5_000_000_000}
+
+
+def test_incompatible_type_change_rejected(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    bad = T.StructType([
+        f if f.name != "lang" else T.StructField("lang", T.LongType(), True)
+        for f in CHANGELOG_SCHEMA.fields
+    ])
+    with pytest.raises(ValueError, match="incompatible type change"):
+        merge_into(spark, table, spark.createDataFrame(
+            [("I", 1, "r", "a.py", "c", 5, "x", None, 1)], bad),
+            query_id="b", epoch=0)
+
+
+# --------------------------------------------- stop-shingle DF cap knob
+
+
+def test_shingle_df_cap_drops_stop_shingles(spark):
+    """max_shingle_df removes corpus-wide stop-shingles from the inverted
+    index AND the set sizes, so two docs overlapping ONLY on a stop-shingle
+    no longer pair up, while true near-dups keep jaccard 1.0."""
+    from forklift_spark.operators.dedup import shingle_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "the quick brown fox jumps high"),       # true dup of 1
+        (3, "the quick brown cat sits low today"),   # shares only the stop-gram
+        (4, "an entirely different document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = shingle_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.1, shingle_kind="word", ngram_n=3
+    )
+    assert {(r.id_a, r.id_b) for r in exact.collect()} >= {(1, 2), (1, 3), (2, 3)}
+    capped = shingle_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.1, shingle_kind="word", ngram_n=3,
+        max_shingle_df=2,
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
