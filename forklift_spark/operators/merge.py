@@ -40,6 +40,7 @@ def lww_dedupe(
     key_cols: list[str],
     order_col: str = "seq",
     salt_buckets: int | None = None,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Keep, per key, the row with the maximum `order_col` (last writer wins).
 
@@ -50,7 +51,27 @@ def lww_dedupe(
     carries key+salt (balanced), the final per-key reduce sees at most
     `salt_buckets` rows per key. Correctness: max is associative, so the
     two-phase result is identical (SURVEY.md §7 hard-point 5).
+
+    `prefilter=True` is the WIDE-ROW strategy ("argmax by reference"): when
+    payload bytes dominate (source-file content), the plain argmax shuffles
+    every row's full payload, and map-side partial aggregation barely
+    reduces a stream whose keys are spread across tasks. Instead:
+      1. aggregate only (key, max order) — a shuffle of keys+longs, with
+         the payload column PRUNED at the parquet scan;
+      2. left-semi join the input against that winner set on
+         (key, order) — AQE broadcasts the winner set when it is small,
+         so surviving full rows are filtered map-side, never shuffled;
+      3. run the plain argmax on the survivors (tiny) to collapse exact
+         duplicate deliveries of the same (key, order) row.
+    Identical result; payload bytes cross an exchange only for rows that
+    actually win. Equal-`order_col` conflicting payloads resolve
+    arbitrarily in BOTH strategies (max_by tie), so results agree whenever
+    the order key is a total order per key — the engine's contract.
     """
+    if prefilter:
+        winners = df.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
+        survivors = df.join(winners, [*key_cols, order_col], "left_semi")
+        return lww_dedupe(survivors, key_cols, order_col, salt_buckets=salt_buckets)
     payload = [c for c in df.columns if c not in key_cols]
     packed = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(order_col))
     if salt_buckets and salt_buckets > 1:
@@ -153,6 +174,7 @@ def merge_into(
     src_offsets: tuple[int, int] | None = None,
     mode: str = "cow",
     dedupe_in_batch: bool = True,
+    dedupe_strategy: str = "agg",
 ) -> MergeStats:
     """Apply one micro-batch of change events transactionally.
 
@@ -207,19 +229,34 @@ def merge_into(
 
     # batch_rows must mean INPUT events (throughput metrics), not the
     # post-dedupe survivor count — observe on the incoming frame so the
-    # count rides along with whichever job executes below (no extra pass)
+    # count rides along with whichever job executes below (no extra pass).
+    # EXCEPT in the prefilter strategy: its plan scans the source in TWO
+    # branches (winner agg + semi join), which would double-count a plain
+    # row observation — there, observe sum-of-group-counts on the winner
+    # aggregate instead (each input row lands in exactly one group).
     obs_in = Observation(f"in-{query_id}-{epoch}")
-    batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+    dedupe = dedupe_in_batch or mode != "mor"
 
     # --- in-batch LWW dedupe (C2), optionally salted (C5).
     # For merge-on-read this is an optional *optimization*: the snapshot
     # read resolves LWW anyway, so the high-throughput path skips the dedupe
     # shuffle entirely and moves each byte through exactly ONE exchange (the
     # bucket repartition in _merge_mor). COW requires it (one row per key
-    # before the join).
-    if dedupe_in_batch or mode != "mor":
+    # before the join). dedupe_strategy="prefilter" is the wide-row variant
+    # (see lww_dedupe): payload bytes never shuffle for losing rows.
+    if dedupe and dedupe_strategy == "prefilter":
+        winners = (
+            batch_df.groupBy(*key_cols)
+            .agg(F.max("seq").alias("seq"), F.count(F.lit(1)).alias("_n"))
+            .observe(obs_in, F.sum("_n").cast("long").alias("rows_in"))
+        )
+        survivors = batch_df.join(winners.drop("_n"), [*key_cols, "seq"], "left_semi")
+        batch = lww_dedupe(survivors, key_cols, "seq", salt_buckets=salt_buckets)
+    elif dedupe:
+        batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
     else:
+        batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         batch = batch_df
     batch = batch.withColumn("_bucket", table.bucket_expr())
 

@@ -88,12 +88,13 @@ def replay_batch(
     salt_buckets: int | None = None,
     schema: T.StructType | None = None,
     mode: str = "cow",
+    dedupe_strategy: str = "agg",
 ) -> MergeStats:
     """M2: read the whole change log as one batch and merge it."""
     df = spark.read.schema(schema or CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-*.parquet")
     return merge_into(
         spark, table, df, query_id=query_id, epoch=epoch, salt_buckets=salt_buckets,
-        mode=mode,
+        mode=mode, dedupe_strategy=dedupe_strategy,
     )
 
 
@@ -112,6 +113,7 @@ def run_ingest(
     mode: str = "cow",
     source: str = "file",
     dedupe_in_batch: bool = True,
+    dedupe_strategy: str = "agg",
     compact_every: int | None = None,
     drop_dup_within_watermark: str | None = None,
 ) -> IngestReport:
@@ -185,6 +187,7 @@ def run_ingest(
             salt_buckets=salt_buckets,
             mode=mode,
             dedupe_in_batch=dedupe_in_batch,
+            dedupe_strategy=dedupe_strategy,
         )
         report.epochs.append(stats)
         # bound merge-on-read delta accumulation: periodically fold deltas

@@ -39,7 +39,8 @@ def make_pyfiles_zip() -> str:
 
 
 def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: str,
-                 epochs: int, zip_path: str, verify: str, batch_dedupe: bool) -> dict:
+                 epochs: int, zip_path: str, verify: str, batch_dedupe: bool,
+                 dedupe_strategy: str = "agg") -> dict:
     spark_submit_bin = shutil.which("spark-submit") or os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
     )
@@ -56,6 +57,7 @@ def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: st
         "--epochs", str(epochs),
         "--n-events", str(n_events),
         "--verify", verify,
+        "--dedupe-strategy", dedupe_strategy,
     ]
     if not batch_dedupe:
         cmd.append("--no-batch-dedupe")
@@ -184,6 +186,7 @@ def main() -> None:
                          "every trial is disclosed in the report)")
     ap.add_argument("--batch-dedupe", action="store_true",
                     help="keep the in-batch dedupe shuffle (default: MOR fast path skips it)")
+    ap.add_argument("--dedupe-strategy", default="agg", choices=["agg", "prefilter"])
     ap.add_argument("--out", default=os.path.join("BENCH", "BASELINE.md"),
                     help="report path relative to the repo root")
     args = ap.parse_args()
@@ -204,7 +207,8 @@ def main() -> None:
             run_dir = os.path.join(args.workdir, f"run-{cores}-t{t}")
             runs.append(
                 spark_submit(cores, log_dir, run_dir, args.n_events, args.mode,
-                             args.epochs, zip_path, args.verify, args.batch_dedupe)
+                             args.epochs, zip_path, args.verify, args.batch_dedupe,
+                             dedupe_strategy=args.dedupe_strategy)
             )
         trials[cores] = runs
         results.append(max(runs, key=lambda r: r["sustained_events_per_sec"]))
