@@ -366,6 +366,37 @@ class LaketteTable:
             {"query_id": query_id, "epoch": epoch, "snapshot_id": snapshot_id},
         )
 
+    # ----------------------------------------------------------------- stats
+
+    def stats(self) -> dict[str, Any]:
+        """Operational table stats from metadata alone (no Spark job):
+        per-bucket rows/files/delta backlog plus table-level skew — what an
+        operator dashboards and what compaction planning reads."""
+        meta = self.current_metadata()
+        per: dict[int, dict[str, int]] = {}
+        for f in meta["files"]:
+            e = per.setdefault(
+                f["bucket"], {"files": 0, "rows": 0, "delta_files": 0, "delta_rows": 0}
+            )
+            e["files"] += 1
+            e["rows"] += f["rows"]
+            if f.get("delta"):
+                e["delta_files"] += 1
+                e["delta_rows"] += f["rows"]
+        counts = sorted(e["rows"] for e in per.values()) or [0]
+        median = counts[len(counts) // 2] or 1
+        return {
+            "version": meta["version"],
+            "snapshot_id": meta["snapshot_id"],
+            "n_buckets": meta["n_buckets"],
+            "total_rows": sum(counts),
+            "total_files": sum(e["files"] for e in per.values()),
+            "delta_files": sum(e["delta_files"] for e in per.values()),
+            "delta_rows": sum(e["delta_rows"] for e in per.values()),
+            "bucket_skew": round(counts[-1] / median, 2),
+            "buckets": {b: per[b] for b in sorted(per)},
+        }
+
     # ---------------------------------------------------------------- vacuum
 
     def vacuum(self, *, keep_versions: int = 1) -> dict[str, int]:

@@ -103,3 +103,64 @@ def test_any_interleaving_converges_to_oracle(spark, scratch, scenario):
 
     got, want = run_scenario(spark, scratch / uuid.uuid4().hex, evs, perm, cuts, dups)
     assert got == want
+
+
+# ---------------------------------------- CDC-out diff reconstruction
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    scenario=st.tuples(
+        st.lists(event_st, min_size=1, max_size=15),
+        st.lists(event_st, min_size=1, max_size=15),
+        st.sampled_from(["cow", "mor"]),
+        st.sampled_from(["cow", "mor"]),
+    )
+)
+def test_snapshot_diff_reconstructs_new_snapshot(spark, scratch, scenario):
+    """Property: old snapshot + snapshot_diff == new snapshot, for any two
+    event waves under any mode mix (COW/MOR epochs)."""
+    import hashlib
+    import uuid
+
+    from forklift_spark.operators.changes import snapshot_diff
+
+    evs1, evs2, m1, m2 = scenario
+    e1 = [(op, i + 1, r, p, f"c-{i + 1}") for i, (op, r, p) in enumerate(evs1)]
+    off = len(e1)
+    e2 = [(op, off + i + 1, r, p, f"c-{off + i + 1}") for i, (op, r, p) in enumerate(evs2)]
+
+    table = create_entity_table(str(scratch / uuid.uuid4().hex), n_buckets=4)
+    for epoch, (batch, mode) in enumerate([(e1, m1), (e2, m2)]):
+        pdf = pd.DataFrame(batch, columns=["op", "seq", "repo", "path", "content"])
+        pdf["commit"] = pdf["seq"].map("c{:04d}".format)
+        pdf["lang"] = "py"
+        pdf["event_ts"] = pd.Timestamp("2024-01-01")
+        pdf["schema_ver"] = 1
+        df = spark.createDataFrame(
+            pdf[[f.name for f in CHANGELOG_SCHEMA.fields]], CHANGELOG_SCHEMA
+        )
+        merge_into(spark, table, df, query_id="diffprop", epoch=epoch, mode=mode)
+        if epoch == 0:
+            v_old = table.current_metadata()["version"]
+    v_new = table.current_metadata()["version"]
+
+    def sha(content):
+        return hashlib.sha256(content.encode()).hexdigest()
+
+    reconstructed = {
+        k: (seq, sha(content)) for k, (seq, content) in oracle(e1).items()
+    }
+    for r in snapshot_diff(spark, table, v_old, v_new).collect():
+        k = (r.repo, r.path)
+        if r.change == "delete":
+            reconstructed.pop(k)  # KeyError would mean a bogus delete row
+        else:
+            assert (r.change == "insert") == (k not in reconstructed)
+            reconstructed[k] = (r.seq, r.content_sha)
+    want = {k: (seq, sha(content)) for k, (seq, content) in oracle(e1 + e2).items()}
+    assert reconstructed == want

@@ -512,3 +512,21 @@ def test_prefilter_standalone_lww(spark):
     assert {(r.repo, r.path, r.seq, r.content) for r in out} == {
         ("r", "p", 3, "c"), ("r", "q", 9, "z")
     }
+
+
+# --------------------------------------------------------- table stats
+
+
+def test_table_stats_reflects_delta_backlog(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    merge_into(spark, table, spark.createDataFrame(
+        _rows([("I", i, "r", f"f{i}.py", f"v{i}") for i in range(50)]),
+        CHANGELOG_SCHEMA), query_id="s", epoch=0, mode="mor")
+    s = table.stats()
+    assert s["total_rows"] == 50 and s["delta_rows"] == 50
+    assert s["delta_files"] == s["total_files"] > 0
+    assert set(s["buckets"]) <= {0, 1, 2, 3}
+    compact(spark, table)
+    s2 = table.stats()
+    assert s2["total_rows"] == 50 and s2["delta_files"] == s2["delta_rows"] == 0
+    assert s2["version"] > s["version"]
