@@ -41,8 +41,13 @@ def lww_dedupe(
     order_col: str = "seq",
     salt_buckets: int | None = None,
     prefilter: bool = False,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Keep, per key, the row with the maximum `order_col` (last writer wins).
+    `count_col` additionally emits the number of input events per key (free
+    inside the same aggregate) — the input-key-skew signal adaptive salting
+    reads; not supported with prefilter (whose survivor argmax would count
+    only duplicate deliveries of winners, not all events).
 
     Implemented as an aggregate argmax — `max_by(struct(cols), order)` —
     which partial-aggregates map-side before the shuffle (a window argmax
@@ -74,20 +79,27 @@ def lww_dedupe(
         return lww_dedupe(survivors, key_cols, order_col, salt_buckets=salt_buckets)
     payload = [c for c in df.columns if c not in key_cols]
     packed = F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(order_col))
+    extra = [F.count(F.lit(1)).alias(count_col)] if count_col else []
     if salt_buckets and salt_buckets > 1:
         salted = df.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
         )
-        phase1 = salted.groupBy(*key_cols, "_salt").agg(packed.alias("_p"))
+        phase1 = salted.groupBy(*key_cols, "_salt").agg(packed.alias("_p"), *extra)
         phase2 = (
-            phase1.select(*key_cols, F.col("_p"))
-            .groupBy(*key_cols)
-            .agg(F.max_by(F.col("_p"), F.col(f"_p.{order_col}")).alias("_p"))
+            phase1.groupBy(*key_cols)
+            .agg(
+                F.max_by(F.col("_p"), F.col(f"_p.{order_col}")).alias("_p"),
+                *([F.sum(count_col).alias(count_col)] if count_col else []),
+            )
         )
         out = phase2
     else:
-        out = df.groupBy(*key_cols).agg(packed.alias("_p"))
-    return out.select(*key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload])
+        out = df.groupBy(*key_cols).agg(packed.alias("_p"), *extra)
+    return out.select(
+        *key_cols,
+        *[F.col(f"_p.{c}").alias(c) for c in payload],
+        *([F.col(count_col)] if count_col else []),
+    )
 
 
 @dataclass
@@ -103,6 +115,8 @@ class MergeStats:
     evolved_columns: list[str] = field(default_factory=list)
     wall_sec: float = 0.0
     bucket_skew: float = 0.0  # max/median rows written per bucket this epoch
+    key_skew: float = 0.0  # max/mean input events per key (COW dedupe only)
+    salt_buckets: int | None = None  # salting actually applied this epoch
 
     @property
     def events_per_sec(self) -> float:
@@ -200,7 +214,7 @@ def merge_into(
     carries `seq` and LWW-max is associative — this is the
     Iceberg-v2-style high-throughput ingest path.
     """
-    stats = MergeStats(epoch=epoch)
+    stats = MergeStats(epoch=epoch, salt_buckets=salt_buckets)
     t_start = time.monotonic()
 
     # --- exactly-once gate (C6)
@@ -254,7 +268,12 @@ def merge_into(
         batch = lww_dedupe(survivors, key_cols, "seq", salt_buckets=salt_buckets)
     elif dedupe:
         batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
-        batch = lww_dedupe(batch_df, key_cols, "seq", salt_buckets=salt_buckets)
+        # the per-key event count rides the dedupe aggregate for free; the
+        # COW path reads it off the cached batch as the input-key-skew
+        # signal (adaptive salting) and it never reaches the data files
+        batch = lww_dedupe(
+            batch_df, key_cols, "seq", salt_buckets=salt_buckets, count_col="_n"
+        )
     else:
         batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         batch = batch_df
@@ -277,6 +296,11 @@ def merge_into(
         stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
         touched = [r["_bucket"] for r in per_bucket]
         stats.touched_buckets = len(touched)
+        if "_n" in batch.columns:
+            sk = batch.agg(F.max("_n").alias("mx"), F.avg("_n").alias("mn")).collect()[0]
+            if sk["mn"]:
+                stats.key_skew = round(float(sk["mx"]) / float(sk["mn"]), 2)
+            batch = batch.drop("_n")
 
         # --- read only the touched buckets of the current snapshot (pruned scan)
         existing = table.snapshot(
@@ -577,6 +601,8 @@ def _write_metrics(table: LaketteTable, query_id: str, stats: MergeStats) -> Non
         "wall_sec": stats.wall_sec,
         "events_per_sec": stats.events_per_sec,
         "bucket_skew": stats.bucket_skew,
+        "key_skew": stats.key_skew,
+        "salt_buckets": stats.salt_buckets,
         "snapshot_id": stats.snapshot_id,
         "version": stats.version,
         "evolved_columns": stats.evolved_columns,

@@ -107,7 +107,7 @@ def run_ingest(
     query_id: str = "cdc-ingest",
     max_files_per_trigger: int = 8,
     available_now: bool = True,
-    salt_buckets: int | None = None,
+    salt_buckets: int | str | None = None,
     schema: T.StructType | None = None,
     timeout_sec: int | None = None,
     mode: str = "cow",
@@ -129,8 +129,18 @@ def run_ingest(
     deliveries of the same (repo, path, seq) within the watermark are
     dropped by Spark's stateful dedup BEFORE the merge shuffle — an
     optimization only; LWW idempotence remains the correctness backstop
-    for duplicates arriving outside the watermark."""
+    for duplicates arriving outside the watermark.
+
+    salt_buckets="auto" turns on ADAPTIVE skew salting (COW path): the
+    dedupe aggregate counts input events per key for free, the engine
+    records max/mean as `key_skew`, and the two-phase salted dedupe engages
+    for the NEXT epoch when skew crosses 8x, releasing below 3x. No
+    pre-pass — the signal rides the epoch's own aggregate — and at most one
+    epoch of lag, which correctness never depends on (the salted argmax is
+    identical for any salt count)."""
     report = IngestReport()
+    adaptive_salt = salt_buckets == "auto"
+    current_salt: int | None = None if adaptive_salt else salt_buckets  # type: ignore[assignment]
 
     dead_letter_dir: str | None = None
     if source == "wal_tail":
@@ -178,18 +188,24 @@ def run_ingest(
                 dead.write.mode("overwrite").parquet(
                     os.path.join(dead_letter_dir, f"epoch={epoch_id}")
                 )
+        nonlocal current_salt
         stats = merge_into(
             spark,
             table,
             batch_df,
             query_id=query_id,
             epoch=epoch_id,
-            salt_buckets=salt_buckets,
+            salt_buckets=current_salt,
             mode=mode,
             dedupe_in_batch=dedupe_in_batch,
             dedupe_strategy=dedupe_strategy,
         )
         report.epochs.append(stats)
+        if adaptive_salt and not stats.skipped and stats.key_skew:
+            if stats.key_skew > 8.0:
+                current_salt = 16
+            elif stats.key_skew < 3.0:
+                current_salt = None
         # bound merge-on-read delta accumulation: periodically fold deltas
         # into compacted base files (a crash mid-compact is harmless — the
         # next compact rewrites from the committed snapshot). INCREMENTAL:

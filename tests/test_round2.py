@@ -530,3 +530,30 @@ def test_table_stats_reflects_delta_backlog(spark, tmp_path):
     s2 = table.stats()
     assert s2["total_rows"] == 50 and s2["delta_files"] == s2["delta_rows"] == 0
     assert s2["version"] > s["version"]
+
+
+# ----------------------------------------------------- adaptive salting
+
+
+def test_adaptive_salting_engages_on_skew(spark, tmp_path):
+    """salt_buckets='auto': one key drawing half the events drives the
+    events-per-key skew signal (counted for free inside the dedupe
+    aggregate) over the threshold, the NEXT epoch's dedupe runs salted,
+    and the final state is sha-exact regardless."""
+    spec = ChangelogSpec(
+        n_events=3_000, n_repos=50, paths_per_repo=1, hot_repo_fraction=0.5,
+        seed=5, segment_rows=500,
+    )
+    log = tmp_path / "log"
+    generate_changelog(spec, str(log))
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=8)
+    report = run_ingest(
+        spark, str(log), table, str(tmp_path / "ckpt"),
+        query_id="asalt", max_files_per_trigger=1, salt_buckets="auto",
+    )
+    applied = [e for e in report.epochs if not e.skipped]
+    assert applied[0].salt_buckets is None          # first epoch: no signal yet
+    assert applied[0].key_skew > 8.0                # hot key visible in the agg
+    assert all(e.salt_buckets == 16 for e in applied[1:])  # loop engaged
+    exp = spark.createDataFrame(expected_final_state(spec))
+    assert verify_state(spark, table, exp)["ok"]
