@@ -557,3 +557,33 @@ def test_adaptive_salting_engages_on_skew(spark, tmp_path):
     assert all(e.salt_buckets == 16 for e in applied[1:])  # loop engaged
     exp = spark.createDataFrame(expected_final_state(spec))
     assert verify_state(spark, table, exp)["ok"]
+
+
+# ------------------------------------------------ everything-on pipeline
+
+
+def test_full_feature_pipeline_integration(spark, tmp_path):
+    """All round-2 features in ONE streaming replay: MOR epochs + in-batch
+    dedupe + watermarked duplicate drop (T4) + adaptive salting + periodic
+    incremental compaction — final state sha-exact, table left clean."""
+    spec = ChangelogSpec(
+        n_events=4_000, n_repos=40, paths_per_repo=2, hot_repo_fraction=0.4,
+        duplicate_fraction=0.15, seed=19, segment_rows=500,
+    )
+    log = tmp_path / "log"
+    gen = generate_changelog(spec, str(log))
+    assert gen.n_delivered > spec.n_events
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=8)
+    report = run_ingest(
+        spark, str(log), table, str(tmp_path / "ckpt"),
+        query_id="allon", max_files_per_trigger=2, mode="mor",
+        salt_buckets="auto", compact_every=3,
+        drop_dup_within_watermark="2 hours",
+    )
+    assert sum(e.batch_rows for e in report.epochs) == spec.n_events  # T4 drop
+    exp = spark.createDataFrame(expected_final_state(spec))
+    assert verify_state(spark, table, exp)["ok"]
+    # ingest-loop compaction kept the delta backlog bounded
+    s = table.stats()
+    assert s["delta_files"] <= s["n_buckets"] * 5
