@@ -70,3 +70,52 @@ def running_max_seq(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class StatefulApiUnavailable(RuntimeError):
+    pass
+
+
+def running_max_seq_tws(events: DataFrame) -> DataFrame:
+    """The same high-water mark on Spark 4's newer `transformWithStateInPandas`
+    API (typed per-key ValueState, RocksDB-backed). GATED in this sandbox:
+    the TWS Python runner needs a working `google.protobuf` install, which
+    this image lacks (probed: `ImportError: cannot import name 'descriptor'`)
+    — on a normal cluster (`pip install protobuf`, RocksDB provider conf)
+    the call shape below runs unchanged. `running_max_seq` (above) is the
+    production T5 path either way."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise StatefulApiUnavailable(
+            "transformWithStateInPandas needs the protobuf python package "
+            "for its streaming runner; unavailable in this offline image "
+            f"({e}). Use running_max_seq (applyInPandasWithState) instead."
+        ) from e
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningMax(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._mx = handle.getValueState("mx", "max_seq BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            new_max = max(int(pdf["seq"].max()) for pdf in rows if len(pdf))
+            if self._mx.exists():
+                prev = int(self._mx.get()[0])
+                if new_max <= prev:
+                    return
+                new_max = max(new_max, prev)
+            self._mx.update((new_max,))
+            repo, path = key
+            yield pd.DataFrame({"repo": [repo], "path": [path], "max_seq": [new_max]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("repo", "path").transformWithStateInPandas(
+        statefulProcessor=_RunningMax(),
+        outputStructType="repo string, path string, max_seq long",
+        outputMode="Update",
+        timeMode="None",
+    )
