@@ -641,6 +641,15 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def read_lineage(spark: SparkSession, table: LaketteTable) -> DataFrame:
+    """C7 read surface: every (query_id, epoch, bucket) lineage row —
+    source offset range, rows applied, committing snapshot — as a typed
+    DataFrame for audit joins (e.g. against source manifests)."""
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(
+        os.path.join(table.lineage_dir, "*.parquet")
+    )
+
+
 def _write_lineage(
     table: LaketteTable,
     query_id: str,

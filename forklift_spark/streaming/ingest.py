@@ -284,6 +284,39 @@ def run_ingest(
     return report
 
 
+def read_dead_letters(spark: SparkSession, table: LaketteTable) -> DataFrame:
+    """All dead-lettered raw lines with their reject reason and epoch."""
+    path = os.path.join(table.root, "_dead_letters")
+    return (
+        spark.read.schema("raw string, reason string")
+        .option("basePath", path)
+        .parquet(os.path.join(path, "epoch=*"))
+    )
+
+
+def reprocess_dead_letters(
+    spark: SparkSession,
+    table: LaketteTable,
+    *,
+    query_id: str = "dead-letter-replay",
+    epoch: int = 0,
+    mode: str = "cow",
+) -> tuple[MergeStats, int]:
+    """C1 closure: re-parse every dead-lettered line (e.g. after an
+    upstream producer fix made previously-malformed payloads valid) and
+    merge the now-valid events. Idempotent like any merge (epoch marker);
+    late lines can never regress rows (LWW). Returns (merge stats,
+    still-dead count)."""
+    from ..operators.parse import parse_events
+
+    dead = read_dead_letters(spark, table).select("raw")
+    events, still_dead = parse_events(dead.withColumnRenamed("raw", "value"))
+    stats = merge_into(
+        spark, table, events, query_id=query_id, epoch=epoch, mode=mode
+    )
+    return stats, still_dead.count()
+
+
 def expected_final_state_spark(
     spark: SparkSession, log_dir: str, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -56,3 +56,44 @@ def test_jsonl_ingest_sha_exact_with_dead_letters(spark, tmp_path):
     assert dead.count() == n_bad
     reasons = {r.reason for r in dead.select("reason").distinct().collect()}
     assert reasons == {"malformed_json", "bad_op"}
+
+
+def test_dead_letter_reprocess_applies_corrected_lines(spark, tmp_path):
+    """C1 closure: after the producer corrects a rejected payload (the
+    corrected line lands in the dead-letter queue), reprocess_dead_letters
+    merges the now-valid events idempotently; genuinely-broken lines stay
+    dead."""
+    from forklift_spark.streaming.ingest import reprocess_dead_letters
+
+    plog = tmp_path / "plog"
+    generate_changelog(SPEC, str(plog))
+    jlog = tmp_path / "jlog"
+    n_bad = _to_jsonl(str(plog), str(jlog))
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    run_ingest(spark, str(jlog), table, str(tmp_path / "ckpt"),
+               query_id="dlq", max_files_per_trigger=2, source="jsonl")
+    exp = spark.createDataFrame(expected_final_state(SPEC))
+    assert verify_state(spark, table, exp)["ok"]
+
+    # the producer re-delivers one payload, corrected, into the DLQ
+    some_key = exp.select("repo", "path").first()
+    corrected = json.dumps({
+        "op": "U", "seq": 10_000_000, "repo": some_key["repo"],
+        "path": some_key["path"], "commit": "fixup", "lang": "py",
+        "content": "corrected content", "event_ts": "2024-02-01T00:00:00Z",
+        "schema_ver": 1,
+    })
+    fix_df = spark.createDataFrame([(corrected, "bad_op")], "raw string, reason string")
+    fix_df.write.mode("overwrite").parquet(
+        os.path.join(table.root, "_dead_letters", "epoch=9999")
+    )
+
+    stats, still_dead = reprocess_dead_letters(spark, table, epoch=0)
+    assert stats.applied_rows == 1 and still_dead == n_bad
+    row = (
+        table.snapshot(spark)
+        .where(f"repo = '{some_key['repo']}' and path = '{some_key['path']}'")
+        .collect()[0]
+    )
+    assert row.content == "corrected content" and row.seq == 10_000_000
