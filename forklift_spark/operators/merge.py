@@ -508,6 +508,11 @@ def compact(
     tmp_dir = os.path.join(table.root, "tmp", f"compact-{uuid.uuid4().hex}")
     (
         merged.repartition(out_buckets if target is None else len(target), "_bucket")
+        # partition-local key sort (O2): compacted base files are the
+        # read-optimized artifact — clustering rows by key improves parquet
+        # compression and row-group locality for key lookups, at no extra
+        # exchange (sort rides the bucket partitions)
+        .sortWithinPartitions(*meta["key_cols"])
         .write.mode("overwrite")
         .partitionBy("_bucket")
         .parquet(tmp_dir)

@@ -134,3 +134,22 @@ def test_compact_rebucket_grows_table(spark, tmp_path):
     assert verify_state(spark, table, exp)["ok"]
     buckets = {f["bucket"] for f in table.current_metadata()["files"]}
     assert max(buckets) > 3  # keys actually spread into the new bucket space
+
+
+def test_compact_writes_key_sorted_files(spark, log_dir, tmp_path):
+    """O2 in the hot path: compacted base files are clustered by key within
+    each bucket (partition-local sort, no extra exchange)."""
+    import pyarrow.parquet as pq_
+
+    table = create_entity_table(str(tmp_path / "tbl6"), n_buckets=4)
+    run_ingest(spark, log_dir, table, str(tmp_path / "ckpt6"),
+               query_id="sorted", max_files_per_trigger=2, mode="mor")
+    compact(spark, table)
+    files = [f for f in table.current_metadata()["files"]]
+    assert files
+    for f in files:
+        pdf = pq_.read_table(
+            os.path.join(table.root, f["path"]), columns=["repo", "path"]
+        ).to_pandas()
+        keys = list(zip(pdf["repo"], pdf["path"]))
+        assert keys == sorted(keys), f["path"]
