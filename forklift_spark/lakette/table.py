@@ -44,9 +44,19 @@ META_COL_NAMES = [c for c, _ in META_COLS]
 
 
 class CommitConflictError(RuntimeError):
-    """Another writer committed the same metadata version first — the
-    optimistic-concurrency loser. The table state is untouched; the loser's
-    data files are orphans (re-merge or garbage-collect them)."""
+    """Another writer's commit conflicts with this one — either it won the
+    same-version CAS race, or it landed between this writer's snapshot read
+    and its commit and touched overlapping buckets / changed the schema
+    (true optimistic concurrency: base-snapshot validation, like Iceberg).
+    The table state is untouched; the loser's data files are orphans
+    (re-run the merge against the new snapshot, or vacuum them)."""
+
+
+#: manifest files are immutable once written (uuid-suffixed names), so a
+#: tiny driver-side cache makes parent-chain walks and repeated snapshot
+#: planning cheap. Cleared wholesale when it grows past the cap.
+_MANIFEST_CACHE: dict[str, list] = {}
+_MANIFEST_CACHE_CAP = 4096
 
 
 def _atomic_write_json(path: str, payload: dict, *, exclusive: bool = False) -> None:
@@ -85,6 +95,7 @@ class LaketteTable:
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
+        self.manifests_dir = os.path.join(root, "metadata", "manifests")
         self.data_dir = os.path.join(root, "data")
         self.epochs_dir = os.path.join(root, "_epochs")
         self.lineage_dir = os.path.join(root, "_lineage")
@@ -99,22 +110,38 @@ class LaketteTable:
         user_schema: T.StructType,
         key_cols: list[str],
         n_buckets: int = 16,
+        target_file_rows: int | None = None,
     ) -> "LaketteTable":
         t = cls(root)
-        for d in (t.meta_dir, t.data_dir, t.epochs_dir, t.lineage_dir, t.metrics_dir):
+        for d in (
+            t.meta_dir, t.manifests_dir, t.data_dir,
+            t.epochs_dir, t.lineage_dir, t.metrics_dir,
+        ):
             os.makedirs(d, exist_ok=True)
         full = T.StructType(
             list(user_schema.fields)
             + [T.StructField(c, typ, True) for c, typ in META_COLS]
         )
+        # lakette/2: the version file carries only per-bucket manifest REFS
+        # (+ summary counters), never the flat file list — commit cost is
+        # O(touched buckets), independent of total table file count. File
+        # entries live in immutable metadata/manifests/b{B}-{uuid}.json.
         meta = {
-            "format": "lakette/1",
+            "format": "lakette/2",
             "version": 1,
             "snapshot_id": 0,
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            # Iceberg target-file-size analogue (rows, since rows are the
+            # writer's unit): base-file writes roll to a new file at this
+            # size, bounding file size and keeping sorted files' key ranges
+            # tight for min/max pruning. None = one file per bucket/task.
+            "target_file_rows": target_file_rows,
             "schema": json.loads(full.json()),
-            "files": [],  # [{"path": rel, "bucket": int, "rows": int}]
+            "manifests": {},  # {str(bucket): "metadata/manifests/bXXXX-uuid.json"}
+            "total_files": 0,
+            "total_rows": 0,
+            "touched_buckets": [],
             "writer": None,  # {"query_id": str, "epoch": int} of the committing merge
             "parent_version": None,
         }
@@ -137,7 +164,52 @@ class LaketteTable:
             os.fsync(f.fileno())
         os.replace(tmp, cur)  # atomic on POSIX — this IS the commit point
 
+    # -- per-bucket manifests (lakette/2): immutable file-list shards ------
+
+    def _read_manifest(self, rel: str) -> list[dict]:
+        full = os.path.join(self.root, rel)
+        cached = _MANIFEST_CACHE.get(full)
+        if cached is not None:
+            return cached
+        with open(full) as f:
+            files = json.load(f)["files"]
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[full] = files
+        return files
+
+    def _write_manifest(self, bucket: int, files: list[dict]) -> str:
+        os.makedirs(self.manifests_dir, exist_ok=True)
+        rel = os.path.join(
+            "metadata", "manifests", f"b{bucket:04d}-{uuid.uuid4().hex[:12]}.json"
+        )
+        _atomic_write_json(
+            os.path.join(self.root, rel), {"bucket": bucket, "files": files}
+        )
+        return rel
+
+    def _materialize(self, meta: dict[str, Any]) -> dict[str, Any]:
+        """Attach the flat `files` list to a loaded version dict. lakette/1
+        metadata carries it inline; lakette/2 shards it into per-bucket
+        manifests, loaded (and cached) here. Readers keep seeing
+        meta[\"files\"] either way."""
+        if "files" not in meta:
+            files: list[dict] = []
+            for bstr in sorted(meta.get("manifests", {}), key=int):
+                files.extend(self._read_manifest(meta["manifests"][bstr]))
+            meta["files"] = files
+        return meta
+
     def current_metadata(self) -> dict[str, Any]:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.meta_dir, name)) as f:
+            return self._materialize(json.load(f))
+
+    def _raw_current(self) -> dict[str, Any]:
+        """Current version dict WITHOUT manifest materialization — the
+        commit path works at the manifest-ref level so it never pays
+        O(total files) to plan a commit."""
         with open(os.path.join(self.meta_dir, "CURRENT")) as f:
             name = f.read().strip()
         with open(os.path.join(self.meta_dir, name)) as f:
@@ -163,21 +235,26 @@ class LaketteTable:
             if cand["version"] != parent:
                 raise ValueError(f"corrupt history at v{parent}.json")
             meta = cand
-        return meta
+        return self._materialize(meta)
 
     def history(self) -> list[dict[str, Any]]:
         """Commit log, newest first: one row per reachable version (the
         chain ends early where vacuum() already expired old metadata)."""
         out = []
-        meta = self.current_metadata()
+        meta = self._raw_current()
         while True:
             out.append(
                 {
                     "version": meta["version"],
                     "snapshot_id": meta["snapshot_id"],
                     "writer": meta.get("writer"),
-                    "n_files": len(meta["files"]),
-                    "rows": sum(f["rows"] for f in meta["files"]),
+                    # lakette/2 stores summary counters in the version file
+                    # so history never loads manifests; lakette/1 falls back
+                    # to the inline file list
+                    "n_files": meta.get("total_files", len(meta.get("files", []))),
+                    "rows": meta.get(
+                        "total_rows", sum(f["rows"] for f in meta.get("files", []))
+                    ),
                     "n_buckets": meta["n_buckets"],
                 }
             )
@@ -216,40 +293,83 @@ class LaketteTable:
 
     # ------------------------------------------------------------------- scan
 
+    def plan_files(
+        self,
+        *,
+        buckets: list[int] | None = None,
+        key_range: tuple[str, str] | None = None,
+        metadata: dict | None = None,
+    ) -> list[dict]:
+        """Driver-side scan planning from metadata alone (no Spark job):
+        select the data files a scan must read. Two pruning dimensions:
+
+          * `buckets` — hash-bucket pruning (key-equality workloads: a key
+            lives in exactly one bucket),
+          * `key_range=(lo, hi)` — file-level min/max statistics on the
+            FIRST key column (e.g. repo): a file whose [kmin, kmax] range
+            misses [lo, hi] cannot contain a matching row. This is the
+            Iceberg-manifest-stats analogue for range/prefix predicates
+            (`repo LIKE 'org/%'`), which hash buckets cannot prune.
+
+        Files written before stats existed carry no kmin/kmax and are kept
+        conservatively. Pruning is safe under merge-on-read LWW: all
+        versions of a key share its repo value, so any file holding a
+        version of an in-range key intersects the range and is retained."""
+        meta = self._materialize(metadata) if metadata else self.current_metadata()
+        files = meta["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if key_range is not None:
+            lo, hi = key_range
+            files = [
+                f
+                for f in files
+                if not (
+                    (f.get("kmax") is not None and f["kmax"] < lo)
+                    or (f.get("kmin") is not None and f["kmin"] > hi)
+                )
+            ]
+        return files
+
     def snapshot(
         self,
         spark: SparkSession,
         *,
         include_deleted: bool = False,
         buckets: list[int] | None = None,
+        key_range: tuple[str, str] | None = None,
         metadata: dict | None = None,
         version: int | None = None,
     ) -> DataFrame:
         """Read the current committed snapshot (or, with `version`, a past
         one — time travel; fails if vacuum() already collected its files).
 
-        `buckets` prunes to the given hash buckets using file-level metadata
-        (driver-side planning — no Spark job needed to plan the scan).
-        Reading with the *current* schema makes pre-evolution files surface
-        NULL for later-added columns.
+        `buckets` prunes to the given hash buckets, `key_range=(lo, hi)`
+        prunes files by min/max stats of the first key column AND filters
+        rows to the range (so the result is exactly the range subset) —
+        both are driver-side planning from file-level metadata, no Spark
+        job needed to plan the scan. Reading with the *current* schema
+        makes pre-evolution files surface NULL for later-added columns.
         """
         if version is not None and metadata is None:
             metadata = self.metadata_at(version)
         meta = metadata or self.current_metadata()
         schema = T.StructType.fromJson(meta["schema"])
-        files = meta["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        files = self.plan_files(buckets=buckets, key_range=key_range, metadata=meta)
         # merge-on-read: buckets holding delta appends may carry several
         # versions of a key — resolve LWW (max seq) at read time, but ONLY
         # over the dirty buckets (a key lives in exactly one bucket, so the
         # per-bucket split loses nothing); clean buckets stream straight
         # through with no aggregate. compact() folds dirty buckets back to
         # clean, shrinking this path incrementally.
-        dirty = {f["bucket"] for f in files if f.get("delta")}
-        if meta.get("requires_dedup") and not any("delta" in f for f in files):
-            dirty = {f["bucket"] for f in files}  # legacy flag-only metadata
+        # A file entry missing the per-file `delta` tag is legacy (pre-tag
+        # metadata): when the table-level requires_dedup flag is set, such
+        # files must be treated as DIRTY — classifying them clean the moment
+        # any tagged file appears would skip LWW on legacy delta buckets and
+        # surface stale key versions (ADVICE.md r2).
+        legacy_default = bool(meta.get("requires_dedup", False))
+        dirty = {f["bucket"] for f in files if f.get("delta", legacy_default)}
         clean_files = [f for f in files if f["bucket"] not in dirty]
         dirty_files = [f for f in files if f["bucket"] in dirty]
 
@@ -271,11 +391,67 @@ class LaketteTable:
             df = parts[0]
         else:
             df = parts[0].unionByName(parts[1])
+        if key_range is not None:
+            df = df.filter(F.col(meta["key_cols"][0]).between(*key_range))
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
         return df
 
     # ----------------------------------------------------------------- commit
+
+    def _validate_base(
+        self, base_version: int, current: dict, my_touched: set[int]
+    ) -> None:
+        """True optimistic concurrency (ADVICE r2 high): a writer whose job
+        ran against snapshot `base_version` may only commit on top of
+        interleaving commits that are PROVABLY independent — every commit in
+        (base, current] touched buckets disjoint from ours and changed
+        neither schema nor bucket count. Anything else is a potential lost
+        update: raise CommitConflictError so the caller re-runs its merge
+        against the new snapshot (Iceberg's base-snapshot validation)."""
+        meta = current
+        while meta["version"] > base_version:
+            touched = meta.get("touched_buckets")
+            if touched is None:
+                raise CommitConflictError(
+                    f"commit v{meta['version']} landed after our base snapshot "
+                    f"v{base_version} and records no touched-bucket set — "
+                    "cannot prove independence; re-run against the new snapshot"
+                )
+            if set(touched) & my_touched:
+                raise CommitConflictError(
+                    f"commit v{meta['version']} (writer {meta.get('writer')}) "
+                    f"touched buckets {sorted(set(touched) & my_touched)} that "
+                    f"this merge (base v{base_version}) also modifies — lost "
+                    "update prevented; re-run against the new snapshot"
+                )
+            parent = meta.get("parent_version")
+            if parent is None or parent < base_version:
+                raise CommitConflictError(
+                    f"base snapshot v{base_version} is not an ancestor of the "
+                    f"current version v{current['version']}"
+                )
+            ppath = os.path.join(self.meta_dir, f"v{parent}.json")
+            if not os.path.exists(ppath):
+                raise CommitConflictError(
+                    f"history between base v{base_version} and current "
+                    f"v{current['version']} was vacuumed; cannot validate"
+                )
+            with open(ppath) as f:
+                meta = json.load(f)
+        # schema / bucket-count drift since our base invalidates the job's
+        # plan (files were written under the base schema + bucket function)
+        base = meta  # the walk ends exactly at base_version
+        if base.get("schema") != current.get("schema"):
+            raise CommitConflictError(
+                "a concurrent commit changed the table schema since our base "
+                f"snapshot v{base_version}; re-run against the new snapshot"
+            )
+        if base.get("n_buckets") != current.get("n_buckets"):
+            raise CommitConflictError(
+                "a concurrent commit re-bucketed the table since our base "
+                f"snapshot v{base_version}; re-run against the new snapshot"
+            )
 
     def commit_version(
         self,
@@ -286,64 +462,138 @@ class LaketteTable:
         writer: dict | None = None,
         requires_dedup: bool | None = None,
         n_buckets: int | None = None,
+        base_version: int | None = None,
+        max_rebase_attempts: int = 10,
     ) -> TableCommit:
-        """Write metadata v{N+1}: files of untouched buckets carry over,
-        touched buckets are replaced by new_files (copy-on-write), the
-        schema may evolve additively, and the writer (query_id, epoch) is
-        recorded for exactly-once crash detection. Commit = CURRENT swap."""
-        meta = self.current_metadata()
-        kept = [f for f in meta["files"] if f["bucket"] not in replaced_buckets]
-        new_meta = dict(meta)
-        new_meta["parent_version"] = meta["version"]
-        new_meta["version"] = meta["version"] + 1
-        new_meta["snapshot_id"] = meta["snapshot_id"] + 1
-        new_meta["files"] = kept + new_files
-        if schema is not None:
-            new_meta["schema"] = json.loads(schema.json())
-        # derived, not declared: true iff any live file is a MOR delta —
-        # kept for observability; the scan itself uses per-file tags
-        new_meta["requires_dedup"] = (
-            requires_dedup
-            if requires_dedup is not None
-            else any(f.get("delta") for f in new_meta["files"])
-        )
-        if n_buckets is not None:
-            if kept and n_buckets != meta["n_buckets"]:
+        """Write metadata v{N+1}: manifest refs of untouched buckets carry
+        over verbatim, touched buckets get freshly written per-bucket
+        manifests (replaced buckets start empty — copy-on-write; appended
+        buckets extend their previous manifest — merge-on-read), the schema
+        may evolve additively, and the writer (query_id, epoch) is recorded
+        for exactly-once crash detection. Commit = CURRENT swap.
+
+        `base_version` is the snapshot version the caller's job READ. When
+        given, interleaving commits are validated (see _validate_base): the
+        commit auto-REBASES over provably-independent ones (disjoint
+        buckets, same schema/bucketing) and raises CommitConflictError
+        otherwise — never a silent lost update. Without it, any concurrent
+        commit from the same parent is a conflict (legacy single-writer).
+
+        Commit I/O is O(touched buckets), never O(table files): the version
+        file holds manifest refs + summary counters only."""
+        my_touched = set(replaced_buckets) | {f["bucket"] for f in new_files}
+        attempts = 0
+        while True:
+            raw = self._raw_current()
+            if base_version is not None and raw["version"] != base_version:
+                self._validate_base(base_version, raw, my_touched)
+            meta = self._materialize(dict(raw))
+            kept = [f for f in meta["files"] if f["bucket"] not in replaced_buckets]
+            if n_buckets is not None and kept and n_buckets != meta["n_buckets"]:
                 raise ValueError(
                     "re-bucketing requires replacing every bucket in the same "
                     "commit (carried-over files would disagree with the new "
                     "bucket function)"
                 )
-            new_meta["n_buckets"] = n_buckets
-        new_meta["writer"] = writer
-        name = f"v{new_meta['version']}.json"
-        path = os.path.join(self.meta_dir, name)
-        # exclusive=True is the single-writer enforcement: a racing commit
-        # from the same parent version loses with CommitConflictError
-        # instead of silently clobbering the winner's metadata.
-        try:
-            _atomic_write_json(path, new_meta, exclusive=True)
-        except CommitConflictError:
-            # One benign case: OUR OWN orphan from a crash between the
-            # version-file write and the CURRENT swap (CURRENT still points
-            # at the parent, so epoch_committed didn't gate the retry). The
-            # retry may reclaim it; the crashed attempt's data files become
-            # unreferenced orphans (GC concern, not a correctness one).
+
+            # --- per-bucket manifests: rewrite only the touched buckets
+            prev_refs: dict[str, str] = dict(raw.get("manifests") or {})
+            by_bucket_new: dict[int, list[dict]] = {}
+            for f in new_files:
+                by_bucket_new.setdefault(f["bucket"], []).append(f)
+            refs: dict[str, str] = {
+                b: r for b, r in prev_refs.items() if int(b) not in my_touched
+            }
+            # lakette/1 upgrade: inline-file buckets gain manifests lazily —
+            # untouched ones are sharded out once, here
+            if "files" in raw:
+                legacy: dict[int, list[dict]] = {}
+                for f in raw["files"]:
+                    if f["bucket"] not in my_touched:
+                        legacy.setdefault(f["bucket"], []).append(f)
+                for b, fs in legacy.items():
+                    if str(b) not in refs:
+                        refs[str(b)] = self._write_manifest(b, fs)
+            carried: dict[int, list[dict]] = {}
+            for f in meta["files"]:
+                if f["bucket"] in my_touched and f["bucket"] not in replaced_buckets:
+                    carried.setdefault(f["bucket"], []).append(f)
+            for b in sorted(my_touched):
+                entries = carried.get(b, []) + by_bucket_new.get(b, [])
+                if entries:
+                    refs[str(b)] = self._write_manifest(b, entries)
+                else:
+                    refs.pop(str(b), None)  # bucket emptied out
+
+            all_files = kept + new_files
+            new_meta = {
+                k: v for k, v in raw.items() if k not in ("files",)
+            }
+            new_meta["format"] = "lakette/2"
+            new_meta["parent_version"] = meta["version"]
+            new_meta["version"] = meta["version"] + 1
+            new_meta["snapshot_id"] = meta["snapshot_id"] + 1
+            new_meta["manifests"] = refs
+            new_meta["total_files"] = len(all_files)
+            new_meta["total_rows"] = sum(f["rows"] for f in all_files)
+            new_meta["touched_buckets"] = sorted(my_touched)
+            if schema is not None:
+                new_meta["schema"] = json.loads(schema.json())
+            # derived, not declared: true iff any live file is a MOR delta —
+            # kept for observability; the scan itself uses per-file tags
+            new_meta["requires_dedup"] = (
+                requires_dedup
+                if requires_dedup is not None
+                else any(f.get("delta") for f in all_files)
+            )
+            if n_buckets is not None:
+                new_meta["n_buckets"] = n_buckets
+            new_meta["writer"] = writer
+            name = f"v{new_meta['version']}.json"
+            path = os.path.join(self.meta_dir, name)
+            # exclusive=True is the CAS: a racing commit of the same version
+            # number loses cleanly instead of clobbering the winner.
             try:
-                with open(path) as f:
-                    orphan = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                orphan = {}
-            if (
-                writer is not None
-                and orphan.get("writer") == writer
-                and orphan.get("parent_version") == meta["version"]
-            ):
-                _atomic_write_json(path, new_meta)
-            else:
-                raise
-        self._swap_current(name)
-        return TableCommit(new_meta["version"], new_meta["snapshot_id"])
+                _atomic_write_json(path, new_meta, exclusive=True)
+            except CommitConflictError:
+                # One benign case: OUR OWN orphan from a crash between the
+                # version-file write and the CURRENT swap (CURRENT still
+                # points at the parent, so epoch_committed didn't gate the
+                # retry). The retry may reclaim it; the crashed attempt's
+                # data files become unreferenced orphans (vacuum's concern).
+                try:
+                    with open(path) as f:
+                        orphan = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    orphan = {}
+                if (
+                    writer is not None
+                    and orphan.get("writer") == writer
+                    and orphan.get("parent_version") == meta["version"]
+                ):
+                    _atomic_write_json(path, new_meta)
+                else:
+                    attempts += 1
+                    if base_version is None or attempts >= max_rebase_attempts:
+                        raise  # legacy caller, or too much contention
+                    # the CAS winner swaps CURRENT immediately after its
+                    # exclusive create — give it a moment before concluding
+                    # the racer crashed mid-commit (un-rebasable)
+                    import time as _time
+
+                    advanced = False
+                    deadline = _time.monotonic() + 2.0
+                    while _time.monotonic() < deadline:
+                        if self._raw_current()["version"] > meta["version"]:
+                            advanced = True
+                            break
+                        _time.sleep(0.02)
+                    if not advanced:
+                        raise
+                    continue  # reload + re-validate + rebase
+            self._swap_current(name)
+            new_meta["files"] = all_files  # materialized for the caller
+            return TableCommit(new_meta["version"], new_meta["snapshot_id"])
 
     # ---------------------------------------------------------- epoch markers
 
@@ -399,31 +649,53 @@ class LaketteTable:
 
     # ---------------------------------------------------------------- vacuum
 
-    def vacuum(self, *, keep_versions: int = 1) -> dict[str, int]:
+    def vacuum(
+        self, *, keep_versions: int = 1, grace_seconds: float = 300.0
+    ) -> dict[str, int]:
         """Garbage-collect data files not referenced by the newest
         `keep_versions` reachable versions, plus metadata files of pruned
         or orphaned versions (e.g. a CommitConflictError loser's v{N}.json
         and the data files it promoted before losing the CAS).
 
+        `grace_seconds` is the safety window against IN-FLIGHT commits
+        (ADVICE.md r2): a writer racing with vacuum may have just written
+        data files and a v{N}.json that CURRENT does not reference *yet*
+        (the CURRENT swap comes last). Anything younger than the grace
+        window is therefore never collected — the same mtime-retention
+        contract as Iceberg's expire_snapshots / remove_orphan_files. Pass
+        grace_seconds=0 only when no writer can be live (maintenance mode).
+
         Driver-side file ops only. At object-store scale this would be a
         manifest diff + batched deletes; the referenced-set computation is
         identical. Time travel beyond `keep_versions` stops working — same
         contract as Iceberg's expire_snapshots."""
+        import time as _time
+
         keep_versions = max(1, keep_versions)
+        now = _time.time()
+
+        def _young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < grace_seconds
+            except OSError:
+                return True  # vanished mid-scan: leave it alone
         history = self.history()
         kept_meta = history[:keep_versions]
         kept_versions = {h["version"] for h in kept_meta}
         reachable = {h["version"] for h in history}
         referenced: set[str] = set()
+        referenced_manifests: set[str] = set()
         for h in kept_meta:
             meta = self.metadata_at(h["version"])
             referenced.update(f["path"] for f in meta["files"])
+            referenced_manifests.update((meta.get("manifests") or {}).values())
 
         removed_data = 0
         for fn in sorted(os.listdir(self.data_dir)):
             rel = os.path.join("data", fn)
-            if fn.endswith(".parquet") and rel not in referenced:
-                os.remove(os.path.join(self.data_dir, fn))
+            full = os.path.join(self.data_dir, fn)
+            if fn.endswith(".parquet") and rel not in referenced and not _young(full):
+                os.remove(full)
                 removed_data += 1
         removed_meta = 0
         for fn in sorted(os.listdir(self.meta_dir)):
@@ -431,11 +703,30 @@ class LaketteTable:
             if not fn.startswith("v") or not fn.endswith(".json") or not m.isdigit():
                 continue
             v = int(m)
-            if v not in kept_versions and (v not in reachable or v < min(kept_versions)):
-                os.remove(os.path.join(self.meta_dir, fn))
+            full = os.path.join(self.meta_dir, fn)
+            if (
+                v not in kept_versions
+                and (v not in reachable or v < min(kept_versions))
+                and not _young(full)
+            ):
+                os.remove(full)
                 removed_meta += 1
+        removed_manifests = 0
+        if os.path.isdir(self.manifests_dir):
+            for fn in sorted(os.listdir(self.manifests_dir)):
+                rel = os.path.join("metadata", "manifests", fn)
+                full = os.path.join(self.manifests_dir, fn)
+                if (
+                    fn.endswith(".json")
+                    and rel not in referenced_manifests
+                    and not _young(full)
+                ):
+                    os.remove(full)
+                    _MANIFEST_CACHE.pop(full, None)
+                    removed_manifests += 1
         return {
             "removed_data_files": removed_data,
             "removed_metadata_files": removed_meta,
+            "removed_manifest_files": removed_manifests,
             "kept_versions": len(kept_versions),
         }

@@ -290,7 +290,12 @@ def merge_into(
         _write_metrics(table, query_id, stats)
         return stats
 
-    batch.cache()
+    # keep a dedicated reference to the CACHED plan: `batch` is rebound
+    # below (drop("_n")), and unpersisting the rebound variable would target
+    # a different plan, leaking the cached epoch blocks across a long
+    # streaming run (ADVICE.md r2)
+    cached = batch.cache()
+    batch = cached
     try:
         per_bucket = batch.groupBy("_bucket").count().collect()
         stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
@@ -342,33 +347,38 @@ def merge_into(
         )
         merged = merged.withColumn("_bucket", table.bucket_expr()).drop("_applied")
 
-        # --- copy-on-write write of the touched buckets (S8)
+        # --- copy-on-write write of the touched buckets (S8): executors
+        # write final-named files + report manifests; one Spark job
         snapshot_id = meta["snapshot_id"] + 1
-        tmp_dir = os.path.join(table.root, "tmp", f"epoch-{uuid.uuid4().hex}")
-        (
-            merged.repartition(max(1, len(touched)), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(tmp_dir)
+        new_files = _write_datafiles(
+            merged,
+            root=table.root,
+            snapshot_id=snapshot_id,
+            delta=False,
+            n_partitions=max(1, len(touched)),
+            key_col=key_cols[0],
+            sort_cols=key_cols,  # COW rewrites whole buckets: key-sorted base files
+            max_rows_per_file=meta.get("target_file_rows"),
         )
-
-        new_files = _promote_files(table, tmp_dir, snapshot_id, delta=False)
         row_obs = obs.get
         stats.rows_rewritten = int(row_obs.get("rows") or 0)
         stats.applied_rows = int(row_obs.get("applied") or 0)
 
-        # --- atomic metadata commit, then marker (C6 ordering)
+        # --- atomic metadata commit, then marker (C6 ordering); the base
+        # version pins the snapshot this merge actually read, so an
+        # interleaving writer can never be silently overwritten
         commit = table.commit_version(
             new_files=new_files,
             replaced_buckets=set(touched),
             schema=new_schema,
             writer={"query_id": query_id, "epoch": epoch},
+            base_version=meta["version"],
         )
         stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
         _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
         table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
     finally:
-        batch.unpersist()
+        cached.unpersist()
     stats.wall_sec = round(time.monotonic() - t_start, 3)
     _write_metrics(table, query_id, stats)
     return stats
@@ -406,18 +416,19 @@ def _merge_mor(
     delta = delta.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     snapshot_id = meta["snapshot_id"] + 1
-    tmp_dir = os.path.join(table.root, "tmp", f"epoch-{uuid.uuid4().hex}")
     # write parallelism ∝ cluster cores (was a hard 64 cap, which
     # under-parallelized the epoch write at large n_buckets — VERDICT r1 #7)
     cores = delta.sparkSession.sparkContext.defaultParallelism
     n_out = min(int(meta["n_buckets"]), max(2 * cores, 32))
-    (
-        delta.repartition(n_out, "_bucket")
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(tmp_dir)
+    new_files = _write_datafiles(
+        delta,
+        root=table.root,
+        snapshot_id=snapshot_id,
+        delta=True,
+        n_partitions=n_out,
+        key_col=table.key_cols()[0],
+        max_rows_per_file=meta.get("target_file_rows"),
     )
-    new_files = _promote_files(table, tmp_dir, snapshot_id, delta=True)
     stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
     stats.applied_rows = stats.rows_rewritten = int(obs.get.get("rows") or 0)
     stats.touched_buckets = len({f["bucket"] for f in new_files})
@@ -427,6 +438,7 @@ def _merge_mor(
         replaced_buckets=set(),
         schema=new_schema,
         writer={"query_id": query_id, "epoch": epoch},
+        base_version=meta["version"],
     )
     stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
     _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
@@ -505,19 +517,19 @@ def compact(
         snap = snap.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     merged = snap.withColumn("_bucket", table.bucket_expr(n_buckets=out_buckets))
     snapshot_id = meta["snapshot_id"] + 1
-    tmp_dir = os.path.join(table.root, "tmp", f"compact-{uuid.uuid4().hex}")
-    (
-        merged.repartition(out_buckets if target is None else len(target), "_bucket")
-        # partition-local key sort (O2): compacted base files are the
-        # read-optimized artifact — clustering rows by key improves parquet
-        # compression and row-group locality for key lookups, at no extra
-        # exchange (sort rides the bucket partitions)
-        .sortWithinPartitions(*meta["key_cols"])
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(tmp_dir)
+    # partition-local key sort (O2) inside the writer: compacted base files
+    # are the read-optimized artifact — clustering rows by key improves
+    # parquet compression and row-group locality at no extra exchange
+    new_files = _write_datafiles(
+        merged,
+        root=table.root,
+        snapshot_id=snapshot_id,
+        delta=False,
+        n_partitions=out_buckets if target is None else len(target),
+        key_col=meta["key_cols"][0],
+        sort_cols=meta["key_cols"],
+        max_rows_per_file=meta.get("target_file_rows"),
     )
-    new_files = _promote_files(table, tmp_dir, snapshot_id, delta=False)
     replaced = (
         {f["bucket"] for f in meta["files"]} if target is None else set(target)
     )
@@ -526,6 +538,7 @@ def compact(
         replaced_buckets=replaced,
         writer={"query_id": "__compact__", "epoch": meta["version"]},
         n_buckets=out_buckets if n_buckets else None,
+        base_version=meta["version"],
     )
     return {
         "version": commit.version,
@@ -537,54 +550,145 @@ def compact(
     }
 
 
-def _promote_files(
-    table: LaketteTable, tmp_dir: str, snapshot_id: int, *, delta: bool = False
+def _write_datafiles(
+    df: DataFrame,
+    *,
+    root: str,
+    snapshot_id: int,
+    delta: bool,
+    n_partitions: int,
+    key_col: str,
+    sort_cols: list[str] | None = None,
+    max_rows_per_file: int | None = None,
 ) -> list[dict]:
-    """Move the epoch's bucket=K parquet files into data/ with stable names;
-    return file metadata entries (path, bucket, rows from the footer,
-    delta flag — merge-on-read appends are `delta: true`, so snapshot reads
-    pay the LWW resolution only on buckets that actually hold deltas).
-    Footer reads are parallelized — they were a measurable chunk of the
-    fixed per-epoch driver cost at high epoch rates."""
-    from concurrent.futures import ThreadPoolExecutor
+    """Executor-side data-file writer — the SURVEY §8.1 object-store commit
+    path (VERDICT r2 #1). `df` must carry an int `_bucket` column.
 
-    moved: list[tuple[str, int]] = []  # (rel path, bucket)
-    i = 0
-    for entry in sorted(os.listdir(tmp_dir)):
-        if not entry.startswith("_bucket="):
-            continue
-        bucket = int(entry.split("=", 1)[1])
-        src_dir = os.path.join(tmp_dir, entry)
-        for fn in sorted(os.listdir(src_dir)):
-            if not fn.endswith(".parquet"):
+    Each write task streams its Arrow batches straight into FINAL-NAMED
+    files under data/ (one file per bucket in its partition:
+    `snap{S}-b{B}-{job token}-t{task attempt}.parquet`) and returns one
+    manifest row per file: (path, bucket, rows, kmin, kmax of `key_col`).
+    The driver's per-epoch work is ONE bounded collect of those manifest
+    rows — no per-file renames, no parquet-footer reads, nothing O(files)
+    on the driver. On an object store this is pure PUT traffic: task
+    retries write under a different attempt suffix and losers are simply
+    never referenced (vacuum collects them), so no rename atomicity is
+    needed anywhere.
+
+    The per-file min/max key stats feed LaketteTable.plan_files range
+    pruning (VERDICT r2 #7). With `sort_cols`, rows are additionally
+    key-sorted within each bucket (O2 read-optimized layout) at no extra
+    exchange — the sort rides the bucket repartition.
+
+    `max_rows_per_file` is the Iceberg target-file-size analogue (the table
+    property `target_file_rows`): a bucket's output rolls to a new file at
+    the threshold, which (a) bounds file size at 100 TB scale and (b) gives
+    sorted base files TIGHT, mostly-disjoint key ranges — that is what
+    makes min/max range pruning effective inside a hash bucket."""
+    import pyarrow as pa
+
+    token = uuid.uuid4().hex[:8]  # uniquifies names across writer processes
+    snap, is_delta, key = int(snapshot_id), bool(delta), key_col
+    max_rows = int(max_rows_per_file) if max_rows_per_file else 0
+    manifest_arrow = pa.schema(
+        [
+            ("path", pa.string()),
+            ("bucket", pa.int32()),
+            ("rows", pa.int64()),
+            ("kmin", pa.string()),
+            ("kmax", pa.string()),
+        ]
+    )
+
+    part = df.repartition(max(1, n_partitions), "_bucket")
+    if sort_cols:
+        part = part.sortWithinPartitions("_bucket", *sort_cols)
+
+    def _write(batches):
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        state: dict[int, dict] = {}
+        done: list[dict] = []
+
+        def _close(b: int, st: dict) -> None:
+            st["w"].close()
+            done.append(
+                {
+                    "path": st["path"],
+                    "bucket": b,
+                    "rows": st["rows"],
+                    "kmin": st["kmin"],
+                    "kmax": st["kmax"],
+                }
+            )
+
+        def _open(b: int, schema: "_pa.Schema") -> dict:
+            seq = sum(1 for d in done if d["bucket"] == b)
+            rel = f"data/snap{snap:06d}-b{b:04d}-{token}-t{attempt}-f{seq:03d}.parquet"
+            return {
+                "w": _pq.ParquetWriter(_os.path.join(root, rel), schema),
+                "path": rel,
+                "rows": 0,
+                "kmin": None,
+                "kmax": None,
+            }
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            rel = os.path.join("data", f"snap{snapshot_id:06d}-b{bucket:04d}-{i:04d}.parquet")
-            os.replace(os.path.join(src_dir, fn), os.path.join(table.root, rel))
-            moved.append((rel, bucket))
-            i += 1
+            tbl = _pa.Table.from_batches([batch])
+            buckets = tbl.column("_bucket")
+            data = tbl.drop_columns(["_bucket"])
+            for bs in _pc.unique(buckets).to_pylist():
+                b = int(bs)
+                remaining = data.filter(_pc.equal(buckets, bs))
+                # roll to a new file at the target size, slicing INSIDE the
+                # arrow batch so file sizes honor the target exactly (sorted
+                # input => consecutive files get tight disjoint key ranges)
+                while remaining.num_rows:
+                    st = state.get(b)
+                    if st is None:
+                        st = state[b] = _open(b, remaining.schema)
+                    room = (max_rows - st["rows"]) if max_rows else remaining.num_rows
+                    if room <= 0:
+                        _close(b, state.pop(b))
+                        continue
+                    take = remaining.slice(0, room)
+                    remaining = remaining.slice(take.num_rows)
+                    st["w"].write_table(take)
+                    st["rows"] += take.num_rows
+                    mm = _pc.min_max(take.column(key))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None:
+                        st["kmin"] = lo if st["kmin"] is None else min(st["kmin"], lo)
+                    if hi is not None:
+                        st["kmax"] = hi if st["kmax"] is None else max(st["kmax"], hi)
+        for b in sorted(state):
+            _close(b, state[b])
+        if done:
+            yield _pa.RecordBatch.from_pylist(done, schema=manifest_arrow)
 
-    def _stat(item: tuple[str, int]) -> dict | None:
-        rel, bucket = item
-        dst = os.path.join(table.root, rel)
-        rows = pq.read_metadata(dst).num_rows
-        if not rows:
-            os.remove(dst)
-            return None
-        return {"path": rel, "bucket": bucket, "rows": rows, "delta": delta}
-
-    if moved:
-        with ThreadPoolExecutor(max_workers=min(16, len(moved))) as ex:
-            new_files = [f for f in ex.map(_stat, moved) if f is not None]
-    else:
-        new_files = []
-    # tmp dir is garbage now; best-effort cleanup
-    for root, dirs, files in os.walk(tmp_dir, topdown=False):
-        for f in files:
-            os.remove(os.path.join(root, f))
-        for d in dirs:
-            os.rmdir(os.path.join(root, d))
-    os.rmdir(tmp_dir)
-    return new_files
+    manifest = part.mapInArrow(
+        _write, "path string, bucket int, rows long, kmin string, kmax string"
+    ).collect()
+    return [
+        {
+            "path": r["path"],
+            "bucket": int(r["bucket"]),
+            "rows": int(r["rows"]),
+            "delta": is_delta,
+            "kmin": r["kmin"],
+            "kmax": r["kmax"],
+        }
+        for r in manifest
+    ]
 
 
 def _write_metrics(table: LaketteTable, query_id: str, stats: MergeStats) -> None:

@@ -59,8 +59,13 @@ ENTITY_SCHEMA = T.StructType(
 KEY_COLS = ["repo", "path"]
 
 
-def create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
-    return LaketteTable.create(root, ENTITY_SCHEMA, KEY_COLS, n_buckets=n_buckets)
+def create_entity_table(
+    root: str, n_buckets: int = 16, target_file_rows: int | None = None
+) -> LaketteTable:
+    return LaketteTable.create(
+        root, ENTITY_SCHEMA, KEY_COLS,
+        n_buckets=n_buckets, target_file_rows=target_file_rows,
+    )
 
 
 def open_or_create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
@@ -174,6 +179,17 @@ def run_ingest(
         )
 
     if drop_dup_within_watermark:
+        if source == "jsonl":
+            # the jsonl stream is a single raw `value` column until
+            # parse_events runs inside each epoch, so there is no event_ts
+            # to watermark yet — fail with a clear contract error instead
+            # of Spark's opaque analysis failure (ADVICE.md r2)
+            raise ValueError(
+                "drop_dup_within_watermark is not supported with "
+                "source='jsonl': the raw stream has no event_ts column "
+                "before in-epoch parsing; use source='file'/'wal_tail' or "
+                "rely on LWW idempotence for duplicate deliveries"
+            )
         src = src.withWatermark("event_ts", drop_dup_within_watermark)
         src = src.dropDuplicatesWithinWatermark(["repo", "path", "seq"])
 

@@ -22,12 +22,17 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: oracle-checked queries BEYOND the driver's 50-entry gate: verified by
+#: scripts/check_oracle.py and tests/ locally, not shipped in queries()
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
-def q(name: str, oracle: str | None = None):
+
+def q(name: str, oracle: str | None = None, extra: bool = False):
     def deco(fn):
-        QUERIES[name] = fn
+        (EXTRA_QUERIES if extra else QUERIES)[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            (EXTRA_ORACLES if extra else ORACLES)[name] = oracle
         return fn
 
     return deco

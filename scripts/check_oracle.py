@@ -62,7 +62,11 @@ def main():
     only = set(sys.argv[2:])
 
     from forklift_spark.session import get_spark
-    from harness import QUERIES, ORACLES
+    from harness.queries import EXTRA_ORACLES, EXTRA_QUERIES, ORACLES, QUERIES
+    import harness  # noqa: F401  (registers the query modules)
+
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
+    all_oracles = {**ORACLES, **EXTRA_ORACLES}
 
     spark = get_spark(app_name="oracle-check", cores=4, shuffle_partitions=8,
                       driver_memory="4g")
@@ -73,7 +77,7 @@ def main():
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM parquet_scan('{p}')")
 
     n_ok = n_bad = n_rows_only = 0
-    for name, fn in QUERIES.items():
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
         try:
@@ -82,12 +86,12 @@ def main():
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        if name not in ORACLES:
+        if name not in all_oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
             n_rows_only += 1
             continue
         try:
-            odf = con.execute(ORACLES[name]).df()
+            odf = con.execute(all_oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             n_bad += 1

@@ -299,7 +299,12 @@ def test_vacuum_collects_unreferenced_files_and_orphans(spark, tmp_path):
                    "parent_version": meta["version"],
                    "writer": {"query_id": "dead", "epoch": 99}}, f)
 
-    res = table.vacuum(keep_versions=1)
+    # with the default grace window, just-written files are protected from
+    # a vacuum racing an in-flight commit (ADVICE.md r2) ...
+    safe = table.vacuum(keep_versions=1)
+    assert safe["removed_data_files"] == 0 and os.path.exists(orphan_path)
+    # ... maintenance mode (no live writers) collects immediately
+    res = table.vacuum(keep_versions=1, grace_seconds=0)
     assert res["removed_data_files"] == len(data_files - live_paths)
     assert not os.path.exists(orphan_path)
     left = {os.path.join("data", f) for f in os.listdir(table.data_dir)}
