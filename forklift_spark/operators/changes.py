@@ -11,16 +11,73 @@ reads on both sides. Change taxonomy per logical key:
   tombstone for a never-visible key)         -> not emitted
 
 Emitted columns: change, key cols, seq (new side), content_sha (new side;
-NULL for deletes). At 100 TB the join reads only the two metadata file
-lists — no log replay — and prunes to buckets whose file sets differ
-between the versions (changed_buckets_only=True, the default)."""
+NULL for deletes) — plus, with `full_rows=True`, every user payload column
+from the new side, which makes the change set directly APPLYABLE as a merge
+batch downstream (operators/replicate.py). At 100 TB the join reads only
+the two metadata file lists — no log replay — and prunes to buckets whose
+file sets differ between the versions (changed_buckets_only=True, the
+default)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lakette.table import LaketteTable
+from ..lakette.table import META_COL_NAMES, LaketteTable
+
+
+def diff_frames(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str] | None = None,
+    *,
+    full_rows: bool = False,
+    missing_as_delete: bool = False,
+) -> DataFrame:
+    """Row-level change set turning `old` into `new` — the join core shared
+    by snapshot_diff (two versions of one table) and replicate's resync
+    path (two DIFFERENT tables whose histories diverged past vacuum).
+
+    Both frames carry key cols + payload cols + seq + deleted (snapshot
+    include_deleted=True shape). `missing_as_delete=True` additionally
+    emits a delete for keys live in `old` but entirely ABSENT from `new`
+    (with seq = old.seq + 1, so the delete wins LWW downstream) — a state
+    that never occurs between two versions of one table, but does when
+    resyncing a replica whose source expired history."""
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+
+    o_live = F.col("o.seq").isNotNull() & ~F.coalesce(F.col("o.deleted"), F.lit(False))
+    n_live = F.col("n.seq").isNotNull() & ~F.coalesce(F.col("n.deleted"), F.lit(False))
+    n_tomb = F.col("n.seq").isNotNull() & F.coalesce(F.col("n.deleted"), F.lit(False))
+    change = (
+        F.when(~o_live & n_live, F.lit("insert"))
+        .when(o_live & n_tomb, F.lit("delete"))
+        .when(o_live & n_live & (F.col("n.seq") != F.col("o.seq")), F.lit("update"))
+    )
+    seq = F.col("n.seq")
+    if missing_as_delete:
+        change = change.when(o_live & F.col("n.seq").isNull(), F.lit("delete"))
+        seq = F.coalesce(F.col("n.seq"), F.col("o.seq") + F.lit(1))
+
+    cols = [
+        change.alias("change"),
+        *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols],
+    ]
+    if full_rows:
+        # payload from the new side: live rows carry their values, deletes
+        # carry the tombstone's payload (NULL in a standard changelog) —
+        # exactly the envelope merge_into applies
+        cols += [
+            F.when(F.col("n.seq").isNotNull(), F.col(f"n.{c}")).alias(c)
+            for c in (payload_cols or [])
+        ]
+    cols.append(seq.alias("seq"))
+    cols.append(F.when(n_live, F.col("n.content_sha")).alias("content_sha"))
+    return j.select(*cols).filter(F.col("change").isNotNull())
 
 
 def snapshot_diff(
@@ -30,8 +87,11 @@ def snapshot_diff(
     to_version: int,
     *,
     changed_buckets_only: bool = True,
+    full_rows: bool = False,
 ) -> DataFrame:
-    """Changes that turn snapshot@from_version into snapshot@to_version."""
+    """Changes that turn snapshot@from_version into snapshot@to_version.
+    `full_rows=True` adds every user payload column (new side), making the
+    result a merge-applyable change feed (lake-to-lake replication)."""
     meta_old = table.metadata_at(from_version)
     meta_new = table.metadata_at(to_version)
     buckets = None
@@ -52,29 +112,15 @@ def snapshot_diff(
         )
 
     key_cols = meta_new["key_cols"]
+    payload_cols = [
+        f["name"]
+        for f in meta_new["schema"]["fields"]
+        if f["name"] not in key_cols and f["name"] not in META_COL_NAMES
+    ]
     old = table.snapshot(
         spark, include_deleted=True, metadata=meta_old, buckets=buckets
-    ).alias("o")
+    )
     new = table.snapshot(
         spark, include_deleted=True, metadata=meta_new, buckets=buckets
-    ).alias("n")
-    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
-    j = old.join(new, cond, "full_outer")
-
-    o_live = F.col("o.seq").isNotNull() & ~F.coalesce(F.col("o.deleted"), F.lit(False))
-    n_live = F.col("n.seq").isNotNull() & ~F.coalesce(F.col("n.deleted"), F.lit(False))
-    n_tomb = F.col("n.seq").isNotNull() & F.coalesce(F.col("n.deleted"), F.lit(False))
-    change = (
-        F.when(~o_live & n_live, F.lit("insert"))
-        .when(o_live & n_tomb, F.lit("delete"))
-        .when(o_live & n_live & (F.col("n.seq") != F.col("o.seq")), F.lit("update"))
     )
-    return (
-        j.select(
-            change.alias("change"),
-            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols],
-            F.col("n.seq").alias("seq"),
-            F.when(n_live, F.col("n.content_sha")).alias("content_sha"),
-        )
-        .filter(F.col("change").isNotNull())
-    )
+    return diff_frames(old, new, key_cols, payload_cols, full_rows=full_rows)

@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 from ..lakette.table import LaketteTable, META_COL_NAMES
 
 
+def _obs_count(obs: Observation, key: str) -> int:
+    """Read one long metric off an Observation, tolerating the EMPTY-EPOCH
+    edge: when the observed plan turns out empty at runtime, AQE's
+    propagate-empty-relation re-optimization can drop the CollectMetrics
+    node entirely, and Observation.get then dies in toPyRow (schema-less
+    row). An epoch with zero events is legal (quiet stream, no-change
+    replication span), and zero is exactly what the dropped metric means."""
+    try:
+        return int(obs.get.get(key) or 0)
+    except Exception:  # Py4JJavaError: AssertionError in PythonSQLUtils.toPyRow
+        return 0
+
+
 def lww_dedupe(
     df: DataFrame,
     key_cols: list[str],
@@ -298,7 +311,7 @@ def merge_into(
     batch = cached
     try:
         per_bucket = batch.groupBy("_bucket").count().collect()
-        stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
+        stats.batch_rows = _obs_count(obs_in, "rows_in")
         touched = [r["_bucket"] for r in per_bucket]
         stats.touched_buckets = len(touched)
         if "_n" in batch.columns:
@@ -360,9 +373,8 @@ def merge_into(
             sort_cols=key_cols,  # COW rewrites whole buckets: key-sorted base files
             max_rows_per_file=meta.get("target_file_rows"),
         )
-        row_obs = obs.get
-        stats.rows_rewritten = int(row_obs.get("rows") or 0)
-        stats.applied_rows = int(row_obs.get("applied") or 0)
+        stats.rows_rewritten = _obs_count(obs, "rows")
+        stats.applied_rows = _obs_count(obs, "applied")
 
         # --- atomic metadata commit, then marker (C6 ordering); the base
         # version pins the snapshot this merge actually read, so an
@@ -429,7 +441,7 @@ def _merge_mor(
         key_col=table.key_cols()[0],
         max_rows_per_file=meta.get("target_file_rows"),
     )
-    stats.batch_rows = int(obs_in.get.get("rows_in") or 0)
+    stats.batch_rows = _obs_count(obs_in, "rows_in")
     stats.applied_rows = stats.rows_rewritten = int(obs.get.get("rows") or 0)
     stats.touched_buckets = len({f["bucket"] for f in new_files})
 

@@ -183,3 +183,37 @@ def scan_snapshot_pruned(spark, sf):
         )
     snap = table.snapshot(spark, key_range=("src0", "src13"))
     return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
+@q("replicate_scan", _CDC_LWW_SQL, extra=True)
+def replicate_scan(spark, sf):
+    """Lake-to-lake replication end-to-end: replay the derived changelog
+    into table A through the real engine (3 epochs), replicate A -> B via
+    the committed-version change feed (initial sync after the insert epoch,
+    then one incremental span covering the update+delete epochs), and scan
+    the REPLICA. Must equal the pure-SQL LWW oracle exactly — the replica
+    is bit-for-bit the source's final state."""
+    from forklift_spark.operators.replicate import replicate
+
+    base = os.path.basename(sf)
+    src_root = os.path.join(tempfile.gettempdir(), f"fk_repl_src_{base}")
+    dst_root = os.path.join(tempfile.gettempdir(), f"fk_repl_dst_{base}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    table = create_entity_table(src_root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="repl_src",
+            epoch=i,
+        )
+        if op == "I":  # initial sync from the post-insert snapshot
+            replicate(spark, table, dst_root, replication_id="mirror")
+    replicate(spark, table, dst_root, replication_id="mirror")  # U+D span
+    from forklift_spark.lakette import LaketteTable
+
+    snap = LaketteTable(dst_root).snapshot(spark)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")
