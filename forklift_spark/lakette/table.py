@@ -59,6 +59,23 @@ _MANIFEST_CACHE: dict[str, list] = {}
 _MANIFEST_CACHE_CAP = 4096
 
 
+def _specs(meta: dict) -> list[int]:
+    """The table's bucket-spec chain, oldest first. Single-element = no
+    in-flight rescale (every file agrees on the bucket function). During a
+    rescale each spec is an exact MULTIPLE of the previous one, so a key's
+    bucket under an older spec is recoverable from its current bucket:
+    hash % n_old == (hash % n_new) % n_old. Metadata predating spec
+    evolution implies [n_buckets]."""
+    return [int(x) for x in (meta.get("bucket_specs") or [meta["n_buckets"]])]
+
+
+def _file_nb(f: dict, n0: int) -> int:
+    """Bucket-count a file's `bucket` id was computed under. Files written
+    before spec evolution carry no tag — they all predate the first
+    rescale, i.e. the OLDEST live spec."""
+    return int(f.get("nb", n0))
+
+
 def _atomic_write_json(path: str, payload: dict, *, exclusive: bool = False) -> None:
     tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -138,10 +155,17 @@ class LaketteTable:
             # tight for min/max pruning. None = one file per bucket/task.
             "target_file_rows": target_file_rows,
             "schema": json.loads(full.json()),
-            "manifests": {},  # {str(bucket): "metadata/manifests/bXXXX-uuid.json"}
+            # online rescale support: the chain of bucket-counts live files
+            # were written under (see _specs); rescale() appends, migration
+            # (COW rewrites + compaction) drains, commit auto-collapses
+            "bucket_specs": [n_buckets],
+            "manifests": {},  # {"{nb}:{bucket}": "metadata/manifests/...json"}
             "total_files": 0,
             "total_rows": 0,
+            "total_delta_files": 0,
+            "spec_files": {str(n_buckets): 0},  # live files per spec
             "touched_buckets": [],
+            "touched_nb": n_buckets,  # spec the touched ids are expressed in
             "writer": None,  # {"query_id": str, "epoch": int} of the committing merge
             "parent_version": None,
         }
@@ -178,26 +202,42 @@ class LaketteTable:
         _MANIFEST_CACHE[full] = files
         return files
 
-    def _write_manifest(self, bucket: int, files: list[dict]) -> str:
+    def _write_manifest(self, pair: tuple[int, int], files: list[dict]) -> str:
+        nb, bucket = pair
         os.makedirs(self.manifests_dir, exist_ok=True)
         rel = os.path.join(
-            "metadata", "manifests", f"b{bucket:04d}-{uuid.uuid4().hex[:12]}.json"
+            "metadata",
+            "manifests",
+            f"s{nb}b{bucket:04d}-{uuid.uuid4().hex[:12]}.json",
         )
         _atomic_write_json(
-            os.path.join(self.root, rel), {"bucket": bucket, "files": files}
+            os.path.join(self.root, rel),
+            {"nb": nb, "bucket": bucket, "files": files},
         )
         return rel
+
+    @staticmethod
+    def _ref_pair(key: str, n0: int) -> tuple[int, int]:
+        """Manifest-ref key -> (spec nb, bucket). New keys are
+        \"{nb}:{bucket}\"; legacy plain-\"{bucket}\" keys predate spec
+        evolution, i.e. the oldest live spec."""
+        nb, sep, b = key.partition(":")
+        return (int(nb), int(b)) if sep else (n0, int(key))
 
     def _materialize(self, meta: dict[str, Any]) -> dict[str, Any]:
         """Attach the flat `files` list to a loaded version dict. lakette/1
         metadata carries it inline; lakette/2 shards it into per-bucket
         manifests, loaded (and cached) here. Readers keep seeing
-        meta[\"files\"] either way."""
+        meta[\"files\"] either way, and every entry gets its `nb` tag
+        (files predating spec evolution default to the oldest spec)."""
+        n0 = _specs(meta)[0]
         if "files" not in meta:
             files: list[dict] = []
-            for bstr in sorted(meta.get("manifests", {}), key=int):
-                files.extend(self._read_manifest(meta["manifests"][bstr]))
+            for key in sorted(meta.get("manifests", {})):
+                files.extend(self._read_manifest(meta["manifests"][key]))
             meta["files"] = files
+        for f in meta["files"]:
+            f.setdefault("nb", n0)
         return meta
 
     def current_metadata(self) -> dict[str, Any]:
@@ -214,6 +254,27 @@ class LaketteTable:
             name = f.read().strip()
         with open(os.path.join(self.meta_dir, name)) as f:
             return json.load(f)
+
+    def _counters(self, raw: dict[str, Any]) -> dict[str, Any]:
+        """Summary counters the commit path maintains incrementally. For
+        metadata predating a counter (older engine versions), bootstrap it
+        once with a full materialize — every later commit then carries the
+        maintained values forward."""
+        need = ("total_files", "total_rows", "total_delta_files", "spec_files")
+        if all(k in raw for k in need):
+            return {k: raw[k] for k in need}
+        meta = self._materialize(dict(raw))
+        n0 = _specs(raw)[0]
+        spec_files: dict[str, int] = {}
+        for f in meta["files"]:
+            nb = str(_file_nb(f, n0))
+            spec_files[nb] = spec_files.get(nb, 0) + 1
+        return {
+            "total_files": len(meta["files"]),
+            "total_rows": sum(f["rows"] for f in meta["files"]),
+            "total_delta_files": sum(1 for f in meta["files"] if f.get("delta")),
+            "spec_files": spec_files,
+        }
 
     def metadata_at(self, version: int) -> dict[str, Any]:
         """Metadata of a specific committed version (time travel). Only
@@ -314,12 +375,32 @@ class LaketteTable:
         Files written before stats existed carry no kmin/kmax and are kept
         conservatively. Pruning is safe under merge-on-read LWW: all
         versions of a key share its repo value, so any file holding a
-        version of an in-range key intersects the range and is retained."""
+        version of an in-range key intersects the range and is retained.
+
+        `buckets` are CURRENT-spec ids. During an online rescale, files
+        written under an older (coarser) spec match when the requested
+        bucket folds onto theirs: hash % n_old == (hash % n_new) % n_old
+        (specs are exact multiples — see _specs), so pruning stays exact
+        across the migration."""
         meta = self._materialize(metadata) if metadata else self.current_metadata()
         files = meta["files"]
         if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+            n = int(meta["n_buckets"])
+            folded: dict[int, set[int]] = {}  # spec nb -> requested ids mod nb
+            kept = []
+            for f in files:
+                nb = f["nb"]
+                want = folded.get(nb)
+                if want is None:
+                    # a foreign spec that doesn't divide the current one can
+                    # only appear mid-crash of a full re-bucket; keep its
+                    # files conservatively rather than mis-prune
+                    want = folded[nb] = (
+                        {b % nb for b in buckets} if n % nb == 0 else None
+                    )
+                if want is None or f["bucket"] in want:
+                    kept.append(f)
+            files = kept
         if key_range is not None:
             lo, hi = key_range
             files = [
@@ -359,19 +440,24 @@ class LaketteTable:
         files = self.plan_files(buckets=buckets, key_range=key_range, metadata=meta)
         # merge-on-read: buckets holding delta appends may carry several
         # versions of a key — resolve LWW (max seq) at read time, but ONLY
-        # over the dirty buckets (a key lives in exactly one bucket, so the
-        # per-bucket split loses nothing); clean buckets stream straight
-        # through with no aggregate. compact() folds dirty buckets back to
-        # clean, shrinking this path incrementally.
+        # over the dirty KEY GROUPS; clean groups stream straight through
+        # with no aggregate. A group is the key space of one bucket under
+        # the OLDEST live spec (group = bucket % specs[0]) — with a single
+        # spec that is exactly the per-bucket split; during an online
+        # rescale it is the finest partition every live file respects, so
+        # a delta under the new spec correctly drags the old-spec base
+        # files its keys live in into the LWW side. compact() folds dirty
+        # groups back to clean, shrinking this path incrementally.
         # A file entry missing the per-file `delta` tag is legacy (pre-tag
         # metadata): when the table-level requires_dedup flag is set, such
         # files must be treated as DIRTY — classifying them clean the moment
         # any tagged file appears would skip LWW on legacy delta buckets and
         # surface stale key versions (ADVICE.md r2).
+        n0 = _specs(meta)[0]
         legacy_default = bool(meta.get("requires_dedup", False))
-        dirty = {f["bucket"] for f in files if f.get("delta", legacy_default)}
-        clean_files = [f for f in files if f["bucket"] not in dirty]
-        dirty_files = [f for f in files if f["bucket"] in dirty]
+        dirty = {f["bucket"] % n0 for f in files if f.get("delta", legacy_default)}
+        clean_files = [f for f in files if f["bucket"] % n0 not in dirty]
+        dirty_files = [f for f in files if f["bucket"] % n0 in dirty]
 
         def _read(fs):
             return spark.read.schema(schema).parquet(
@@ -408,7 +494,15 @@ class LaketteTable:
         (base, current] touched buckets disjoint from ours and changed
         neither schema nor bucket count. Anything else is a potential lost
         update: raise CommitConflictError so the caller re-runs its merge
-        against the new snapshot (Iceberg's base-snapshot validation)."""
+        against the new snapshot (Iceberg's base-snapshot validation).
+
+        `my_touched` and each recorded set are compared under the CURRENT
+        spec: ids recorded under a coarser spec nb (touched_nb; legacy
+        commits recorded under their then-current n_buckets) expand to
+        every current bucket folding onto them. A recording spec that
+        does not divide the current one means the bucket function itself
+        drifted — conflict."""
+        cur_nb = int(current["n_buckets"])
         meta = current
         while meta["version"] > base_version:
             touched = meta.get("touched_buckets")
@@ -418,10 +512,18 @@ class LaketteTable:
                     f"v{base_version} and records no touched-bucket set — "
                     "cannot prove independence; re-run against the new snapshot"
                 )
-            if set(touched) & my_touched:
+            tnb = int(meta.get("touched_nb", meta["n_buckets"]))
+            if cur_nb % tnb != 0:
+                raise CommitConflictError(
+                    f"commit v{meta['version']} recorded touched buckets under "
+                    f"spec {tnb}, incommensurable with the current bucket "
+                    f"function ({cur_nb}); re-run against the new snapshot"
+                )
+            expanded = {x for b in touched for x in range(int(b), cur_nb, tnb)}
+            if expanded & my_touched:
                 raise CommitConflictError(
                     f"commit v{meta['version']} (writer {meta.get('writer')}) "
-                    f"touched buckets {sorted(set(touched) & my_touched)} that "
+                    f"touched buckets {sorted(expanded & my_touched)} that "
                     f"this merge (base v{base_version}) also modifies — lost "
                     "update prevented; re-run against the new snapshot"
                 )
@@ -447,10 +549,11 @@ class LaketteTable:
                 "a concurrent commit changed the table schema since our base "
                 f"snapshot v{base_version}; re-run against the new snapshot"
             )
-        if base.get("n_buckets") != current.get("n_buckets"):
+        if _specs(base) != _specs(current):
             raise CommitConflictError(
-                "a concurrent commit re-bucketed the table since our base "
-                f"snapshot v{base_version}; re-run against the new snapshot"
+                "a concurrent commit re-bucketed or rescaled the table since "
+                f"our base snapshot v{base_version}; re-run against the new "
+                "snapshot"
             )
 
     def commit_version(
@@ -464,6 +567,7 @@ class LaketteTable:
         n_buckets: int | None = None,
         base_version: int | None = None,
         max_rebase_attempts: int = 10,
+        rescale_to: int | None = None,
     ) -> TableCommit:
         """Write metadata v{N+1}: manifest refs of untouched buckets carry
         over verbatim, touched buckets get freshly written per-bucket
@@ -479,75 +583,170 @@ class LaketteTable:
         otherwise — never a silent lost update. Without it, any concurrent
         commit from the same parent is a conflict (legacy single-writer).
 
+        `replaced_buckets` accepts current-spec bucket ints, or (nb, bucket)
+        pairs during an online rescale (operators express replacement at
+        whichever spec the replaced files were written under). New file
+        entries default to the current spec; `rescale_to` appends a new
+        bucket spec (metadata-only — see rescale()).
+
         Commit I/O is O(touched buckets), never O(table files): the version
-        file holds manifest refs + summary counters only."""
-        my_touched = set(replaced_buckets) | {f["bucket"] for f in new_files}
+        file holds manifest refs + summary counters only, counters are
+        maintained incrementally, and only TOUCHED buckets' manifests are
+        read (for carry/removal accounting) and written."""
         attempts = 0
         while True:
             raw = self._raw_current()
+            cur_nb = int(raw["n_buckets"])
+            specs = _specs(raw)
+            n0 = specs[0]
+            out_nb = int(n_buckets) if n_buckets is not None else cur_nb
+            new_specs = list(specs)
+            if rescale_to is not None:
+                r = int(rescale_to)
+                if r <= cur_nb or r % cur_nb != 0:
+                    raise ValueError(
+                        f"rescale target {r} must be a strict multiple of the "
+                        f"current bucket count {cur_nb} (multiples keep old "
+                        "buckets recoverable: hash%old == (hash%new)%old)"
+                    )
+                new_specs = specs + [r]
+                out_nb = r
+
+            files = [dict(f) for f in new_files]
+            for f in files:
+                f.setdefault("nb", out_nb)
+            replaced_pairs = {
+                (int(b[0]), int(b[1])) if isinstance(b, (tuple, list)) else (cur_nb, int(b))
+                for b in replaced_buckets
+            }
+            my_pairs = replaced_pairs | {(f["nb"], f["bucket"]) for f in files}
+            # conflict footprint, expressed under the current spec (a pair
+            # under a coarser spec covers every current bucket folding onto
+            # it — the footprint widens automatically during migration)
+            my_touched_cur: set[int] = set()
+            for nb, b in my_pairs:
+                if cur_nb % nb == 0:
+                    my_touched_cur.update(range(b, cur_nb, nb))
+                else:  # foreign spec (full re-bucket): everything conflicts
+                    my_touched_cur.update(range(cur_nb))
             if base_version is not None and raw["version"] != base_version:
-                self._validate_base(base_version, raw, my_touched)
-            meta = self._materialize(dict(raw))
-            kept = [f for f in meta["files"] if f["bucket"] not in replaced_buckets]
-            if n_buckets is not None and kept and n_buckets != meta["n_buckets"]:
+                self._validate_base(base_version, raw, my_touched_cur)
+
+            counters = self._counters(raw)
+
+            # --- per-bucket manifests: only TOUCHED pairs are read/written
+            prev_refs: dict[str, str] = dict(raw.get("manifests") or {})
+            refs: dict[str, str] = {}
+            carried: dict[tuple[int, int], list[dict]] = {}
+            removed_files = removed_rows = removed_delta = 0
+            removed_by_spec: dict[int, int] = {}
+
+            def _account_removed(fs: list[dict]) -> None:
+                nonlocal removed_files, removed_rows, removed_delta
+                removed_files += len(fs)
+                removed_rows += sum(f["rows"] for f in fs)
+                removed_delta += sum(1 for f in fs if f.get("delta"))
+                for f in fs:
+                    nb = _file_nb(f, n0)
+                    removed_by_spec[nb] = removed_by_spec.get(nb, 0) + 1
+
+            for key, ref in prev_refs.items():
+                pair = self._ref_pair(key, n0)
+                if pair not in my_pairs:
+                    refs[key] = ref
+                    continue
+                fs = [dict(f) for f in self._read_manifest(ref)]
+                for f in fs:
+                    f.setdefault("nb", pair[0])
+                if pair in replaced_pairs:
+                    _account_removed(fs)
+                else:
+                    carried[pair] = fs  # appended-to bucket (MOR)
+            # lakette/1 upgrade: inline-file buckets gain manifests lazily —
+            # untouched ones are sharded out once, here
+            if "files" in raw:
+                legacy: dict[tuple[int, int], list[dict]] = {}
+                for f in raw["files"]:
+                    f = dict(f)
+                    f.setdefault("nb", n0)
+                    legacy.setdefault((f["nb"], f["bucket"]), []).append(f)
+                for pair, fs in legacy.items():
+                    if pair in replaced_pairs:
+                        _account_removed(fs)
+                    elif pair in my_pairs:
+                        carried.setdefault(pair, []).extend(fs)
+                    else:
+                        key = f"{pair[0]}:{pair[1]}"
+                        if key not in refs:
+                            refs[key] = self._write_manifest(pair, fs)
+
+            if out_nb != cur_nb and rescale_to is None and (refs or carried):
                 raise ValueError(
                     "re-bucketing requires replacing every bucket in the same "
                     "commit (carried-over files would disagree with the new "
                     "bucket function)"
                 )
 
-            # --- per-bucket manifests: rewrite only the touched buckets
-            prev_refs: dict[str, str] = dict(raw.get("manifests") or {})
-            by_bucket_new: dict[int, list[dict]] = {}
-            for f in new_files:
-                by_bucket_new.setdefault(f["bucket"], []).append(f)
-            refs: dict[str, str] = {
-                b: r for b, r in prev_refs.items() if int(b) not in my_touched
-            }
-            # lakette/1 upgrade: inline-file buckets gain manifests lazily —
-            # untouched ones are sharded out once, here
-            if "files" in raw:
-                legacy: dict[int, list[dict]] = {}
-                for f in raw["files"]:
-                    if f["bucket"] not in my_touched:
-                        legacy.setdefault(f["bucket"], []).append(f)
-                for b, fs in legacy.items():
-                    if str(b) not in refs:
-                        refs[str(b)] = self._write_manifest(b, fs)
-            carried: dict[int, list[dict]] = {}
-            for f in meta["files"]:
-                if f["bucket"] in my_touched and f["bucket"] not in replaced_buckets:
-                    carried.setdefault(f["bucket"], []).append(f)
-            for b in sorted(my_touched):
-                entries = carried.get(b, []) + by_bucket_new.get(b, [])
+            by_pair_new: dict[tuple[int, int], list[dict]] = {}
+            for f in files:
+                by_pair_new.setdefault((f["nb"], f["bucket"]), []).append(f)
+            for pair in sorted(my_pairs):
+                entries = carried.get(pair, []) + by_pair_new.get(pair, [])
+                key = f"{pair[0]}:{pair[1]}"
+                if pair[0] == n0:
+                    refs.pop(str(pair[1]), None)  # retire any legacy-form key
                 if entries:
-                    refs[str(b)] = self._write_manifest(b, entries)
+                    refs[key] = self._write_manifest(pair, entries)
                 else:
-                    refs.pop(str(b), None)  # bucket emptied out
+                    refs.pop(key, None)  # bucket emptied out
 
-            all_files = kept + new_files
-            new_meta = {
-                k: v for k, v in raw.items() if k not in ("files",)
+            # --- incremental summary counters (never O(table) reads)
+            total_files = counters["total_files"] - removed_files + len(files)
+            total_rows = (
+                counters["total_rows"] - removed_rows + sum(f["rows"] for f in files)
+            )
+            total_delta = (
+                counters["total_delta_files"]
+                - removed_delta
+                + sum(1 for f in files if f.get("delta"))
+            )
+            spec_files = {int(k): int(v) for k, v in counters["spec_files"].items()}
+            for nb, cnt in removed_by_spec.items():
+                spec_files[nb] = spec_files.get(nb, 0) - cnt
+            for f in files:
+                spec_files[f["nb"]] = spec_files.get(f["nb"], 0) + 1
+            if out_nb != cur_nb and rescale_to is None:
+                new_specs = [out_nb]  # full re-bucket resets the spec chain
+            # auto-collapse: a spec with no live files left is fully
+            # migrated — drop it (the chain stays divisibility-ordered)
+            new_specs = [
+                nb for nb in new_specs if spec_files.get(nb, 0) > 0 or nb == out_nb
+            ]
+            spec_files = {
+                str(nb): n for nb, n in sorted(spec_files.items()) if n > 0 or nb == out_nb
             }
+
+            new_meta = {k: v for k, v in raw.items() if k not in ("files",)}
             new_meta["format"] = "lakette/2"
-            new_meta["parent_version"] = meta["version"]
-            new_meta["version"] = meta["version"] + 1
-            new_meta["snapshot_id"] = meta["snapshot_id"] + 1
+            new_meta["parent_version"] = raw["version"]
+            new_meta["version"] = raw["version"] + 1
+            new_meta["snapshot_id"] = raw["snapshot_id"] + 1
             new_meta["manifests"] = refs
-            new_meta["total_files"] = len(all_files)
-            new_meta["total_rows"] = sum(f["rows"] for f in all_files)
-            new_meta["touched_buckets"] = sorted(my_touched)
+            new_meta["total_files"] = total_files
+            new_meta["total_rows"] = total_rows
+            new_meta["total_delta_files"] = total_delta
+            new_meta["spec_files"] = spec_files
+            new_meta["bucket_specs"] = new_specs
+            new_meta["n_buckets"] = out_nb
+            new_meta["touched_buckets"] = sorted(my_touched_cur)
+            new_meta["touched_nb"] = cur_nb
             if schema is not None:
                 new_meta["schema"] = json.loads(schema.json())
             # derived, not declared: true iff any live file is a MOR delta —
             # kept for observability; the scan itself uses per-file tags
             new_meta["requires_dedup"] = (
-                requires_dedup
-                if requires_dedup is not None
-                else any(f.get("delta") for f in all_files)
+                requires_dedup if requires_dedup is not None else total_delta > 0
             )
-            if n_buckets is not None:
-                new_meta["n_buckets"] = n_buckets
             new_meta["writer"] = writer
             name = f"v{new_meta['version']}.json"
             path = os.path.join(self.meta_dir, name)
@@ -569,7 +768,7 @@ class LaketteTable:
                 if (
                     writer is not None
                     and orphan.get("writer") == writer
-                    and orphan.get("parent_version") == meta["version"]
+                    and orphan.get("parent_version") == raw["version"]
                 ):
                     _atomic_write_json(path, new_meta)
                 else:
@@ -584,7 +783,7 @@ class LaketteTable:
                     advanced = False
                     deadline = _time.monotonic() + 2.0
                     while _time.monotonic() < deadline:
-                        if self._raw_current()["version"] > meta["version"]:
+                        if self._raw_current()["version"] > raw["version"]:
                             advanced = True
                             break
                         _time.sleep(0.02)
@@ -592,8 +791,51 @@ class LaketteTable:
                         raise
                     continue  # reload + re-validate + rebase
             self._swap_current(name)
-            new_meta["files"] = all_files  # materialized for the caller
             return TableCommit(new_meta["version"], new_meta["snapshot_id"])
+
+    # --------------------------------------------------- online bucket rescale
+
+    def rescale(self, n_buckets_new: int, *, writer: dict | None = None) -> TableCommit:
+        """Grow the bucket count WITHOUT rewriting the table — the 100 TB
+        growth path (Iceberg partition-spec evolution, specialized to hash
+        buckets). One metadata-only commit appends the new spec; existing
+        files stay valid under their recorded spec because the target is a
+        strict multiple of the current count (old bucket = new bucket mod
+        n_old, so key->file pruning stays exact across the migration).
+
+        From the next commit on, all writes land under the new spec.
+        Migration is a side effect of normal operation: a COW merge or a
+        compaction touching a key group rewrites that group's old-spec
+        files under the new spec, and the commit auto-collapses the old
+        spec once its last file is gone (see migration_status()). Contrast
+        with compact(n_buckets=...), the full-rewrite path — that one
+        allows arbitrary targets but rewrites every row in one commit.
+
+        A writer whose job read a pre-rescale snapshot gets a clean
+        CommitConflictError (spec drift) and re-runs — never a silent
+        mis-bucketed commit."""
+        meta = self._raw_current()
+        return self.commit_version(
+            new_files=[],
+            replaced_buckets=set(),
+            writer=writer or {"query_id": "__rescale__", "epoch": meta["version"]},
+            base_version=meta["version"],
+            rescale_to=n_buckets_new,
+        )
+
+    def migration_status(self) -> dict[str, Any]:
+        """Progress of an online rescale, from counters alone (no I/O
+        beyond the version file): live file count per bucket spec.
+        `migrated` is True once a single spec remains."""
+        raw = self._raw_current()
+        counters = self._counters(raw)
+        specs = _specs(raw)
+        return {
+            "bucket_specs": specs,
+            "n_buckets": int(raw["n_buckets"]),
+            "files_by_spec": {int(k): int(v) for k, v in counters["spec_files"].items()},
+            "migrated": len(specs) == 1,
+        }
 
     # ---------------------------------------------------------- epoch markers
 
@@ -620,13 +862,17 @@ class LaketteTable:
 
     def stats(self) -> dict[str, Any]:
         """Operational table stats from metadata alone (no Spark job):
-        per-bucket rows/files/delta backlog plus table-level skew — what an
-        operator dashboards and what compaction planning reads."""
+        per-KEY-GROUP rows/files/delta backlog plus table-level skew — what
+        an operator dashboards and what compaction planning reads. A group
+        is a bucket of the oldest live spec (== the bucket itself outside a
+        migration), the finest unit every live file respects."""
         meta = self.current_metadata()
+        n0 = _specs(meta)[0]
         per: dict[int, dict[str, int]] = {}
         for f in meta["files"]:
             e = per.setdefault(
-                f["bucket"], {"files": 0, "rows": 0, "delta_files": 0, "delta_rows": 0}
+                f["bucket"] % n0,
+                {"files": 0, "rows": 0, "delta_files": 0, "delta_rows": 0},
             )
             e["files"] += 1
             e["rows"] += f["rows"]
@@ -639,6 +885,7 @@ class LaketteTable:
             "version": meta["version"],
             "snapshot_id": meta["snapshot_id"],
             "n_buckets": meta["n_buckets"],
+            "bucket_specs": _specs(meta),
             "total_rows": sum(counts),
             "total_files": sum(e["files"] for e in per.values()),
             "delta_files": sum(e["delta_files"] for e in per.values()),

@@ -92,24 +92,32 @@ def snapshot_diff(
     """Changes that turn snapshot@from_version into snapshot@to_version.
     `full_rows=True` adds every user payload column (new side), making the
     result a merge-applyable change feed (lake-to-lake replication)."""
+    from ..lakette.table import _file_nb, _specs
+
     meta_old = table.metadata_at(from_version)
     meta_new = table.metadata_at(to_version)
     buckets = None
-    if changed_buckets_only and meta_old["n_buckets"] == meta_new["n_buckets"]:
+    if changed_buckets_only and _specs(meta_old) == _specs(meta_new):
         # a bucket can only differ if its file set changed (files are
-        # immutable) — driver-side pruning straight from metadata
-        def by_bucket(meta):
-            d: dict[int, set[str]] = {}
+        # immutable) — driver-side pruning straight from metadata. Keyed
+        # per (spec, bucket) so ids never collide mid-rescale; changed
+        # pairs expand to current-spec ids for the pruned snapshot reads.
+        n = int(meta_new["n_buckets"])
+        n0 = _specs(meta_new)[0]
+
+        def by_pair(meta):
+            d: dict[tuple[int, int], set[str]] = {}
             for f in meta["files"]:
-                d.setdefault(f["bucket"], set()).add(f["path"])
+                d.setdefault((_file_nb(f, n0), f["bucket"]), set()).add(f["path"])
             return d
 
-        old_b, new_b = by_bucket(meta_old), by_bucket(meta_new)
-        buckets = sorted(
-            b
-            for b in set(old_b) | set(new_b)
-            if old_b.get(b, set()) != new_b.get(b, set())
-        )
+        old_b, new_b = by_pair(meta_old), by_pair(meta_new)
+        changed = [
+            p
+            for p in set(old_b) | set(new_b)
+            if old_b.get(p, set()) != new_b.get(p, set())
+        ]
+        buckets = sorted({b for nb, bk in changed for b in range(bk, n, nb)})
 
     key_cols = meta_new["key_cols"]
     payload_cols = [

@@ -217,3 +217,34 @@ def replicate_scan(spark, sf):
 
     snap = LaketteTable(dst_root).snapshot(spark)
     return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
+@q("scan_snapshot_rescaled", _CDC_LWW_SQL, extra=True)
+def scan_snapshot_rescaled(spark, sf):
+    """Online bucket rescale mid-replay: insert epoch at 4 buckets, ONE
+    metadata-only rescale to 16, update epoch merge-on-read (LWW resolves
+    across the mixed-spec window), delete epoch copy-on-write (migrates its
+    touched key groups), incremental compaction finishes the migration —
+    and the final scan must STILL equal the pure-SQL LWW oracle exactly."""
+    from forklift_spark.operators.merge import compact, select_compaction_candidates
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_resc_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=4)
+    log = _doc_changelog(spark, sf)
+    for i, (op, mode) in enumerate([("I", "cow"), ("U", "mor"), ("D", "cow")]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="resc",
+            epoch=i,
+            mode=mode,
+        )
+        if op == "I":
+            table.rescale(16)
+    compact(spark, table, buckets=select_compaction_candidates(table, max_delta_files=0))
+    compact(spark, table)  # drain the remainder; spec chain collapses
+    assert table.migration_status()["migrated"], "rescale migration incomplete"
+    snap = table.snapshot(spark)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")
