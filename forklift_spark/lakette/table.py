@@ -848,7 +848,7 @@ class LaketteTable:
         crash-between-commit-and-marker window (SURVEY.md §7 hard-point 2)."""
         if os.path.exists(self._marker_path(query_id, epoch)):
             return True
-        w = self.current_metadata().get("writer")
+        w = self._raw_current().get("writer")  # no manifest loads on this path
         return bool(w and w.get("query_id") == query_id and w.get("epoch") == epoch)
 
     def write_epoch_marker(self, query_id: str, epoch: int, snapshot_id: int) -> None:

@@ -230,9 +230,9 @@ def merge_into(
     stats = MergeStats(epoch=epoch, salt_buckets=salt_buckets)
     t_start = time.monotonic()
 
-    # --- exactly-once gate (C6)
+    # --- exactly-once gate (C6) — raw metadata only, no manifest loads
     if table.epoch_committed(query_id, epoch):
-        meta = table.current_metadata()
+        meta = table._raw_current()
         w = meta.get("writer") or {}
         if not os.path.exists(table._marker_path(query_id, epoch)) and (
             w.get("query_id") == query_id and w.get("epoch") == epoch

@@ -74,7 +74,7 @@ def last_replicated_version(dst: LaketteTable, replication_id: str) -> int | Non
             if fn.endswith(".json") and fn[:-5].isdigit():
                 v = int(fn[:-5])
                 best = v if best is None else max(best, v)
-    w = dst.current_metadata().get("writer") or {}
+    w = dst._raw_current().get("writer") or {}
     if w.get("query_id") == replication_id:
         e = int(w.get("epoch", -1))
         best = e if best is None else max(best, e)

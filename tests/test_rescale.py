@@ -197,3 +197,40 @@ def test_replicate_across_source_rescale(spark, tmp_path):
                query_id="pr", epoch=0)
     replicate(spark, table, dst_root, replication_id="r")
     assert _content(spark, LaketteTable(dst_root)) == _content(spark, table)
+
+
+def test_cow_sibling_rewrite_does_not_mask_newer_delta(spark, tmp_path):
+    """The sharpest migration interleaving: after rescale 4->8, a MOR delta
+    lands in new bucket bA; a COW merge then touches a DIFFERENT new bucket
+    bB of the SAME key group, which drags the group's old-spec base file
+    (holding stale rows for bA's keys) into its rewrite. The stale rows are
+    re-emitted under the new spec as an APPEND — the un-replaced delta must
+    still win LWW at read time."""
+    table = _seed(spark, tmp_path, n_buckets=4, n=64)
+    table.rescale(8)
+
+    # two keys in the same old group (hash%4 equal) but different new buckets
+    cand = [(f"repo_{i % 7}", f"f{i}.py") for i in range(64)]
+    b = {
+        (r.repo, r.path): r.b
+        for r in spark.createDataFrame(cand, "repo string, path string")
+        .select("repo", "path", table.bucket_expr().alias("b"))
+        .collect()
+    }
+    ka = cand[0]
+    kb = next(k for k in cand[1:] if b[k] % 4 == b[ka] % 4 and b[k] != b[ka])
+
+    mor = _rows([("U", 500, ka[0], ka[1], "delta-wins")])
+    merge_into(spark, table, spark.createDataFrame(mor, CHANGELOG_SCHEMA),
+               query_id="mor", epoch=0, mode="mor")
+    cow = _rows([("U", 600, kb[0], kb[1], "cow-wins")])
+    merge_into(spark, table, spark.createDataFrame(cow, CHANGELOG_SCHEMA),
+               query_id="cow", epoch=0, mode="cow")
+
+    got = _content(spark, table)
+    assert got[ka] == ("delta-wins", 500)
+    assert got[kb] == ("cow-wins", 600)
+    assert len(got) == 64
+    # and compaction folds the group cleanly afterwards
+    compact(spark, table)
+    assert _content(spark, table)[ka] == ("delta-wins", 500)
