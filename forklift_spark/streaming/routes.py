@@ -1,0 +1,158 @@
+"""Routed ingest: ONE change feed fanned out to N destination tables.
+
+The reference's ETL shape — a single source feed loading several
+destination tables, each with its own row filter and column-mapping spec —
+expressed Spark-first: per epoch the batch is materialized once
+(`persist`), then every route applies `filter` (Catalyst predicate) +
+`compile_mapping` (one codegen projection, functions/mapping.py) + the
+ordinary exactly-once `merge_into`. No extra scans of the source, no
+Python on the row path.
+
+Exactly-once is PER ROUTE: each route merges under its own query_id, so
+its destination's epoch markers gate it independently. A crash between
+route A's commit and route B's commit replays the epoch — A skips on its
+marker, B applies — which converges without cross-table transactions
+(same contract as any multi-sink CDC fan-out; document, don't pretend).
+
+A route's mapping spec defines the COMPLETE output envelope, so it must
+emit `op`, `seq`, and the destination's key columns — enforced loudly at
+plan time, not discovered as a merge analysis error."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..functions.mapping import MappingSpec, compile_mapping
+from ..lakette.table import LaketteTable
+from ..operators.merge import MergeStats, merge_into
+
+
+@dataclass
+class Route:
+    """One destination of the fan-out."""
+
+    table: LaketteTable
+    predicate: Column | str | None = None  # row filter; None = every row
+    mapping: MappingSpec | None = None  # full output envelope (op/seq/keys + payload)
+    mode: str = "mor"
+    salt_buckets: int | None = None
+    dedupe_strategy: str = "agg"
+
+
+@dataclass
+class RoutedIngestReport:
+    epochs: list[dict[str, MergeStats]] = field(default_factory=list)
+
+    def applied_rows(self, route: str) -> int:
+        return sum(e[route].applied_rows for e in self.epochs if route in e)
+
+
+def _validate_route(name: str, route: Route) -> None:
+    if route.mapping is None:
+        return
+    out_cols = set(route.mapping.keys())
+    needed = {"op", "seq", *route.table.key_cols()}
+    missing = needed - out_cols
+    if missing:
+        raise ValueError(
+            f"route {name!r}: mapping spec must emit the merge envelope — "
+            f"missing {sorted(missing)} (op, seq, and the destination key "
+            f"columns {route.table.key_cols()})"
+        )
+
+
+def merge_routes(
+    spark: SparkSession,
+    routes: dict[str, Route],
+    batch_df: DataFrame,
+    *,
+    epoch: int,
+    query_prefix: str = "route",
+    src_offsets: tuple[int, int] | None = None,
+) -> dict[str, MergeStats]:
+    """Apply one micro-batch to every route, exactly-once per route.
+
+    The batch is persisted once and each route's filter + mapping +
+    merge runs against the cached plan — the source is scanned at most
+    once per epoch regardless of route count. Routes whose epoch already
+    committed (crash replay) skip on their own markers."""
+    for name, r in routes.items():
+        _validate_route(name, r)
+    cached = batch_df.persist()
+    out: dict[str, MergeStats] = {}
+    try:
+        for name, r in routes.items():
+            part = cached
+            if r.predicate is not None:
+                part = part.filter(r.predicate)
+            if r.mapping is not None:
+                part = compile_mapping(part, r.mapping)
+            out[name] = merge_into(
+                spark,
+                r.table,
+                part,
+                query_id=f"{query_prefix}:{name}",
+                epoch=epoch,
+                mode=r.mode,
+                salt_buckets=r.salt_buckets,
+                dedupe_strategy=r.dedupe_strategy,
+                src_offsets=src_offsets,
+            )
+    finally:
+        cached.unpersist()
+    return out
+
+
+def run_ingest_routed(
+    spark: SparkSession,
+    log_dir: str,
+    routes: dict[str, Route],
+    checkpoint_dir: str,
+    *,
+    query_id: str = "routed",
+    max_files_per_trigger: int = 8,
+    schema=None,
+    timeout_sec: int | None = None,
+    compact_every: int | None = None,
+    on_epoch: Callable[[int, dict[str, MergeStats]], None] | None = None,
+) -> RoutedIngestReport:
+    """Streaming fan-out: rate-limited file tail -> foreachBatch ->
+    merge_routes. availableNow drains the backlog and stops. Per-route
+    incremental compaction keeps every destination's delta backlog
+    bounded (same policy as run_ingest)."""
+    from .ingest import CHANGELOG_SCHEMA
+
+    report = RoutedIngestReport()
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = merge_routes(
+            spark, routes, batch_df, epoch=epoch_id, query_prefix=query_id
+        )
+        report.epochs.append(stats)
+        if on_epoch is not None:
+            on_epoch(epoch_id, stats)
+        if compact_every and len(report.epochs) % compact_every == 0:
+            from ..operators.merge import compact, select_compaction_candidates
+
+            for r in routes.values():
+                cands = select_compaction_candidates(r.table)
+                if cands:
+                    compact(spark, r.table, buckets=cands)
+
+    src = (
+        spark.readStream.schema(schema or CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{log_dir}/seg-*.parquet")
+    )
+    q = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_id)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+    return report

@@ -58,8 +58,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from forklift_spark.session import get_spark
     from harness.queries import EXTRA_ORACLES, EXTRA_QUERIES, ORACLES, QUERIES
@@ -77,33 +83,52 @@ def main():
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM parquet_scan('{p}')")
 
     n_ok = n_bad = n_rows_only = 0
+    records = {}
     for name, fn in all_queries.items():
         if only and name not in only:
             continue
+        extra = name in EXTRA_QUERIES
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            records[name] = {"status": "fail", "extra": extra,
+                             "err": f"spark {type(e).__name__}"}
             n_bad += 1
             continue
         if name not in all_oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
+            records[name] = {"status": "rows_only", "extra": extra, "rows": len(sdf)}
             n_rows_only += 1
             continue
         try:
             odf = con.execute(all_oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            records[name] = {"status": "fail", "extra": extra,
+                             "err": f"duckdb {type(e).__name__}"}
             n_bad += 1
             continue
         problems = compare(name, sdf, odf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            records[name] = {"status": "fail", "extra": extra,
+                             "err": "; ".join(problems)}
             n_bad += 1
         else:
             print(f"ok    {name}: {len(sdf)} rows")
+            records[name] = {"status": "ok", "extra": extra, "rows": len(sdf)}
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed, {n_rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf, "ok": n_ok, "failed": n_bad,
+                 "rows_only": n_rows_only, "queries": records},
+                f, indent=1,
+            )
     sys.exit(1 if n_bad else 0)
 
 
