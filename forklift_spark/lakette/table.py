@@ -693,8 +693,9 @@ class LaketteTable:
             for pair in sorted(my_pairs):
                 entries = carried.get(pair, []) + by_pair_new.get(pair, [])
                 key = f"{pair[0]}:{pair[1]}"
-                if pair[0] == n0:
-                    refs.pop(str(pair[1]), None)  # retire any legacy-form key
+                # (a legacy plain-form key for this pair cannot be in refs:
+                # the carry loop above only kept keys whose pair is NOT in
+                # my_pairs, so touched pairs always re-key spec-qualified)
                 if entries:
                     refs[key] = self._write_manifest(pair, entries)
                 else:

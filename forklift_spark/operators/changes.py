@@ -33,18 +33,24 @@ def diff_frames(
     payload_cols: list[str] | None = None,
     *,
     full_rows: bool = False,
-    missing_as_delete: bool = False,
+    repair: bool = False,
 ) -> DataFrame:
     """Row-level change set turning `old` into `new` — the join core shared
     by snapshot_diff (two versions of one table) and replicate's resync
     path (two DIFFERENT tables whose histories diverged past vacuum).
 
     Both frames carry key cols + payload cols + seq + deleted (snapshot
-    include_deleted=True shape). `missing_as_delete=True` additionally
-    emits a delete for keys live in `old` but entirely ABSENT from `new`
-    (with seq = old.seq + 1, so the delete wins LWW downstream) — a state
-    that never occurs between two versions of one table, but does when
-    resyncing a replica whose source expired history."""
+    include_deleted=True shape).
+
+    `repair=True` is the resync shape (old = the diverged replica, new =
+    the source of truth): an update is emitted whenever the seq OR the
+    content_sha differs (a diverged replica can disagree at the SAME seq,
+    which the version-diff classifier would miss), keys live in `old` but
+    entirely absent from `new` come out as deletes with seq 0 (a tombstone
+    floor any future source event outranks), and emitted seqs are the
+    SOURCE's — the caller applies the result with merge_into(
+    overwrite=True), which forces the replica to the source's exact rows
+    and seqs regardless of how high the rogue writes' seqs were."""
     o = old.alias("o")
     n = new.alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
@@ -53,15 +59,34 @@ def diff_frames(
     o_live = F.col("o.seq").isNotNull() & ~F.coalesce(F.col("o.deleted"), F.lit(False))
     n_live = F.col("n.seq").isNotNull() & ~F.coalesce(F.col("n.deleted"), F.lit(False))
     n_tomb = F.col("n.seq").isNotNull() & F.coalesce(F.col("n.deleted"), F.lit(False))
-    change = (
-        F.when(~o_live & n_live, F.lit("insert"))
-        .when(o_live & n_tomb, F.lit("delete"))
-        .when(o_live & n_live & (F.col("n.seq") != F.col("o.seq")), F.lit("update"))
-    )
-    seq = F.col("n.seq")
-    if missing_as_delete:
-        change = change.when(o_live & F.col("n.seq").isNull(), F.lit("delete"))
-        seq = F.coalesce(F.col("n.seq"), F.col("o.seq") + F.lit(1))
+    if repair:
+        # state-based: emit whenever the replica's physical key state
+        # (seq, tombstone flag, content) differs from the source's in ANY
+        # way — including same-seq payload divergence and tombstone-seq
+        # drift, which a version-diff classifier has no reason to handle
+        o_exists = F.col("o.seq").isNotNull()
+        n_exists = F.col("n.seq").isNotNull()
+        same = (
+            F.col("o.seq").eqNullSafe(F.col("n.seq"))
+            & F.coalesce(F.col("o.deleted"), F.lit(False)).eqNullSafe(
+                F.coalesce(F.col("n.deleted"), F.lit(False))
+            )
+            & F.col("o.content_sha").eqNullSafe(F.col("n.content_sha"))
+        )
+        change = F.when(
+            n_exists & (~o_exists | ~same),
+            F.when(n_tomb, F.lit("delete"))
+            .when(o_live, F.lit("update"))
+            .otherwise(F.lit("insert")),
+        ).when(o_exists & ~n_exists, F.lit("delete"))
+        seq = F.coalesce(F.col("n.seq"), F.lit(0).cast("long"))
+    else:
+        change = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(o_live & n_tomb, F.lit("delete"))
+            .when(o_live & n_live & (F.col("n.seq") != F.col("o.seq")), F.lit("update"))
+        )
+        seq = F.col("n.seq")
 
     cols = [
         change.alias("change"),

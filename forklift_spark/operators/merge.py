@@ -202,8 +202,17 @@ def merge_into(
     mode: str = "cow",
     dedupe_in_batch: bool = True,
     dedupe_strategy: str = "agg",
+    overwrite: bool = False,
 ) -> MergeStats:
     """Apply one micro-batch of change events transactionally.
+
+    `overwrite=True` suspends the LWW guard for matched keys: every
+    incoming row is taken regardless of the existing row's seq. This is
+    the REPAIR primitive (replicate's resync uses it to force a diverged
+    replica back to the source's exact rows and seqs) — not an ingest
+    mode; confluence does not hold under it, and it requires mode="cow"
+    (merge-on-read resolves reads by max-seq, which cannot express an
+    unconditional overwrite).
 
     Batch envelope: key cols + payload cols + `op` ('I'/'U'/'D') + `seq`,
     plus optional evolved columns. Semantics per key:
@@ -227,6 +236,11 @@ def merge_into(
     carries `seq` and LWW-max is associative — this is the
     Iceberg-v2-style high-throughput ingest path.
     """
+    if overwrite and mode != "cow":
+        raise ValueError(
+            "overwrite=True requires mode='cow': merge-on-read resolves "
+            "reads by max seq and cannot express an unconditional overwrite"
+        )
     stats = MergeStats(epoch=epoch, salt_buckets=salt_buckets)
     t_start = time.monotonic()
 
@@ -331,8 +345,11 @@ def merge_into(
         cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}")) for k in key_cols]
         joined = e.join(b, cond, "full_outer")
 
-        take_b = F.col("b.seq").isNotNull() & (
-            F.col("e.seq").isNull() | (F.col("b.seq") > F.col("e.seq"))
+        take_b = (
+            F.col("b.seq").isNotNull()
+            if overwrite
+            else F.col("b.seq").isNotNull()
+            & (F.col("e.seq").isNull() | (F.col("b.seq") > F.col("e.seq")))
         )
         sel = [F.coalesce(F.col(f"b.{k}"), F.col(f"e.{k}")).alias(k) for k in key_cols]
         for c in payload_cols:
@@ -448,7 +465,7 @@ def _merge_mor(
         max_rows_per_file=meta.get("target_file_rows"),
     )
     stats.batch_rows = _obs_count(obs_in, "rows_in")
-    stats.applied_rows = stats.rows_rewritten = int(obs.get.get("rows") or 0)
+    stats.applied_rows = stats.rows_rewritten = _obs_count(obs, "rows")
     stats.touched_buckets = len({f["bucket"] for f in new_files})
 
     commit = table.commit_version(

@@ -81,12 +81,15 @@ def last_replicated_version(dst: LaketteTable, replication_id: str) -> int | Non
     return best
 
 
-def _payload_cols(table: LaketteTable) -> list[str]:
-    keys = set(table.key_cols())
+def _payload_cols(meta: dict) -> list[str]:
+    """Payload columns of a PINNED metadata dict — never the live table
+    (the source can evolve between our snapshot read and this call, and
+    selecting a column the pinned frame lacks is an analysis error)."""
+    keys = set(meta["key_cols"])
     return [
-        f.name
-        for f in table.schema().fields
-        if f.name not in keys and f.name not in META_COL_NAMES
+        f["name"]
+        for f in meta["schema"]["fields"]
+        if f["name"] not in keys and f["name"] not in META_COL_NAMES
     ]
 
 
@@ -146,7 +149,7 @@ def replicate(
             n_buckets=int(n_buckets or src_meta["n_buckets"]),
             target_file_rows=src_meta.get("target_file_rows"),
         )
-    payload = _payload_cols(src)
+    payload = _payload_cols(src_meta)
     report = ReplicationReport(src_version=target_v)
 
     last = last_replicated_version(dst, replication_id)
@@ -179,12 +182,17 @@ def replicate(
         spans = None  # vacuumed past the replica — repair below
 
     if spans is None:
+        # REPAIR epoch: state-based diff (catches same-seq payload
+        # divergence and tombstone drift) applied with overwrite=True, so
+        # the replica is forced to the source's exact rows AND seqs no
+        # matter how high an out-of-band write's seq was. Overwrite
+        # requires the COW path regardless of the steady-state mode.
         report.resync = True
         src_snap = src.snapshot(spark, include_deleted=True, metadata=src_meta)
         dst_snap = dst.snapshot(spark, include_deleted=True)
         diff = diff_frames(
             dst_snap, src_snap, key_cols, payload,
-            full_rows=True, missing_as_delete=True,
+            full_rows=True, repair=True,
         )
         report.applied_epochs.append(
             merge_into(
@@ -193,7 +201,8 @@ def replicate(
                 _events_from_diff(diff, payload, key_cols),
                 query_id=replication_id,
                 epoch=target_v,
-                mode=mode,
+                mode="cow",
+                overwrite=True,
             )
         )
         return report
@@ -202,11 +211,17 @@ def replicate(
         if dst.epoch_committed(replication_id, hi):
             continue  # a crashed previous run already landed this span
         diff = snapshot_diff(spark, src, lo, hi, full_rows=True)
+        # the span's diff is emitted under metadata_at(hi)'s schema, which
+        # may predate later source evolutions — select what it carries
+        span_payload = [
+            c for c in diff.columns
+            if c not in ("change", "seq", "content_sha") and c not in key_cols
+        ]
         report.applied_epochs.append(
             merge_into(
                 spark,
                 dst,
-                _events_from_diff(diff, payload, key_cols),
+                _events_from_diff(diff, span_payload, key_cols),
                 query_id=replication_id,
                 epoch=hi,
                 mode=mode,

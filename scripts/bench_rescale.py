@@ -129,7 +129,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed-events", type=int, default=4_000_000)
     ap.add_argument("--upd-events", type=int, default=200_000)
-    ap.add_argument("--upd-epochs", type=int, default=10)
+    ap.add_argument("--upd-epochs", type=int, default=10)  # min 2 (grow happens mid-run)
     ap.add_argument("--workdir", default="/tmp/fk_rescale_bench")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     ap.add_argument("--out", default=os.path.join("BENCH", "RESCALE.md"))
@@ -142,6 +142,8 @@ def main():
         verify_state,
     )
 
+    if args.upd_epochs < 2:
+        ap.error("--upd-epochs must be >= 2 (the grow step happens mid-run)")
     os.makedirs(args.workdir, exist_ok=True)
     log_dir = gen_log(args.workdir, args.seed_events, args.upd_events, args.upd_epochs)
     spark = get_spark(

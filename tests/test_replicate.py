@@ -149,16 +149,28 @@ def test_replicate_schema_evolution_flows_through(spark, tmp_path):
 
 
 def test_replicate_resync_after_vacuum(spark, tmp_path):
-    """Source vacuumed past the replica's offset -> resync repairs the
-    replica, including deleting an out-of-band key the source never had."""
+    """Source vacuumed past the replica's offset -> resync repairs EVERY
+    divergence mode: an out-of-band key the source never had, an existing
+    key overwritten at a HIGHER seq than the source's (plain LWW could
+    never win that back — the repair epoch applies with overwrite), and a
+    rogue high-seq tombstone of a live source key."""
     src = _build_src(spark, tmp_path, epochs=1)
     dst_root = str(tmp_path / "dst")
     replicate(spark, src, dst_root, replication_id="r")
     dst = LaketteTable(dst_root)
 
-    # out-of-band write to the replica (operator error) — resync must undo it
+    # out-of-band writes to the replica (operator error):
+    victims = (
+        dst.snapshot(spark).select("repo", "path").orderBy("repo", "path").take(2)
+    )
     rogue = spark.createDataFrame(
-        [("I", 999, "rogue", "x.txt", None, "py", "oops")],
+        [
+            ("I", 999_999_999, "rogue", "x.txt", None, "py", "oops"),  # extra key
+            ("U", 999_999_998, victims[0].repo, victims[0].path, None, "py",
+             "rogue-overwrite"),  # higher-seq payload divergence
+            ("D", 999_999_997, victims[1].repo, victims[1].path, None, None,
+             None),  # higher-seq rogue tombstone
+        ],
         "op string, seq long, repo string, path string, commit string, "
         "lang string, content string",
     )
@@ -197,3 +209,31 @@ def test_merge_empty_batch_is_a_clean_noop_epoch(spark, tmp_path):
         assert (stats.batch_rows, stats.applied_rows) == (0, 0)
         assert src.epoch_committed("quiet", epoch)
     assert _state(spark, src) == before
+
+
+def test_every_version_across_schema_evolution(spark, tmp_path):
+    """Per-version mirroring across a source schema evolution: the span
+    BEFORE the evolving commit is emitted under the pre-evolution schema
+    (payload comes from the span's own columns, never the live schema)."""
+    src = _build_src(spark, tmp_path, epochs=1)
+    dst_root = str(tmp_path / "dst")
+    replicate(spark, src, dst_root, replication_id="r")
+
+    plain = spark.createDataFrame(
+        [("U", 5_000_000, "repo0", "plain.txt", None, "py", "pre-evo")],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    merge_into(spark, src, plain, query_id="pe", epoch=0)
+    evolved = spark.createDataFrame(
+        [("U", 6_000_000, "repo0", "evolved.txt", None, "py", "post-evo", 7)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, size_bytes long",
+    )
+    merge_into(spark, src, evolved, query_id="pe", epoch=1)
+
+    r = replicate(spark, src, dst_root, replication_id="r", every_version=True)
+    assert len(r.applied_epochs) == 2
+    dst = LaketteTable(dst_root)
+    assert "size_bytes" in [f.name for f in dst.user_schema().fields]
+    assert _state(spark, dst) == _state(spark, src)
