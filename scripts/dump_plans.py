@@ -109,6 +109,36 @@ def main() -> None:
         "lineitem-orders-customer chain; no CartesianProduct.",
     )
 
+    # 8. replication span diff (r3): the change feed between two versions
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from forklift_spark.operators.changes import snapshot_diff
+    from forklift_spark.operators.merge import merge_into
+    from forklift_spark.streaming.ingest import create_entity_table
+
+    root = os.path.join(_tempfile.gettempdir(), "fk_plans_diff")
+    _shutil.rmtree(root, ignore_errors=True)
+    t = create_entity_table(root, n_buckets=8)
+    seed = docs.limit(500).selectExpr(
+        "'I' as op", "seq", "repo", "path",
+        "cast(null as string) as commit", "cast(null as string) as lang",
+        "content",
+    )
+    merge_into(spark, t, seed, query_id="plans", epoch=0)
+    upd = seed.limit(40).withColumn("seq", F.col("seq") + F.lit(10_000_000))
+    merge_into(spark, t, upd, query_id="plans", epoch=1)
+    add(
+        "Replication span diff (snapshot_diff full_rows, r3)",
+        snapshot_diff(spark, t, 2, 3, full_rows=True),
+        "Expect: ONE full-outer SortMergeJoin on the key; BOTH sides read "
+        "only the buckets whose immutable file sets changed between the "
+        "versions (driver-side pruning — the file list here is a strict "
+        "subset of the table), no Python on the row path. This is the whole "
+        "per-span plan of lake-to-lake replication: cost follows CHANGED "
+        "data, never table size.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "

@@ -143,6 +143,17 @@ def test_no_row_python_udf_in_any_harness_query(spark, sf_tiny):
         assert_no_row_python_udf(df, name)
 
 
+def test_no_row_python_udf_in_extra_queries(spark, sf_tiny):
+    """Same guard over the locally-gated extra queries (range-pruned scan,
+    replication, online rescale) — the r3 surface is held to the same bar."""
+    from harness.queries import EXTRA_QUERIES
+
+    assert EXTRA_QUERIES  # the extras exist
+    for name, fn in EXTRA_QUERIES.items():
+        df = fn(spark, sf_tiny)
+        assert_no_row_python_udf(df, name)
+
+
 def test_filter_pushdown_reaches_parquet(spark, sf_small):
     df = (
         spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
