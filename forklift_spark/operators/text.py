@@ -109,3 +109,36 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFr
         .agg(F.min("h").alias("fingerprint"))
         .select(F.col("_id").alias(id_col), "fingerprint")
     )
+
+
+#: PII patterns — deliberately restricted to syntax with IDENTICAL semantics
+#: in Java regex (Spark) and RE2 (DuckDB), so the oracle can replay the
+#: redaction: character classes, bounded repetition, \b word boundaries.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4s / phone-shaped
+    numbers with typed placeholders and count each redaction — pure JVM
+    `regexp_replace` / `regexp_extract_all` column expressions (no Python
+    on the row path; at 100 TB this is a map-only stage, no shuffle).
+    Patterns are a deterministic, oracle-replayable baseline — a
+    production scrub would layer ML NER behind the same interface."""
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}"),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        redacted.alias("redacted"),
+    )

@@ -244,3 +244,47 @@ def mm_features(spark, sf):
     extraction (real schema/batching; decode dims stubbed deterministically)."""
     media = mm.synth_media(spark, n=96)
     return mm.extract_media_features(media)
+
+
+# ------------------------------------------------------------ PII redaction
+
+_PII_SQL = r"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id::VARCHAR || '@example.com via 10.0.'
+              || (doc_id % 256)::VARCHAR || '.1 call 555-867-5309' AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM pii
+"""
+
+
+@q("text_pii_redact", _PII_SQL, extra=True)
+def text_pii_redact(spark, sf):
+    """Training-data PII scrub (operators/text.py pii_redact): documents get
+    deterministic synthetic PII appended (email + IPv4 + phone), then the
+    engine's pure-codegen regexp redaction must match DuckDB's RE2 replay
+    exactly — counts and redacted text both (the patterns are restricted to
+    the Java-regex/RE2 common subset on purpose)."""
+    from forklift_spark.operators.text import pii_redact
+
+    d = t(spark, sf, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-867-5309"),
+        ).alias("text"),
+    )
+    return pii_redact(pii, "text", "doc_id")
