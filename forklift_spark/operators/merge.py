@@ -522,6 +522,7 @@ def compact(
     table: LaketteTable,
     *,
     drop_tombstones: bool = False,
+    drop_tombstones_below: int | None = None,
     n_buckets: int | None = None,
     buckets: list[int] | None = None,
 ) -> dict:
@@ -529,6 +530,16 @@ def compact(
     small files). Tombstones are kept by default: they are what makes the
     merge confluent for events still in flight; drop them only when the
     source guarantees no event below the table's max seq will ever arrive.
+
+    `drop_tombstones_below=W` is the production retention contract: drop
+    ONLY tombstones whose seq < W, where W is the source's replay
+    watermark ("no event with seq < W will ever be delivered again" — a
+    Kafka low-water offset, a binlog purge position). Confluence is
+    preserved by construction: the only event a dropped tombstone could
+    still have to defeat carries seq below W, which the source just
+    promised never to send. This is what keeps a 10^10-event table's
+    tombstone population bounded; `drop_tombstones=True` is the
+    everything-version (W = infinity) for terminal/backfill use.
 
     `buckets` compacts ONLY those hash buckets (incremental compaction):
     reads, rewrites, and commit-replaces just that subset, so the I/O and
@@ -556,8 +567,11 @@ def compact(
             "compacted_buckets": 0,
         }
     snap = table.snapshot(spark, include_deleted=True, buckets=target, metadata=meta)
+    tomb = F.coalesce(F.col("deleted"), F.lit(False))
     if drop_tombstones:
-        snap = snap.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        snap = snap.filter(~tomb)
+    elif drop_tombstones_below is not None:
+        snap = snap.filter(~(tomb & (F.col("seq") < F.lit(int(drop_tombstones_below)))))
     merged = snap.withColumn("_bucket", table.bucket_expr(n_buckets=out_buckets))
     snapshot_id = meta["snapshot_id"] + 1
     # partition-local key sort (O2) inside the writer: compacted base files

@@ -153,3 +153,47 @@ def test_compact_writes_key_sorted_files(spark, log_dir, tmp_path):
         ).to_pandas()
         keys = list(zip(pdf["repo"], pdf["path"]))
         assert keys == sorted(keys), f["path"]
+
+
+def test_tombstone_watermark_retention(spark, tmp_path):
+    """drop_tombstones_below=W keeps the confluence contract exactly at the
+    boundary: tombstones below the source's replay watermark are dropped
+    (bounded tombstone population at 10^10 events), tombstones at/above it
+    survive and still defeat late in-flight events."""
+    from forklift_spark.operators.merge import compact, merge_into
+    from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA, create_entity_table
+
+    def rows(tups):
+        return [
+            {"op": op, "seq": seq, "repo": "r", "path": p, "commit": None,
+             "lang": "py", "content": c, "event_ts": None, "schema_ver": None}
+            for op, seq, p, c in tups
+        ]
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    merge_into(spark, table, spark.createDataFrame(rows([
+        ("I", 1, "old.py", "v1"),
+        ("I", 2, "new.py", "v1"),
+        ("I", 3, "live.py", "v1"),
+    ]), CHANGELOG_SCHEMA), query_id="w", epoch=0, mode="mor")
+    merge_into(spark, table, spark.createDataFrame(rows([
+        ("D", 10, "old.py", None),   # tombstone below the watermark
+        ("D", 100, "new.py", None),  # tombstone above it
+    ]), CHANGELOG_SCHEMA), query_id="w", epoch=1, mode="mor")
+
+    compact(spark, table, drop_tombstones_below=50)
+    phys = {
+        r.path: (r.seq, bool(r.deleted))
+        for r in table.snapshot(spark, include_deleted=True).collect()
+    }
+    assert "old.py" not in phys            # sub-watermark tombstone dropped
+    assert phys["new.py"] == (100, True)   # supra-watermark tombstone kept
+    assert phys["live.py"] == (3, False)
+
+    # a late event BELOW the kept tombstone's seq still loses (confluence);
+    # one below the watermark for the dropped key is contract-forbidden —
+    # the retention rule is exactly as strong as the source's promise
+    merge_into(spark, table, spark.createDataFrame(rows([
+        ("U", 60, "new.py", "late"),
+    ]), CHANGELOG_SCHEMA), query_id="w", epoch=2, mode="mor")
+    assert table.snapshot(spark).filter("path = 'new.py'").count() == 0
