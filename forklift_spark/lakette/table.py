@@ -422,6 +422,7 @@ class LaketteTable:
         key_range: tuple[str, str] | None = None,
         metadata: dict | None = None,
         version: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the current committed snapshot (or, with `version`, a past
         one — time travel; fails if vacuum() already collected its files).
@@ -432,11 +433,24 @@ class LaketteTable:
         both are driver-side planning from file-level metadata, no Spark
         job needed to plan the scan. Reading with the *current* schema
         makes pre-evolution files surface NULL for later-added columns.
-        """
+
+        `columns` restricts the PAYLOAD columns read (key + engine columns
+        always ride along; pass [] for keys-and-metadata only). This
+        matters beyond ordinary projection pushdown: the merge-on-read LWW
+        resolve packs every selected payload column into one
+        `max_by(struct(...))`, which Catalyst cannot prune INTO — a narrow
+        query over a wide dirty table would otherwise scan and shuffle the
+        full content bodies. Pruning here reaches the parquet scan."""
         if version is not None and metadata is None:
             metadata = self.metadata_at(version)
         meta = metadata or self.current_metadata()
         schema = T.StructType.fromJson(meta["schema"])
+        if columns is not None:
+            keep = set(meta["key_cols"]) | set(columns) | set(META_COL_NAMES)
+            unknown = set(columns) - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(f"unknown snapshot columns: {sorted(unknown)}")
+            schema = T.StructType([f for f in schema.fields if f.name in keep])
         files = self.plan_files(buckets=buckets, key_range=key_range, metadata=meta)
         # merge-on-read: buckets holding delta appends may carry several
         # versions of a key — resolve LWW (max seq) at read time, but ONLY

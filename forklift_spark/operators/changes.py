@@ -150,10 +150,18 @@ def snapshot_diff(
         for f in meta_new["schema"]["fields"]
         if f["name"] not in key_cols and f["name"] not in META_COL_NAMES
     ]
+    # the old side only ever contributes keys + engine columns (payload is
+    # emitted from the new side), and without full_rows neither side needs
+    # payload at all — prune at the SCAN, not after the LWW resolve, so a
+    # changelog over a wide table never shuffles content bodies
     old = table.snapshot(
-        spark, include_deleted=True, metadata=meta_old, buckets=buckets
+        spark, include_deleted=True, metadata=meta_old, buckets=buckets, columns=[]
     )
     new = table.snapshot(
-        spark, include_deleted=True, metadata=meta_new, buckets=buckets
+        spark,
+        include_deleted=True,
+        metadata=meta_new,
+        buckets=buckets,
+        columns=None if full_rows else [],
     )
     return diff_frames(old, new, key_cols, payload_cols, full_rows=full_rows)

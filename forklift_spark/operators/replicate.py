@@ -189,7 +189,8 @@ def replicate(
         # requires the COW path regardless of the steady-state mode.
         report.resync = True
         src_snap = src.snapshot(spark, include_deleted=True, metadata=src_meta)
-        dst_snap = dst.snapshot(spark, include_deleted=True)
+        # replica side: keys + engine columns suffice to detect divergence
+        dst_snap = dst.snapshot(spark, include_deleted=True, columns=[])
         diff = diff_frames(
             dst_snap, src_snap, key_cols, payload,
             full_rows=True, repair=True,

@@ -304,3 +304,64 @@ def test_legacy_untagged_files_stay_dirty_under_requires_dedup(spark, tmp_path):
 
     rows = table.snapshot(spark, metadata=doctored).collect()
     assert [(r.path, r.content) for r in rows] == [("a.py", "new")]  # LWW held
+
+
+# ------------------------------ column-pruned snapshot reads (r3)
+
+
+def test_snapshot_column_pruning_reaches_scan_through_lww(spark, tmp_path):
+    """snapshot(columns=[...]): the MOR dirty-side LWW packs payload into
+    one max_by(struct(...)) that Catalyst cannot prune INTO, so narrow
+    reads of a wide dirty table must prune at the SCAN — content never
+    read, never shuffled — while returning exactly the full read's values."""
+    from forklift_spark.plans.guards import assert_pruned_columns
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    events = _rows(
+        [("I", i, f"repo_{i % 5}", f"f{i}.py", f"body-{i}" * 50) for i in range(80)]
+    )
+    merge_into(spark, table, spark.createDataFrame(events, CHANGELOG_SCHEMA),
+               query_id="np", epoch=0, mode="mor")  # dirty: LWW on read
+
+    narrow = table.snapshot(spark, columns=["lang"])
+    assert_pruned_columns(narrow, "content", "commit")
+    assert set(narrow.columns) == {"repo", "path", "lang", "seq", "content_sha"}
+
+    full = {
+        (r.repo, r.path, r.lang, r.seq)
+        for r in table.snapshot(spark).select("repo", "path", "lang", "seq").collect()
+    }
+    got = {
+        (r.repo, r.path, r.lang, r.seq)
+        for r in narrow.select("repo", "path", "lang", "seq").collect()
+    }
+    assert got == full and len(got) == 80
+
+    with pytest.raises(ValueError, match="unknown snapshot columns"):
+        table.snapshot(spark, columns=["nope"])
+
+
+def test_snapshot_diff_never_reads_payload_without_full_rows(spark, tmp_path):
+    """cdc_changes-shape diffs only need keys + engine columns: both scan
+    sides must prune content (a changelog over a wide table ships no
+    bodies); full_rows=True keeps the new side wide, old side narrow."""
+    from forklift_spark.operators.changes import snapshot_diff
+    from forklift_spark.plans.guards import assert_pruned_columns
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    ins = _rows([("I", i, "r", f"f{i}.py", f"v{i}") for i in range(40)])
+    merge_into(spark, table, spark.createDataFrame(ins, CHANGELOG_SCHEMA),
+               query_id="d", epoch=0)
+    v1 = table.current_metadata()["version"]
+    upd = _rows([("U", 1000 + i, "r", f"f{i}.py", f"w{i}") for i in range(10)])
+    merge_into(spark, table, spark.createDataFrame(upd, CHANGELOG_SCHEMA),
+               query_id="d", epoch=1)
+    v2 = table.current_metadata()["version"]
+
+    slim = snapshot_diff(spark, table, v1, v2)
+    assert_pruned_columns(slim, "content")
+    assert slim.filter("change = 'update'").count() == 10
+
+    wide = snapshot_diff(spark, table, v1, v2, full_rows=True)
+    rows = {r.path: r.content for r in wide.collect()}
+    assert rows["f3.py"] == "w3"
