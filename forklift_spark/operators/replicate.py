@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lakette.table import META_COL_NAMES, LaketteTable
+from ..lakette.table import META_COL_NAMES, CommitConflictError, LaketteTable
 from .changes import diff_frames, snapshot_diff
 from .merge import MergeStats, merge_into
 
@@ -218,14 +218,22 @@ def replicate(
             c for c in diff.columns
             if c not in ("change", "seq", "content_sha") and c not in key_cols
         ]
-        report.applied_epochs.append(
-            merge_into(
-                spark,
-                dst,
-                _events_from_diff(diff, span_payload, key_cols),
-                query_id=replication_id,
-                epoch=hi,
-                mode=mode,
+        try:
+            report.applied_epochs.append(
+                merge_into(
+                    spark,
+                    dst,
+                    _events_from_diff(diff, span_payload, key_cols),
+                    query_id=replication_id,
+                    epoch=hi,
+                    mode=mode,
+                )
             )
-        )
+        except CommitConflictError:
+            # a TWIN replicator (double-fired cron, second mirror process)
+            # raced us past the marker check and won the commit — if ITS
+            # application of this span landed, ours is redundant, not an
+            # error; anything else really is a conflict
+            if not dst.epoch_committed(replication_id, hi):
+                raise
     return report

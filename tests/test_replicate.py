@@ -237,3 +237,38 @@ def test_every_version_across_schema_evolution(spark, tmp_path):
     dst = LaketteTable(dst_root)
     assert "size_bytes" in [f.name for f in dst.user_schema().fields]
     assert _state(spark, dst) == _state(spark, src)
+
+
+def test_twin_replicators_race_gracefully(spark, tmp_path):
+    """A double-fired mirror (two replicate() calls racing on the same
+    span) must not surface CommitConflictError: the loser observes the
+    twin's marker and treats the span as done. Final state exact either
+    way, applied exactly once."""
+    import threading
+
+    src = _build_src(spark, tmp_path, epochs=1)
+    dst_root = str(tmp_path / "dst")
+    replicate(spark, src, dst_root, replication_id="tw")
+    log2 = tmp_path / "logtw"
+    generate_changelog(
+        ChangelogSpec(n_events=700, n_repos=8, paths_per_repo=15, seed=25,
+                      seq_start=4_000_000),
+        str(log2),
+    )
+    df2 = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{log2}/seg-*.parquet")
+    merge_into(spark, src, df2, query_id="tw2", epoch=0)
+
+    errs = []
+
+    def _mirror():
+        try:
+            replicate(spark, src, dst_root, replication_id="tw")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=_mirror), threading.Thread(target=_mirror)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    dst = LaketteTable(dst_root)
+    assert _state(spark, dst) == _state(spark, src)
+    assert last_replicated_version(dst, "tw") == src.current_metadata()["version"]
