@@ -169,7 +169,22 @@ class LaketteTable:
             "writer": None,  # {"query_id": str, "epoch": int} of the committing merge
             "parent_version": None,
         }
-        _atomic_write_json(os.path.join(t.meta_dir, "v1.json"), meta)
+        # exclusive create: two processes racing to create the same table
+        # root must not silently reset each other (open_or_create's
+        # exists-then-create is TOCTOU without this — code-review r3)
+        try:
+            _atomic_write_json(
+                os.path.join(t.meta_dir, "v1.json"), meta, exclusive=True
+            )
+        except CommitConflictError:
+            if not os.path.exists(os.path.join(t.meta_dir, "CURRENT")):
+                # a twin's create crashed between v1.json and the CURRENT
+                # swap — finish it (v1 is a valid empty table) so open works
+                t._swap_current("v1.json")
+            raise CommitConflictError(
+                f"table already exists at {root} (v1.json present) — open it "
+                "instead of creating"
+            ) from None
         t._swap_current("v1.json")
         return t
 
@@ -775,15 +790,26 @@ class LaketteTable:
                 # points at the parent, so epoch_committed didn't gate the
                 # retry). The retry may reclaim it; the crashed attempt's
                 # data files become unreferenced orphans (vacuum's concern).
+                # Reclaiming must never clobber a LIVE committer that merely
+                # shares our writer stamp (twin replicators, two compacts
+                # from the same base — code-review r3): only reclaim when
+                # CURRENT provably never advanced to this version AND the
+                # file is old enough that no live writer can still be in
+                # the instants between its exclusive create and its swap.
+                import time as _time
+
                 try:
                     with open(path) as f:
                         orphan = json.load(f)
+                    orphan_age = _time.time() - os.path.getmtime(path)
                 except (OSError, json.JSONDecodeError):
-                    orphan = {}
+                    orphan, orphan_age = {}, 0.0
                 if (
                     writer is not None
                     and orphan.get("writer") == writer
                     and orphan.get("parent_version") == raw["version"]
+                    and self._raw_current()["version"] == raw["version"]
+                    and orphan_age > 60.0
                 ):
                     _atomic_write_json(path, new_meta)
                 else:
@@ -793,8 +819,6 @@ class LaketteTable:
                     # the CAS winner swaps CURRENT immediately after its
                     # exclusive create — give it a moment before concluding
                     # the racer crashed mid-commit (un-rebasable)
-                    import time as _time
-
                     advanced = False
                     deadline = _time.monotonic() + 2.0
                     while _time.monotonic() < deadline:
@@ -805,6 +829,18 @@ class LaketteTable:
                     if not advanced:
                         raise
                     continue  # reload + re-validate + rebase
+            # crash-window healing (code-review r3): this commit is about to
+            # overwrite the PREDECESSOR's writer stamp — if its exactly-once
+            # marker never got written (crash between its commit and marker),
+            # persist it now, or the stamp's replacement would re-open the
+            # predecessor epoch for replay (at-least-once regression).
+            prev_w = raw.get("writer")
+            if prev_w and prev_w.get("query_id") is not None:
+                mpath = self._marker_path(prev_w["query_id"], int(prev_w["epoch"]))
+                if not os.path.exists(mpath):
+                    self.write_epoch_marker(
+                        prev_w["query_id"], int(prev_w["epoch"]), raw["snapshot_id"]
+                    )
             self._swap_current(name)
             return TableCommit(new_meta["version"], new_meta["snapshot_id"])
 
@@ -908,6 +944,50 @@ class LaketteTable:
             "bucket_skew": round(counts[-1] / median, 2),
             "buckets": {b: per[b] for b in sorted(per)},
         }
+
+    # ------------------------------------------- operational-file retention
+
+    def expire_epochs(self, *, keep_last: int = 1000) -> dict[str, int]:
+        """Retention for per-epoch operational files (code-review r3): a
+        continuous ingest writes one marker + one lineage parquet + one
+        metrics record per epoch forever; this removes all three for
+        epochs below (max epoch - keep_last) per query_id.
+
+        Safety contract: an expired marker re-opens that epoch for replay,
+        so call this only with `keep_last` comfortably above the deepest
+        replay your checkpoint can demand (Spark replays at most the last
+        uncommitted micro-batch; keep_last=1000 is three orders of
+        magnitude of slack). Same watermark reasoning as
+        compact(drop_tombstones_below=...)."""
+        removed = {"markers": 0, "lineage": 0, "metrics": 0}
+        if not os.path.isdir(self.epochs_dir):
+            return removed
+        for qid in sorted(os.listdir(self.epochs_dir)):
+            qdir = os.path.join(self.epochs_dir, qid)
+            if not os.path.isdir(qdir):
+                continue
+            epochs = sorted(
+                int(f[:-5])
+                for f in os.listdir(qdir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            )
+            if not epochs:
+                continue
+            cutoff = epochs[-1] - max(1, keep_last) + 1  # keep this many newest
+            for e in epochs:
+                if e >= cutoff:
+                    break
+                os.remove(os.path.join(qdir, f"{e}.json"))
+                removed["markers"] += 1
+                for d, kind, ext in (
+                    (self.lineage_dir, "lineage", "parquet"),
+                    (self.metrics_dir, "metrics", "json"),
+                ):
+                    p = os.path.join(d, f"{qid}-{e:09d}.{ext}")
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed[kind] += 1
+        return removed
 
     # ---------------------------------------------------------------- vacuum
 

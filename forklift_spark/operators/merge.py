@@ -87,6 +87,12 @@ def lww_dedupe(
     the order key is a total order per key — the engine's contract.
     """
     if prefilter:
+        if count_col:
+            raise ValueError(
+                "count_col is not supported with prefilter: the survivor "
+                "argmax would count only duplicate deliveries of winners, "
+                "not all input events (the skew signal would be wrong)"
+            )
         winners = df.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
         survivors = df.join(winners, [*key_cols, order_col], "left_semi")
         return lww_dedupe(survivors, key_cols, order_col, salt_buckets=salt_buckets)
@@ -251,8 +257,20 @@ def merge_into(
         if not os.path.exists(table._marker_path(query_id, epoch)) and (
             w.get("query_id") == query_id and w.get("epoch") == epoch
         ):
-            # crash happened between metadata commit and marker write
+            # crash happened between metadata commit and marker write —
+            # repair the marker AND close the audit gap: the epoch's
+            # lineage/metrics records died with the crash, so write the
+            # fallback rows (partition -1, zero counts) rather than leave
+            # a committed epoch invisible to audits (code-review r3)
             table.write_epoch_marker(query_id, epoch, meta["snapshot_id"])
+            stats.snapshot_id = meta["snapshot_id"]
+            stats.version = meta["version"]
+            lpath = os.path.join(table.lineage_dir, f"{query_id}-{epoch:09d}.parquet")
+            if not os.path.exists(lpath):
+                _write_lineage(
+                    table, query_id, epoch, meta["snapshot_id"], [], stats, None
+                )
+                _write_metrics(table, query_id, stats)
         stats.skipped = True
         return stats
 
@@ -436,9 +454,15 @@ def _merge_mor(
     the physical row shape (deletes become tombstone rows) and append it as
     bucket-partitioned delta files. No snapshot read, no join, no rewrite."""
     key_cols = table.key_cols()
+    types = {f.name: f.dataType for f in new_schema.fields}
     sel = [F.col(k) for k in key_cols]
     for c in payload_cols:
-        sel.append((F.col(c) if c in batch.columns else F.lit(None)).alias(c))
+        # a batch missing an evolved column must emit a TYPED null — an
+        # untyped F.lit(None) writes a null-typed parquet column that the
+        # table's declared type cannot read back (code-review r3)
+        sel.append(
+            (F.col(c) if c in batch.columns else F.lit(None).cast(types[c])).alias(c)
+        )
     sel.append(F.col("seq"))
     sel.append(
         (F.sha2(F.col("content"), 256) if "content" in batch.columns else F.lit(None).cast("string")).alias("content_sha")

@@ -142,13 +142,16 @@ def replicate(
     if LaketteTable.exists(dst_root):
         dst = LaketteTable(dst_root)
     else:
-        dst = LaketteTable.create(
-            dst_root,
-            src.user_schema(),
-            key_cols,
-            n_buckets=int(n_buckets or src_meta["n_buckets"]),
-            target_file_rows=src_meta.get("target_file_rows"),
-        )
+        try:
+            dst = LaketteTable.create(
+                dst_root,
+                src.user_schema(),
+                key_cols,
+                n_buckets=int(n_buckets or src_meta["n_buckets"]),
+                target_file_rows=src_meta.get("target_file_rows"),
+            )
+        except CommitConflictError:
+            dst = LaketteTable(dst_root)  # a twin mirror created it first
     payload = _payload_cols(src_meta)
     report = ReplicationReport(src_version=target_v)
 

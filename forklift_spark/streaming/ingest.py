@@ -71,7 +71,13 @@ def create_entity_table(
 def open_or_create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
     if LaketteTable.exists(root):
         return LaketteTable(root)
-    return create_entity_table(root, n_buckets=n_buckets)
+    from ..lakette.table import CommitConflictError
+
+    try:
+        return create_entity_table(root, n_buckets=n_buckets)
+    except CommitConflictError:
+        # lost the create race to a twin process — its table is ours too
+        return LaketteTable(root)
 
 
 @dataclass
@@ -121,10 +127,11 @@ def run_ingest(
     dedupe_strategy: str = "agg",
     compact_every: int | None = None,
     drop_dup_within_watermark: str | None = None,
-) -> IngestReport:
+) -> "IngestReport | tuple[IngestReport, object]":
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
-    available_now=False and manage the returned query yourself.
+    available_now=False and the return value is (report, StreamingQuery):
+    manage the query lifecycle yourself.
 
     source="file" uses Spark's file stream source (maxFilesPerTrigger rate
     limit); source="wal_tail" uses the engine's pure-Python offset-tracked
@@ -145,6 +152,15 @@ def run_ingest(
     identical for any salt count)."""
     report = IngestReport()
     adaptive_salt = salt_buckets == "auto"
+    if adaptive_salt and dedupe_strategy == "prefilter":
+        # the skew signal rides the agg-dedupe's free per-key count; the
+        # prefilter strategy has no such count, so 'auto' would silently
+        # never engage (code-review r3) — fail loudly instead
+        raise ValueError(
+            "salt_buckets='auto' requires dedupe_strategy='agg': the "
+            "events-per-key skew signal rides the agg dedupe; pass an "
+            "explicit salt_buckets int with prefilter"
+        )
     current_salt: int | None = None if adaptive_salt else salt_buckets  # type: ignore[assignment]
 
     dead_letter_dir: str | None = None
@@ -296,7 +312,18 @@ def run_ingest(
             )
     else:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+        if timeout_sec:
+            if not q.awaitTermination(timeout_sec):
+                # never return a silently-partial replay (same contract as
+                # the wal_tail drain above) — callers assert sha-exact
+                # state afterwards and must see the timeout
+                q.stop()
+                raise TimeoutError(
+                    f"availableNow drain timed out after {timeout_sec}s "
+                    f"({len(report.epochs)} epochs applied)"
+                )
+        else:
+            q.awaitTermination()
     return report
 
 
@@ -358,22 +385,30 @@ def verify_state(
 
     `expected` carries key cols + content (+ optionally seq). Returns dict
     with counts; `ok` iff both anti-joins are empty and all hashes match."""
+    # presence is tracked with dedicated markers, NOT null content_sha —
+    # a legitimate row with NULL content hashes to NULL on both sides and
+    # must verify as a match, not as missing+extra (code-review r3)
     snap = table.snapshot(spark).select(
-        *KEY_COLS, F.col("content_sha"), F.col("seq").alias("_snap_seq")
+        *KEY_COLS,
+        F.col("content_sha"),
+        F.col("seq").alias("_snap_seq"),
+        F.lit(True).alias("_snap_present"),
     )
     exp = expected.select(
-        *KEY_COLS, F.sha2(F.col(content_col), 256).alias("_exp_sha")
+        *KEY_COLS,
+        F.sha2(F.col(content_col), 256).alias("_exp_sha"),
+        F.lit(True).alias("_exp_present"),
     )
     j = snap.join(exp, KEY_COLS, "full_outer")
     agg = j.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.col("content_sha").isNull(), 1).otherwise(0)).alias("missing"),
-        F.sum(F.when(F.col("_exp_sha").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(F.when(F.col("_snap_present").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("_exp_present").isNull(), 1).otherwise(0)).alias("extra"),
         F.sum(
             F.when(
-                F.col("content_sha").isNotNull()
-                & F.col("_exp_sha").isNotNull()
-                & (F.col("content_sha") != F.col("_exp_sha")),
+                F.col("_snap_present").isNotNull()
+                & F.col("_exp_present").isNotNull()
+                & ~F.col("content_sha").eqNullSafe(F.col("_exp_sha")),
                 1,
             ).otherwise(0)
         ).alias("sha_mismatch"),

@@ -141,7 +141,9 @@ def test_concurrent_commit_loses_cleanly(spark, tmp_path):
 
 def test_own_orphan_metadata_is_reclaimed(spark, tmp_path):
     """Crash between version-file write and CURRENT swap: the SAME writer's
-    retry may reclaim its orphan instead of self-conflicting."""
+    retry may reclaim its orphan instead of self-conflicting — but ONLY
+    once the orphan is old enough that no live committer sharing the
+    writer stamp (a twin) can still be mid-swap (code-review r3)."""
     table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
     meta = table.current_metadata()
     me = {"query_id": "me", "epoch": 7}
@@ -151,8 +153,18 @@ def test_own_orphan_metadata_is_reclaimed(spark, tmp_path):
         "parent_version": meta["version"],
         "writer": me,
     }
-    with open(os.path.join(table.meta_dir, f"v{meta['version'] + 1}.json"), "w") as f:
+    opath = os.path.join(table.meta_dir, f"v{meta['version'] + 1}.json")
+    with open(opath, "w") as f:
         json.dump(orphan, f)
+
+    # a YOUNG same-writer file could be a live twin an instant before its
+    # CURRENT swap — reclaiming would clobber its acknowledged commit
+    with pytest.raises(CommitConflictError):
+        table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
+
+    # age it past the grace window: now provably a crashed attempt
+    old = os.path.getmtime(opath) - 120
+    os.utime(opath, (old, old))
     commit = table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
     assert commit.version == meta["version"] + 1
     assert table.current_metadata()["writer"] == me
