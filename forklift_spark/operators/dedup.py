@@ -22,6 +22,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: DataFrames persisted by the pair operators (their plans reference the
+#: shingle/signature sets several times; uncached they would recompute the
+#: explosion per reference). A long-running pipeline that runs these per
+#: corpus slice should call release_caches() after materializing each
+#: slice's results — caches otherwise pin executor storage until eviction
+#: (code-review r3).
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _cached(df: DataFrame) -> DataFrame:
+    c = df.cache()
+    _ACTIVE_CACHES.append(c)
+    return c
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame the dedup operators cached; returns the
+    count released. Safe anytime — results already materialized stay valid,
+    unmaterialized plans recompute."""
+    n = 0
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """One representative (min id) per distinct content value.
@@ -106,7 +131,7 @@ def shingle_jaccard_pairs(
             sh.join(F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df)),
                     "shingle", "left_anti")
         )
-    sh = sh.cache()
+    sh = _cached(sh)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -155,11 +180,17 @@ def minhash_lsh_pairs(
     banding a map, candidate generation one self-join per band-bucket (docs
     only meet inside a bucket), verification re-joins candidate ids to the
     (much smaller) shingle sets."""
+    if not (1 <= bands <= n_hashes) or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide n_hashes (got n_hashes={n_hashes}, "
+            f"bands={bands}): a non-divisor silently drops trailing hash "
+            "functions and changes the LSH recall curve"
+        )
     rows_per_band = n_hashes // bands
     if shingle_kind == "word":
-        sh = word_shingles(df, content_col, id_col, ngram_n).cache()
+        sh = _cached(word_shingles(df, content_col, id_col, ngram_n))
     else:
-        sh = char_shingles(df, content_col, id_col, k).cache()
+        sh = _cached(char_shingles(df, content_col, id_col, k))
     sig = minhash_signatures(sh, n_hashes)
 
     band_cols = []
@@ -237,7 +268,7 @@ def simhash_pairs(
     chunk equality (any pair within hamming<=3 of a chunk-width share a
     chunk; wider distances trade recall for scale, as published SimHash
     dedup systems do)."""
-    sh = simhash(df, content_col, id_col).cache()
+    sh = _cached(simhash(df, content_col, id_col))
     chunks = sh.select(
         "_id",
         "simhash",

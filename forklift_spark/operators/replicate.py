@@ -155,6 +155,25 @@ def replicate(
     payload = _payload_cols(src_meta)
     report = ReplicationReport(src_version=target_v)
 
+    def _apply(batch: DataFrame, epoch: int, *, mode_: str, overwrite: bool = False):
+        """merge_into with twin tolerance: if a TWIN replicator (double-
+        fired cron, second mirror process) raced us past the marker check
+        and won the commit, OUR application of the epoch is redundant —
+        re-enter merge_into, which skips on the twin's marker. Anything
+        else is a genuine conflict."""
+        try:
+            return merge_into(
+                spark, dst, batch, query_id=replication_id, epoch=epoch,
+                mode=mode_, overwrite=overwrite,
+            )
+        except CommitConflictError:
+            if not dst.epoch_committed(replication_id, epoch):
+                raise
+            return merge_into(
+                spark, dst, batch, query_id=replication_id, epoch=epoch,
+                mode=mode_, overwrite=overwrite,
+            )
+
     last = last_replicated_version(dst, replication_id)
     if last is None:
         # initial sync: the whole current snapshot as one idempotent epoch
@@ -164,11 +183,7 @@ def replicate(
             payload,
             key_cols,
         )
-        report.applied_epochs.append(
-            merge_into(
-                spark, dst, batch, query_id=replication_id, epoch=target_v, mode=mode
-            )
-        )
+        report.applied_epochs.append(_apply(batch, target_v, mode_=mode))
         return report
     if last >= target_v:
         report.src_version = last
@@ -199,13 +214,10 @@ def replicate(
             full_rows=True, repair=True,
         )
         report.applied_epochs.append(
-            merge_into(
-                spark,
-                dst,
+            _apply(
                 _events_from_diff(diff, payload, key_cols),
-                query_id=replication_id,
-                epoch=target_v,
-                mode="cow",
+                target_v,
+                mode_="cow",
                 overwrite=True,
             )
         )
@@ -221,22 +233,7 @@ def replicate(
             c for c in diff.columns
             if c not in ("change", "seq", "content_sha") and c not in key_cols
         ]
-        try:
-            report.applied_epochs.append(
-                merge_into(
-                    spark,
-                    dst,
-                    _events_from_diff(diff, span_payload, key_cols),
-                    query_id=replication_id,
-                    epoch=hi,
-                    mode=mode,
-                )
-            )
-        except CommitConflictError:
-            # a TWIN replicator (double-fired cron, second mirror process)
-            # raced us past the marker check and won the commit — if ITS
-            # application of this span landed, ours is redundant, not an
-            # error; anything else really is a conflict
-            if not dst.epoch_committed(replication_id, hi):
-                raise
+        report.applied_epochs.append(
+            _apply(_events_from_diff(diff, span_payload, key_cols), hi, mode_=mode)
+        )
     return report

@@ -17,6 +17,7 @@ Usage:
     df = (spark.readStream.format("wal_tail")
           .option("path", log_dir)
           .option("maxFilesPerBatch", 8)
+          .option("progressFile", ckpt + "/tail.hwm")  # offset mirror (required)
           .schema(CHANGELOG_SCHEMA)
           .load())
 """
@@ -37,10 +38,20 @@ class SegmentPartition(InputPartition):
         self.path = path
 
 
+def _seg_key(fn: str):
+    """NUMERIC segment ordering: offsets are indices into this listing, so
+    the order must stay stable when segment numbers outgrow the writer's
+    zero padding (seg-100000 sorts lexicographically BEFORE seg-99999 —
+    code-review r3). Non-numeric names sort after, lexicographically."""
+    stem = fn[4:-8]  # between 'seg-' and '.parquet'
+    return (0, int(stem), fn) if stem.isdigit() else (1, 0, fn)
+
+
 def _list_segments(path: str) -> list[str]:
-    """Committed log segments in commit order (lexicographic seg-NNNNN)."""
+    """Committed log segments in commit order (numeric seg-N)."""
     return sorted(
-        fn for fn in os.listdir(path) if fn.startswith("seg-") and fn.endswith(".parquet")
+        (fn for fn in os.listdir(path) if fn.startswith("seg-") and fn.endswith(".parquet")),
+        key=_seg_key,
     )
 
 
@@ -60,6 +71,16 @@ class WalTailStreamReader(DataSourceStreamReader):
             raise ValueError("wal_tail requires .option('path', <log dir>)")
         self.max_files = int(options.get("maxFilesPerBatch", 8))
         self.progress_file = options.get("progressFile")
+        if not self.progress_file and not options.get("ephemeral"):
+            # a restarted query's fresh reader would otherwise re-plan from
+            # offset 0 and regress below the checkpoint (code-review r3) —
+            # resumable streams MUST mirror the high-water mark to a file
+            raise ValueError(
+                "wal_tail requires .option('progressFile', <path>) so a "
+                "restarted query cannot regress its offset; pass "
+                ".option('ephemeral', 'true') only for throwaway streams "
+                "that are never restarted from a checkpoint"
+            )
         self._hwm = self._load_hwm()
 
     def _load_hwm(self) -> int:
@@ -111,8 +132,12 @@ class WalTailStreamReader(DataSourceStreamReader):
         yield from pf.iter_batches(batch_size=65536)
 
     def commit(self, end: dict) -> None:
-        # Segments are immutable files; nothing to clean up on commit.
-        pass
+        # Segments are immutable files — nothing to clean up; but persist
+        # the completed batch's end offset as a second belt alongside
+        # partitions()' clamp (the progress mirror can only move forward).
+        if end.get("segments", 0) > self._hwm:
+            self._hwm = int(end["segments"])
+            self._save_hwm()
 
 
 class WalTailDataSource(DataSource):

@@ -134,7 +134,13 @@ def run_ingest_routed(
         report.epochs.append(stats)
         if on_epoch is not None:
             on_epoch(epoch_id, stats)
-        if compact_every and len(report.epochs) % compact_every == 0:
+        # cadence counts APPLIED epochs only — crash-replayed (skipped)
+        # epochs must not shift the compaction schedule (same policy as
+        # run_ingest; code-review r3)
+        applied = sum(
+            1 for e in report.epochs if any(not s.skipped for s in e.values())
+        )
+        if compact_every and applied and applied % compact_every == 0:
             from ..operators.merge import compact, select_compaction_candidates
 
             for r in routes.values():
@@ -154,5 +160,15 @@ def run_ingest_routed(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec) if timeout_sec else q.awaitTermination()
+    if timeout_sec:
+        if not q.awaitTermination(timeout_sec):
+            # never return a silently-partial replay (same contract as
+            # run_ingest's drain)
+            q.stop()
+            raise TimeoutError(
+                f"routed drain timed out after {timeout_sec}s "
+                f"({len(report.epochs)} epochs applied)"
+            )
+    else:
+        q.awaitTermination()
     return report

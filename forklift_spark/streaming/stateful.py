@@ -100,7 +100,12 @@ def running_max_seq_tws(events: DataFrame) -> DataFrame:
             self._mx = handle.getValueState("mx", "max_seq BIGINT")
 
         def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-            new_max = max(int(pdf["seq"].max()) for pdf in rows if len(pdf))
+            new_max = max(
+                (int(pdf["seq"].max()) for pdf in rows if len(pdf)),
+                default=None,
+            )
+            if new_max is None:  # a key can arrive with only empty chunks
+                return
             if self._mx.exists():
                 prev = int(self._mx.get()[0])
                 if new_max <= prev:
