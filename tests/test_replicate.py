@@ -272,3 +272,28 @@ def test_twin_replicators_race_gracefully(spark, tmp_path):
     dst = LaketteTable(dst_root)
     assert _state(spark, dst) == _state(spark, src)
     assert last_replicated_version(dst, "tw") == src.current_metadata()["version"]
+
+
+def test_replication_chain_bronze_silver_gold(spark, tmp_path):
+    """A -> B -> C: a replica is itself a valid replication source (its
+    version chain is a change feed like any other). Two rounds of source
+    writes propagate through the chain; every hop stays sha-exact."""
+    a = _build_src(spark, tmp_path, epochs=2, name="a")
+    b_root, c_root = str(tmp_path / "b"), str(tmp_path / "c")
+
+    replicate(spark, a, b_root, replication_id="ab")
+    replicate(spark, LaketteTable(b_root), c_root, replication_id="bc")
+    assert _state(spark, LaketteTable(c_root)) == _state(spark, a)
+
+    log2 = tmp_path / "log_chain"
+    generate_changelog(
+        ChangelogSpec(n_events=500, n_repos=8, paths_per_repo=15, seed=26,
+                      seq_start=5_000_000),
+        str(log2),
+    )
+    df2 = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{log2}/seg-*.parquet")
+    merge_into(spark, a, df2, query_id="chain", epoch=0)
+    replicate(spark, a, b_root, replication_id="ab")
+    replicate(spark, LaketteTable(b_root), c_root, replication_id="bc")
+    assert _state(spark, LaketteTable(b_root)) == _state(spark, a)
+    assert _state(spark, LaketteTable(c_root)) == _state(spark, a)
