@@ -74,13 +74,37 @@ def test_random_lifecycle_converges_to_oracle(spark, tmp_path, seed):
                 mode=rng.choice(["cow", "mor"]),
             )
 
+    # schema evolution joins the party: one deterministic evolved update
+    # (new column, winning seq) lands after the random walk — it must
+    # survive whatever compaction/rescale state the walk left behind
+    exp = expected_final_state(spec)
+    victim = exp.sort_values(["repo", "path"]).iloc[0]
+    evolved = spark.createDataFrame(
+        [("U", 10**9, victim["repo"], victim["path"], None, "py", "evolved!", 42)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, size_bytes long",
+    )
+    merge_into(spark, table, evolved, query_id="fuzz-evo", epoch=0,
+               mode=rng.choice(["cow", "mor"]))
+    exp.loc[
+        (exp["repo"] == victim["repo"]) & (exp["path"] == victim["path"]), "content"
+    ] = "evolved!"
+
     # drain any in-flight migration and fold remaining deltas
     compact(spark, table)
     assert table.migration_status()["migrated"]
 
-    exp = spark.createDataFrame(expected_final_state(spec))
-    res = verify_state(spark, table, exp)
+    res = verify_state(spark, table, spark.createDataFrame(exp))
     assert res["ok"], (seed, res, table.stats())
+    row = (
+        table.snapshot(spark)
+        .filter(
+            (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+        )
+        .select("size_bytes")
+        .collect()[0]
+    )
+    assert row["size_bytes"] == 42
 
     # metadata invariants held through the whole walk
     meta = table.current_metadata()
