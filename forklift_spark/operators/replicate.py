@@ -135,7 +135,7 @@ def replicate(
     `every_version=True` applies one destination epoch per source version
     (a faithful per-commit mirror, at one commit of overhead each);
     default is one epoch covering the whole span since the last call."""
-    src_meta = src.current_metadata()
+    src_meta = src._raw_current()  # snapshot()/plan_files accept raw metadata
     target_v = int(src_meta["version"])
     key_cols = list(src_meta["key_cols"])
 
@@ -190,7 +190,7 @@ def replicate(
         return report  # already current
 
     try:
-        src.metadata_at(last)  # is the chain from `last` still readable?
+        src._raw_metadata_at(last)  # is the chain from `last` still readable?
         spans = (
             [(v - 1, v) for v in range(last + 1, target_v + 1)]
             if every_version

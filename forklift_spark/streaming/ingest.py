@@ -127,6 +127,10 @@ def run_ingest(
     dedupe_strategy: str = "agg",
     compact_every: int | None = None,
     drop_dup_within_watermark: str | None = None,
+    vacuum_every: int | None = None,
+    vacuum_keep_versions: int = 4,
+    vacuum_grace_seconds: float = 3600.0,
+    expire_epochs_keep: int | None = None,
 ) -> "IngestReport | tuple[IngestReport, object]":
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -149,7 +153,18 @@ def run_ingest(
     for the NEXT epoch when skew crosses 8x, releasing below 3x. No
     pre-pass — the signal rides the epoch's own aggregate — and at most one
     epoch of lag, which correctness never depends on (the salted argmax is
-    identical for any salt count)."""
+    identical for any salt count).
+
+    `vacuum_every=N` wires RETENTION into the loop (VERDICT r3 #8): every N
+    applied epochs the table vacuums expired versions' data/metadata/
+    manifest files (keeping `vacuum_keep_versions` versions, respecting
+    `vacuum_grace_seconds` — lower it to 0 only when this loop is the sole
+    writer), and, with `expire_epochs_keep=K`, prunes epoch markers +
+    lineage + metrics below (max epoch - K). Together these bound every
+    file population a continuous 10^10-event ingest grows — data files,
+    version files, manifest shards, markers — at O(retained), not
+    O(stream lifetime). K must stay comfortably above the deepest replay
+    the checkpoint can demand (see expire_epochs)."""
     report = IngestReport()
     adaptive_salt = salt_buckets == "auto"
     if adaptive_salt and dedupe_strategy == "prefilter":
@@ -252,6 +267,18 @@ def run_ingest(
                 cands = select_compaction_candidates(table)
                 if cands:
                     compact(spark, table, buckets=cands)
+        # retention cadence (VERDICT r3 #8): bound data/metadata/marker
+        # file populations over an unbounded run. Driver-side file ops
+        # between epochs — never on the row path.
+        if vacuum_every and not stats.skipped:
+            applied = sum(1 for e in report.epochs if not e.skipped)
+            if applied % vacuum_every == 0:
+                table.vacuum(
+                    keep_versions=vacuum_keep_versions,
+                    grace_seconds=vacuum_grace_seconds,
+                )
+                if expire_epochs_keep is not None:
+                    table.expire_epochs(keep_last=expire_epochs_keep)
 
     writer = (
         src.writeStream.foreachBatch(_merge)

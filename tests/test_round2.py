@@ -4,6 +4,7 @@ null-op dead-letter routing (VERDICT.md next-round #4,5,6,9 + ADVICE.md)."""
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -141,9 +142,10 @@ def test_concurrent_commit_loses_cleanly(spark, tmp_path):
 
 def test_own_orphan_metadata_is_reclaimed(spark, tmp_path):
     """Crash between version-file write and CURRENT swap: the SAME writer's
-    retry may reclaim its orphan instead of self-conflicting — but ONLY
-    once the orphan is old enough that no live committer sharing the
-    writer stamp (a twin) can still be mid-swap (code-review r3)."""
+    retry reclaims its orphan after a SHORT internal live-twin
+    disambiguation wait (CURRENT provably never advanced) — it no longer
+    raises CommitConflictError for a fixed 60s age window, which failed
+    query restarts inside that window (ADVICE r3)."""
     table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
     meta = table.current_metadata()
     me = {"query_id": "me", "epoch": 7}
@@ -157,17 +159,50 @@ def test_own_orphan_metadata_is_reclaimed(spark, tmp_path):
     with open(opath, "w") as f:
         json.dump(orphan, f)
 
-    # a YOUNG same-writer file could be a live twin an instant before its
-    # CURRENT swap — reclaiming would clobber its acknowledged commit
-    with pytest.raises(CommitConflictError):
-        table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
-
-    # age it past the grace window: now provably a crashed attempt
-    old = os.path.getmtime(opath) - 120
-    os.utime(opath, (old, old))
+    # CURRENT never advances -> the creator is provably dead; the retry
+    # waits out only the remainder of the tiny create->swap window and
+    # then reclaims immediately (a restart is never failed for 60s)
+    t0 = time.monotonic()
     commit = table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
+    assert time.monotonic() - t0 < 30.0
     assert commit.version == meta["version"] + 1
     assert table.current_metadata()["writer"] == me
+
+
+def test_live_twin_commit_is_not_clobbered_by_reclaim(tmp_path):
+    """The reclaim's disambiguation wait protects a LIVE twin sharing our
+    writer stamp: if CURRENT advances to the orphan version mid-wait (the
+    twin completed its swap), our retry must conflict, never overwrite the
+    twin's acknowledged commit (code-review r3 invariant, kept under the
+    ADVICE-r3 age-gate removal)."""
+    import threading
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=2)
+    meta = table.current_metadata()
+    me = {"query_id": "me", "epoch": 7}
+    twin_name = f"v{meta['version'] + 1}.json"
+    orphan = {
+        **meta,
+        "version": meta["version"] + 1,
+        "parent_version": meta["version"],
+        "writer": me,
+        "twin_payload": True,  # must survive — proves no clobber
+    }
+    with open(os.path.join(table.meta_dir, twin_name), "w") as f:
+        json.dump(orphan, f)
+
+    swapper = threading.Thread(
+        target=lambda: (time.sleep(0.4), table._swap_current(twin_name))
+    )
+    swapper.start()
+    try:
+        with pytest.raises(CommitConflictError):
+            table.commit_version(new_files=[], replaced_buckets=set(), writer=me)
+    finally:
+        swapper.join()
+    cur = table._raw_current()
+    assert cur["version"] == meta["version"] + 1
+    assert cur.get("twin_payload") is True  # twin's file intact
 
 
 # ------------------------------------- T4 dropDuplicatesWithinWatermark
