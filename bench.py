@@ -3,17 +3,29 @@ operator timings.
 
 Prints ONE JSON line:
   {"metric": "cdc_replay_wall_sec", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>, "events": N,
-   "events_per_sec": T, ...}
+   "queries": {...per-query best-of-N sec...}, "sf": <sf>, "events": N,
+   "events_per_sec": T, "query_trials": {...all trials...},
+   "steal": {...host-steal jiffies per leg...}, ...}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32),
      FK_BENCH_EVENTS    (default 4_000_000 change events),
-     FK_BENCH_EPOCHS    (default 8 micro-batches).
+     FK_BENCH_EPOCHS    (default 8 micro-batches),
+     FK_BENCH_QUERY_TRIALS (default 3),
+     FK_BENCH_REPLAY_TRIALS (default 1; the replay leg is minutes long).
+
+SELF-DEFENSE AGAINST VM NOISE (VERDICT r3 #3): this box is a shared
+Firecracker VM — host CPU-steal stalls individual runs and only ever SLOWS
+them, so (a) each operator query is timed over best-of-N trials (every
+trial disclosed in `query_trials`), and (b) the cumulative host-steal
+jiffies delta from /proc/stat is recorded around the replay leg and the
+query leg (`steal`), so an inflated number is attributable to the
+environment in the emitted JSON itself — the same discipline
+scripts/bench_scaling.py already applies to the scaling evidence.
 
 The replay is the real pipeline: generated changelog segments ->
-streaming availableNow ingest -> LWW dedupe -> copy-on-write merge into a
-lakette table -> sha256-exact verification against the batch oracle.
+streaming availableNow ingest -> LWW dedupe -> merge into a lakette
+table -> sha256-exact verification against the batch oracle.
 Generation/verification time is excluded from the reported throughput.
 """
 
@@ -43,6 +55,15 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q10",
 ]
+
+
+def read_steal() -> int:
+    """Cumulative host-steal jiffies from /proc/stat (VM-noise evidence)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
 
 
 def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = "mor") -> dict:
@@ -130,15 +151,35 @@ def main() -> None:
     workdir = os.environ.get("FK_BENCH_WORKDIR", "/tmp/fk_bench")
     os.makedirs(workdir, exist_ok=True)
     mode = os.environ.get("FK_BENCH_MODE", "mor")
-    replay = bench_replay(spark, n_events, n_epochs, workdir, mode=mode)
+    replay_trials = max(1, int(os.environ.get("FK_BENCH_REPLAY_TRIALS", "1")))
+    query_trials = max(1, int(os.environ.get("FK_BENCH_QUERY_TRIALS", "3")))
 
+    # replay leg: host-steal bracketed; best-of-N optional (default 1 — the
+    # leg is minutes long; steal disclosure is the attribution mechanism)
+    steal0 = read_steal()
+    replays = [
+        bench_replay(spark, n_events, n_epochs, workdir, mode=mode)
+        for _ in range(replay_trials)
+    ]
+    steal_replay = read_steal() - steal0 if steal0 >= 0 else None
+    replay = min(replays, key=lambda r: r["replay_wall_sec"])
+    assert all(r["sha_exact"] for r in replays)
+
+    # query leg: best-of-N per query, every trial disclosed
+    steal1 = read_steal()
     queries: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, sf_dir).count()  # warm (plan + file listing caches)
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.monotonic() - t0, 3)
+        ts = []
+        for _ in range(query_trials):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            ts.append(round(time.monotonic() - t0, 3))
+        trials[name] = ts
+        queries[name] = min(ts)
+    steal_queries = read_steal() - steal1 if steal1 >= 0 else None
 
     out = {
         "metric": "cdc_replay_wall_sec",
@@ -152,6 +193,12 @@ def main() -> None:
         "sha_exact": replay["sha_exact"],
         "final_rows": replay["final_rows"],
         "cpus": cpus,
+        "query_trials": trials,
+        "replay_trials": [r["replay_wall_sec"] for r in replays],
+        "steal": {
+            "replay_jiffies": steal_replay,
+            "queries_jiffies": steal_queries,
+        },
     }
     print(json.dumps(out))
 

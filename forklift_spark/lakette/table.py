@@ -4,8 +4,11 @@ There is no Iceberg/Delta jar in this image, so the engine implements the
 subset of Iceberg semantics the north star requires (BASELINE.json:6,14):
 
   * snapshot isolation + atomic commit — versioned metadata JSON files
-    (`metadata/v{N}.json`) plus a `CURRENT` pointer file swapped with an
-    atomic `os.replace` (single-writer; documented limitation),
+    (`metadata/v{N}.json`, created via the storage backend's
+    compare-and-swap: posix hard-link / object-store conditional PUT)
+    plus a `CURRENT` pointer file swapped atomically; optimistic
+    concurrency with base-snapshot validation makes multi-writer safe
+    (process-level fuzz: BENCH/STRESS_MULTIWRITER.md),
   * additive schema evolution — the schema lives in metadata; data files
     written before an ALTER simply lack the new columns and are read with
     the current schema (missing parquet columns -> NULL),

@@ -185,6 +185,38 @@ def scan_snapshot_pruned(spark, sf):
     return snap.select("repo", "path", "seq", "lang", "content_sha")
 
 
+@q(
+    "scan_incremental",
+    "SELECT * FROM (" + _CDC_LWW_SQL + ") WHERE seq >= 10000000",
+    extra=True,  # driver gate is capped at 50 queries; checked locally
+)
+def scan_incremental(spark, sf):
+    """Incremental/CDC reader path (VERDICT r3 #6) through the REAL
+    engine: replay the 3 epochs, then snapshot(min_seq=W) — per-file
+    max(seq) stats drop every file whose newest row predates the
+    watermark BEFORE spark.read (asserted), and the result must equal the
+    oracle's seq-filtered LWW state exactly (stale versions of keys whose
+    winner predates W can never leak — the post-LWW row filter)."""
+    root = os.path.join(tempfile.gettempdir(), f"fk_inc_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="harness",
+            epoch=i,
+            mode="mor",  # deltas: each wave's files carry its seq range
+        )
+    watermark = 10_000_000  # everything after the insert wave
+    pruned = table.plan_files(min_seq=watermark)
+    assert len(pruned) < len(table.plan_files()), "smax pruning never engaged"
+    snap = table.snapshot(spark, min_seq=watermark)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
 @q("replicate_scan", _CDC_LWW_SQL, extra=True)
 def replicate_scan(spark, sf):
     """Lake-to-lake replication end-to-end: replay the derived changelog

@@ -1,0 +1,275 @@
+"""Process-level multi-writer stress (VERDICT r3 #10): two OS processes
+(separate interpreters / separate JVMs) committing to ONE lakette table
+with overlapping buckets, under SIGKILL fuzzing — promotes the r3
+threaded race test to real process isolation against the rebase loop.
+
+Two levels:
+
+  --level meta   (default) N seeded runs of the pure METADATA protocol:
+                 two worker processes each land `--epochs` append commits
+                 (distinct query_ids, shared 4-bucket table, every commit
+                 conflicts-and-rebases against the other writer), while
+                 the parent SIGKILLs one worker mid-run and restarts it
+                 (resume = epoch markers + writer-stamp gate + crash-
+                 orphan reclaim). Milliseconds per run -> 20 seeds by
+                 default, the fuzz coverage level.
+  --level spark  full-engine runs: two spark-submit-style workers
+                 (local[4] JVMs) replay DISJOINT HALVES of one change log
+                 (split by seq parity -> every repo/path is contended)
+                 through COW merge_into with conflict retry; the parent
+                 SIGKILLs worker A mid-replay and restarts it. Final
+                 state must be sha-exact vs the whole-log LWW oracle —
+                 confluence across processes, crashes included.
+
+Invariants checked per run (meta level):
+  * every epoch of both writers committed EXACTLY once (file-entry count,
+    version number arithmetic, no duplicate paths)
+  * epoch markers / writer stamps closed for every epoch
+  * maintained counters equal a from-scratch manifest recount
+Spark level: verify_state(ok) — per-row sha256 equality vs the oracle.
+
+Usage:
+  python scripts/stress_multiwriter.py --level meta --seeds 20
+  python scripts/stress_multiwriter.py --level spark --seeds 3
+(worker modes --meta-worker / --spark-worker are internal.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------- workers
+
+
+def meta_worker(root: str, qid: str, epochs: int, seed: int) -> None:
+    from forklift_spark.lakette.table import CommitConflictError, LaketteTable
+
+    rng = random.Random(seed)
+    t = LaketteTable(root)
+    for e in range(epochs):
+        if t.epoch_committed(qid, e):
+            continue
+        entry = {
+            "path": f"data/{qid}-{e:04d}.parquet",
+            "bucket": rng.randrange(4),
+            "rows": 1,
+            "delta": True,
+            "kmin": None,
+            "kmax": None,
+            "smax": e,
+        }
+        for _attempt in range(200):
+            base = t._raw_current()["version"]
+            try:
+                c = t.commit_version(
+                    new_files=[entry],
+                    replaced_buckets=set(),
+                    writer={"query_id": qid, "epoch": e},
+                    base_version=base,
+                )
+                t.write_epoch_marker(qid, e, c.snapshot_id)
+                break
+            except CommitConflictError:
+                if t.epoch_committed(qid, e):
+                    break  # our own crash-window stamp, or a twin landed it
+                time.sleep(0.002 * rng.random())
+        else:
+            raise RuntimeError(f"{qid} epoch {e}: rebase never converged")
+
+
+def spark_worker(root: str, log_dir: str, qid: str) -> None:
+    from forklift_spark.lakette.table import CommitConflictError, LaketteTable
+    from forklift_spark.operators.merge import merge_into
+    from forklift_spark.session import get_spark
+    from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA
+
+    spark = get_spark(
+        app_name=f"stress-{qid}", cores=4, shuffle_partitions=8,
+        driver_memory="3g",
+    )
+    table = LaketteTable(root)
+    segs = sorted(glob.glob(os.path.join(log_dir, "seg-*.parquet")))
+    for e, seg in enumerate(segs):
+        if table.epoch_committed(qid, e):
+            continue
+        df = spark.read.schema(CHANGELOG_SCHEMA).parquet(seg)
+        for _attempt in range(60):
+            try:
+                merge_into(spark, table, df, query_id=qid, epoch=e, mode="cow")
+                break
+            except CommitConflictError:
+                if table.epoch_committed(qid, e):
+                    break
+                time.sleep(0.05)
+        else:
+            raise RuntimeError(f"{qid} epoch {e}: merge never converged")
+
+
+# --------------------------------------------------------------- parents
+
+
+def _spawn(args: list[str]) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), *args],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def run_meta_seed(seed: int, epochs: int = 25, workdir: str | None = None) -> dict:
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+
+    rng = random.Random(seed)
+    tmp = workdir or tempfile.mkdtemp(prefix=f"fk_stress_meta_{seed}_")
+    root = os.path.join(tmp, "tbl")
+    schema = T.StructType(
+        [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]
+    )
+    LaketteTable.create(root, schema, ["repo", "path"], n_buckets=4)
+
+    def worker(qid: str) -> subprocess.Popen:
+        return _spawn(
+            ["--meta-worker", "--root", root, "--qid", qid,
+             "--epochs", str(epochs), "--seed", str(seed)]
+        )
+
+    a, b = worker("A"), worker("B")
+    kills = 0
+    # SIGKILL worker A mid-run (possibly several times), restart each time
+    deadline = time.monotonic() + 120
+    while a.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.02 + 0.2 * rng.random())
+        if a.poll() is None and kills < 3 and rng.random() < 0.5:
+            a.send_signal(signal.SIGKILL)
+            a.wait()
+            kills += 1
+            a = worker("A")
+    rc_a = a.wait(timeout=120)
+    rc_b = b.wait(timeout=120)
+
+    t = LaketteTable(root)
+    raw = t._raw_current()
+    meta = t.current_metadata()
+    paths = [f["path"] for f in meta["files"]]
+    expected = {f"data/{q}-{e:04d}.parquet" for q in "AB" for e in range(epochs)}
+    ok = (
+        rc_a == 0
+        and rc_b == 0
+        and sorted(paths) == sorted(expected)   # exactly once, none lost
+        and raw["version"] == 1 + 2 * epochs    # one commit per epoch
+        and all(t.epoch_committed(q, e) for q in "AB" for e in range(epochs))
+        and t._bucket_stats(raw)
+        == t._bucket_stats({k: v for k, v in raw.items() if k != "bucket_stats"})
+    )
+    return {"seed": seed, "ok": ok, "kills": kills, "rc": (rc_a, rc_b),
+            "version": raw["version"], "files": len(paths)}
+
+
+def run_spark_seed(seed: int, n_events: int = 30_000, workdir: str | None = None) -> dict:
+    import pandas as pd
+
+    from forklift_spark.changelog import ChangelogSpec, expected_final_state, generate_changelog
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.session import get_spark
+    from forklift_spark.streaming.ingest import create_entity_table, verify_state
+
+    rng = random.Random(seed)
+    tmp = workdir or tempfile.mkdtemp(prefix=f"fk_stress_spark_{seed}_")
+    spec = ChangelogSpec(
+        n_events=n_events, n_repos=12, paths_per_repo=30, seed=seed,
+        duplicate_fraction=0.02, segment_rows=n_events // 12,
+    )
+    log_all = os.path.join(tmp, "log_all")
+    generate_changelog(spec, log_all)
+    # split by seq parity: BOTH workers touch every hot key -> every COW
+    # epoch contends on overlapping buckets across the two processes
+    halves = {"A": os.path.join(tmp, "log_a"), "B": os.path.join(tmp, "log_b")}
+    for d in halves.values():
+        os.makedirs(d, exist_ok=True)
+    segs = sorted(glob.glob(os.path.join(log_all, "seg-*.parquet")))
+    for i, seg in enumerate(segs):
+        pdf = pd.read_parquet(seg)
+        for qid, frac in (("A", pdf[pdf["seq"] % 2 == 0]), ("B", pdf[pdf["seq"] % 2 == 1])):
+            frac.to_parquet(
+                os.path.join(halves[qid], f"seg-{i:04d}.parquet"), index=False
+            )
+
+    root = os.path.join(tmp, "tbl")
+    create_entity_table(root, n_buckets=8)
+
+    def worker(qid: str) -> subprocess.Popen:
+        return _spawn(["--spark-worker", "--root", root,
+                       "--log", halves[qid], "--qid", qid])
+
+    a, b = worker("A"), worker("B")
+    # one SIGKILL on A mid-replay (after JVM spin-up), then restart
+    time.sleep(12 + 6 * rng.random())
+    kills = 0
+    if a.poll() is None:
+        a.send_signal(signal.SIGKILL)
+        a.wait()
+        kills = 1
+        a = worker("A")
+    rc_a = a.wait(timeout=600)
+    rc_b = b.wait(timeout=600)
+
+    spark = get_spark(app_name="stress-verify", cores=4, shuffle_partitions=8,
+                      driver_memory="4g")
+    table = LaketteTable(root)
+    exp = spark.createDataFrame(expected_final_state(spec))
+    ver = verify_state(spark, table, exp)
+    return {"seed": seed, "ok": bool(ver["ok"]) and rc_a == 0 and rc_b == 0,
+            "kills": kills, "rc": (rc_a, rc_b), "verify": ver}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--level", choices=["meta", "spark"], default="meta")
+    ap.add_argument("--seeds", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--events", type=int, default=30_000)
+    # internal worker modes
+    ap.add_argument("--meta-worker", action="store_true")
+    ap.add_argument("--spark-worker", action="store_true")
+    ap.add_argument("--root")
+    ap.add_argument("--log")
+    ap.add_argument("--qid")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.meta_worker:
+        meta_worker(args.root, args.qid, args.epochs, args.seed)
+        return
+    if args.spark_worker:
+        spark_worker(args.root, args.log, args.qid)
+        return
+
+    results = []
+    for s in range(args.seeds):
+        r = (run_meta_seed(s, epochs=args.epochs) if args.level == "meta"
+             else run_spark_seed(s, n_events=args.events))
+        print(json.dumps(r))
+        results.append(r)
+    n_ok = sum(1 for r in results if r["ok"])
+    print(json.dumps({"level": args.level, "seeds": len(results), "ok": n_ok,
+                      "all_ok": n_ok == len(results)}))
+    if n_ok != len(results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
