@@ -429,6 +429,7 @@ def merge_into(
             key_col=key_cols[0],
             sort_cols=key_cols,  # COW rewrites whole buckets: key-sorted base files
             max_rows_per_file=meta.get("target_file_rows"),
+            stats_cols=meta.get("stats_cols"),
         )
         stats.rows_rewritten = _obs_count(obs, "rows")
         stats.applied_rows = _obs_count(obs, "applied")
@@ -509,6 +510,7 @@ def _merge_mor(
         n_partitions=n_out,
         key_col=table.key_cols()[0],
         max_rows_per_file=meta.get("target_file_rows"),
+        stats_cols=meta.get("stats_cols"),
     )
     stats.batch_rows = _obs_count(obs_in, "rows_in")
     stats.applied_rows = stats.rows_rewritten = _obs_count(obs, "rows")
@@ -645,6 +647,7 @@ def compact(
         key_col=meta["key_cols"][0],
         sort_cols=meta["key_cols"],
         max_rows_per_file=meta.get("target_file_rows"),
+        stats_cols=meta.get("stats_cols"),
     )
     n0 = _specs(meta)[0]
     if target is None:
@@ -684,6 +687,7 @@ def _write_datafiles(
     key_col: str,
     sort_cols: list[str] | None = None,
     max_rows_per_file: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Executor-side data-file writer — the SURVEY §8.1 object-store commit
     path (VERDICT r2 #1). `df` must carry an int `_bucket` column.
@@ -721,6 +725,16 @@ def _write_datafiles(
     # stats (plan_files treats missing stats conservatively)
     key_is_str = isinstance(df.schema[key_col].dataType, T.StringType)
     has_seq = "seq" in df.columns
+    # generic per-column min/max stats (Iceberg column-stats analogue,
+    # VERDICT r3 missing #3): the table's stats_cols ride each manifest
+    # row as one JSON object {col: [min, max]} — only scalar
+    # string/number columns present in this frame are recorded
+    _STATS_OK = (T.StringType, T.LongType, T.IntegerType, T.ShortType,
+                 T.ByteType, T.DoubleType, T.FloatType, T.DateType)
+    cstat_cols = [
+        c for c in (stats_cols or [])
+        if c in df.columns and isinstance(df.schema[c].dataType, _STATS_OK)
+    ]
     manifest_arrow = pa.schema(
         [
             ("path", pa.string()),
@@ -729,6 +743,7 @@ def _write_datafiles(
             ("kmin", pa.string()),
             ("kmax", pa.string()),
             ("smax", pa.int64()),
+            ("cstats", pa.string()),
         ]
     )
 
@@ -750,6 +765,8 @@ def _write_datafiles(
         done: list[dict] = []
 
         def _close(b: int, st: dict) -> None:
+            import json as _json
+
             st["w"].close()
             done.append(
                 {
@@ -759,6 +776,9 @@ def _write_datafiles(
                     "kmin": st["kmin"],
                     "kmax": st["kmax"],
                     "smax": st["smax"],
+                    "cstats": (
+                        _json.dumps(st["cstats"]) if st["cstats"] else None
+                    ),
                 }
             )
 
@@ -772,6 +792,7 @@ def _write_datafiles(
                 "kmin": None,
                 "kmax": None,
                 "smax": None,
+                "cstats": {},
             }
 
         for batch in batches:
@@ -813,14 +834,27 @@ def _write_datafiles(
                             st["smax"] = (
                                 sm if st["smax"] is None else max(st["smax"], sm)
                             )
+                    for c in cstat_cols:
+                        mm = _pc.min_max(take.column(c))
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                        if lo is None:
+                            continue
+                        cur = st["cstats"].get(c)
+                        st["cstats"][c] = (
+                            [lo, hi] if cur is None
+                            else [min(cur[0], lo), max(cur[1], hi)]
+                        )
         for b in sorted(state):
             _close(b, state[b])
         if done:
             yield _pa.RecordBatch.from_pylist(done, schema=manifest_arrow)
 
+    import json as _json
+
     manifest = part.mapInArrow(
         _write,
-        "path string, bucket int, rows long, kmin string, kmax string, smax long",
+        "path string, bucket int, rows long, kmin string, kmax string, "
+        "smax long, cstats string",
     ).collect()
     return [
         {
@@ -831,6 +865,11 @@ def _write_datafiles(
             "kmin": r["kmin"],
             "kmax": r["kmax"],
             "smax": None if r["smax"] is None else int(r["smax"]),
+            **(
+                {"cstats": _json.loads(r["cstats"])}
+                if r["cstats"] is not None
+                else {}
+            ),
         }
         for r in manifest
     ]

@@ -1,0 +1,166 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Two operations every corpus-scale LLM data pipeline needs between "cleaned
+documents" and "training batches":
+
+  sample_stratified   per-stratum Bernoulli sampling (e.g. "keep 50% of
+                      English, 10% of everything else") that is
+                      DETERMINISTIC in the row id — re-running the
+                      pipeline, on any cluster size, selects the same
+                      rows, and the decision is pure JVM arithmetic (no
+                      shuffle, no RNG state, trivially cross-engine
+                      checkable).
+  pack_concat_chunks  GPT-style sequence packing: documents concatenated
+                      in deterministic order within each packing group,
+                      then cut into fixed token-budget chunks — a window
+                      cumulative sum, fully SQL-expressible (full DuckDB
+                      oracle).
+  pack_greedy         no-split packing: whole documents first-fit into
+                      bins of `max_tokens` in deterministic order — the
+                      sequential scan runs per packing group via
+                      applyInPandas (Arrow-batched; groups are the
+                      distribution unit, so the quadratic/sequential part
+                      never exceeds one group).
+
+100 TB posture: sampling is a map-only filter (predicate-pushdown
+friendly, no exchange). Packing shuffles once on the group key; groups
+(e.g. source shard, or a hash-salted synthetic key) bound per-task state.
+Global packing order is deliberately NOT promised — training pipelines
+shuffle samples anyway; determinism WITHIN groups is what reproducibility
+needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Knuth multiplicative hash modulus bits / scale for sampling decisions.
+#: Chosen over xxhash64 for the sampling decision because it is exactly
+#: reproducible in ANY engine with 64-bit integer arithmetic (the DuckDB
+#: oracle runs the same expression verbatim) — the id stream is synthetic
+#: and dense, for which multiplicative hashing mixes plenty.
+_KNUTH = 2654435761
+_MOD = 2**32
+_SCALE = 10_000  # rates quantized to basis points
+
+
+def sample_hash(id_col, salt: int = 0):
+    """Deterministic uniform bucket in [0, 10000) from an integer id —
+    `(id + salt) * 2654435761 mod 2^32 mod 10^4`, pure codegen."""
+    return F.pmod(
+        F.pmod((F.col(id_col).cast("long") + F.lit(int(salt))) * F.lit(_KNUTH),
+               F.lit(_MOD)),
+        F.lit(_SCALE),
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s] (basis-point
+    precision), decided by the row's deterministic hash bucket — so the
+    sample is stable across re-runs, partitionings, and engines. Rows of
+    strata absent from `rates` use `default_rate`. Map-only: no shuffle,
+    the filter pushes toward the scan."""
+    expr = F.lit(int(round(default_rate * _SCALE)))
+    for k, r in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == F.lit(k),
+                      F.lit(int(round(r * _SCALE)))).otherwise(expr)
+    return df.filter(sample_hash(id_col, salt) < expr)
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """GPT-style packing: within each packing group (one global group when
+    `group_col` is None — fine at test scale, pass a group for scale),
+    documents are laid end-to-end in ascending `id_col` order and cut into
+    chunks of `max_tokens`. Emits per document: its group, chunk id (the
+    chunk its FIRST token lands in), offset within that chunk, and its
+    token count. One window cumulative sum — stays in codegen, one
+    exchange on the group key."""
+    from pyspark.sql.window import Window
+
+    grp = F.col(group_col) if group_col else F.lit("all")
+    w = (
+        Window.partitionBy(grp)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).alias("_start")
+    out = df.select(
+        grp.alias("pack_group"),
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        start,
+    )
+    return out.select(
+        "pack_group",
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_start") / F.lit(int(max_tokens))).cast("long").alias("chunk_id"),
+        F.pmod(F.col("_start"), F.lit(int(max_tokens))).cast("long").alias("chunk_offset"),
+    )
+
+
+PACK_GREEDY_SCHEMA = "pack_group string, bin_id long, doc_id long, n_tokens long"
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """No-split packing: whole documents first-fit (in ascending `id_col`
+    order) into bins of `max_tokens`; a document larger than the budget
+    gets its own bin. Sequential by nature, so it runs per packing group
+    via applyInPandas (Arrow-batched, no per-row Python on the JVM side);
+    the group key is the scale unit. Deterministic: same input -> same
+    bins everywhere."""
+    budget = int(max_tokens)
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id")
+        bins: list[int] = []  # remaining budget per open bin
+        out_bin = []
+        for tok in pdf["_tok"]:
+            t = int(tok)
+            for i, rem in enumerate(bins):
+                if t <= rem:
+                    bins[i] -= t
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(max(0, budget - t))
+                out_bin.append(len(bins) - 1)
+        return pd.DataFrame(
+            {
+                "pack_group": pdf["_grp"],
+                "bin_id": pd.Series(out_bin, index=pdf.index, dtype="int64"),
+                "doc_id": pdf["_id"],
+                "n_tokens": pdf["_tok"],
+            }
+        )
+
+    grp = F.col(group_col) if group_col else F.lit("all")
+    prepared = df.select(
+        grp.alias("_grp"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    )
+    return prepared.groupBy("_grp").applyInPandas(_pack, PACK_GREEDY_SCHEMA)

@@ -134,6 +134,77 @@ def embedding_dup_pairs_lsh(spark, sf):
     )
 
 
+# ------------------------------------------ sampling / packing (extras)
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
+"""
+
+
+@q("sample_stratified", _SAMPLE_SQL, extra=True)
+def sample_stratified(spark, sf):
+    """Deterministic per-stratum Bernoulli sampling (training-data mix
+    control): keep 50% of English, 25% of Chinese, 10% of the rest — the
+    keep/drop decision is pure integer arithmetic on doc_id, so the DuckDB
+    oracle runs the SAME expression and must select the SAME rows. Map-only
+    (no exchange; plan-guarded in tests)."""
+    from forklift_spark.operators import sampling as sp
+
+    return sp.sample_stratified(
+        t(spark, sf, "documents"), "lang", "doc_id",
+        rates={"en": 0.5, "zh": 0.25}, default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+_PACK_SQL = r"""
+WITH toks AS (
+  SELECT source AS pack_group, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT pack_group, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM toks
+)
+SELECT pack_group, doc_id, n_tokens,
+       CAST(floor(s / 2048) AS BIGINT) AS chunk_id,
+       CAST(s % 2048 AS BIGINT) AS chunk_offset
+FROM cum
+"""
+
+
+@q("pack_chunks", _PACK_SQL, extra=True)
+def pack_chunks(spark, sf):
+    """GPT-style sequence packing (concat-and-chunk at a 2048-token
+    budget, whitespace tokens, packed per source shard): one window
+    cumulative sum, fully SQL-expressible — the oracle checks chunk ids
+    and offsets row-for-row."""
+    from forklift_spark.operators import sampling as sp
+
+    d = t(spark, sf, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return sp.pack_concat_chunks(
+        d, "doc_id", "n_tok", max_tokens=2048, group_col="source"
+    )
+
+
+@q("pack_greedy", extra=True)  # rows-only: first-fit is not SQL-expressible
+def pack_greedy(spark, sf):
+    """No-split packing: whole documents first-fit into 2048-token bins
+    per source shard (applyInPandas sequential scan per group; invariants
+    — budget respected, deterministic — asserted in tests)."""
+    from forklift_spark.operators import sampling as sp
+
+    d = t(spark, sf, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return sp.pack_greedy(d, "doc_id", "n_tok", max_tokens=2048, group_col="source")
+
+
 # -------------------------------------------------------------- similarity
 
 

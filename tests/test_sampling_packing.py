@@ -1,0 +1,89 @@
+"""Sampling + sequence-packing operators (training-data pipeline stage
+between cleaned documents and training batches). The cross-engine value
+parity of sample_stratified/pack_chunks is the DuckDB oracle's job
+(scripts/check_oracle.py); these tests pin the operator INVARIANTS."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.operators import sampling as sp
+from forklift_spark.plans.guards import count_exchanges, assert_no_row_python_udf
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, ["en", "zh", "de", "fr"][i % 4], f"g{i % 3}", 50 + (i * 37) % 400)
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, grp string, n_tok long")
+
+
+def test_sample_stratified_is_deterministic_and_rate_accurate(docs):
+    rates = {"en": 0.5, "zh": 0.2}
+    a = sp.sample_stratified(docs, "lang", "doc_id", rates, default_rate=0.05)
+    b = sp.sample_stratified(docs, "lang", "doc_id", rates, default_rate=0.05)
+    got_a = sorted(r.doc_id for r in a.collect())
+    got_b = sorted(r.doc_id for r in b.collect())
+    assert got_a == got_b and got_a  # same rows every run
+    by_lang = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 100 docs per lang: binomial(100, p) stays well inside these bands
+    assert 30 <= by_lang.get("en", 0) <= 70
+    assert 5 <= by_lang.get("zh", 0) <= 40
+    assert by_lang.get("de", 0) <= 20 and by_lang.get("fr", 0) <= 20
+    # a different salt selects a different (still deterministic) sample
+    c = sp.sample_stratified(docs, "lang", "doc_id", rates, default_rate=0.05, salt=99)
+    assert sorted(r.doc_id for r in c.collect()) != got_a
+
+
+def test_sample_stratified_is_map_only(docs):
+    out = sp.sample_stratified(docs, "lang", "doc_id", {"en": 0.5})
+    assert count_exchanges(out) == 0  # pure filter: no shuffle at any size
+    assert_no_row_python_udf(out, "sample_stratified")
+
+
+def test_pack_concat_chunks_matches_manual_cumsum(docs):
+    out = sp.pack_concat_chunks(docs, "doc_id", "n_tok", 1000, group_col="grp")
+    rows = {r.doc_id: r for r in out.collect()}
+    # manual per-group replay
+    import collections
+
+    cum = collections.defaultdict(int)
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        start = cum[r.grp]
+        cum[r.grp] += r.n_tok
+        got = rows[r.doc_id]
+        assert got.pack_group == r.grp
+        assert got.chunk_id == start // 1000
+        assert got.chunk_offset == start % 1000
+        assert got.n_tokens == r.n_tok
+    assert_no_row_python_udf(out, "pack_concat_chunks")
+
+
+def test_pack_greedy_invariants(docs):
+    budget = 1000
+    out = sp.pack_greedy(docs, "doc_id", "n_tok", budget, group_col="grp").collect()
+    assert len(out) == docs.count()  # every doc packed exactly once
+    import collections
+
+    fill = collections.defaultdict(int)
+    for r in out:
+        fill[(r.pack_group, r.bin_id)] += r.n_tokens
+    # budget respected (no doc here exceeds it, so strictly)
+    assert all(v <= budget for v in fill.values())
+    # bins are reasonably full: first-fit can't use more than 2x the
+    # optimal bin count for this size distribution; sanity-bound it
+    total = sum(fill.values())
+    assert len(fill) <= 2 * (total // budget + len(set(f[0] for f in fill)))
+    # deterministic
+    out2 = sp.pack_greedy(docs, "doc_id", "n_tok", budget, group_col="grp").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tok long"
+    )
+    out = {r.doc_id: r for r in sp.pack_greedy(df, "doc_id", "n_tok", 1000).collect()}
+    assert out[1].bin_id != out[2].bin_id  # the giant is alone
+    assert out[2].bin_id == out[3].bin_id  # small ones share
