@@ -139,6 +139,35 @@ def main() -> None:
         "data, never table size.",
     )
 
+    # 9. deterministic stratified sampling (r4): map-only training-data mix
+    from forklift_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    add(
+        "Deterministic stratified sampling (r4)",
+        sp.sample_stratified(d, "lang", "doc_id",
+                             {"en": 0.5, "zh": 0.25}, default_rate=0.1)
+        .select("doc_id", "lang"),
+        "Expect: ZERO exchanges — the keep/drop decision is integer "
+        "arithmetic on doc_id inside codegen, so the sample is a pure "
+        "filter that composes with pushdown and never moves a byte. "
+        "Oracle-checked: DuckDB runs the identical expression and selects "
+        "the identical rows.",
+    )
+
+    # 10. sequence packing, concat-and-chunk (r4): one window cumsum
+    add(
+        "Sequence packing concat-and-chunk (r4)",
+        sp.pack_concat_chunks(
+            d.withColumn("n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))),
+            "doc_id", "n_tok", 2048, group_col="source",
+        ),
+        "Expect: ONE exchange (hashpartitioning on the packing group) + "
+        "one WindowExec running-sum — chunk ids and offsets all inside "
+        "codegen; per-group state never exceeds one partition. "
+        "Oracle-checked row-for-row against DuckDB's window frame.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
