@@ -148,6 +148,7 @@ class MergeStats:
     bucket_skew: float = 0.0  # max/median rows written per bucket this epoch
     key_skew: float = 0.0  # max/mean input events per key (COW dedupe only)
     salt_buckets: int | None = None  # salting actually applied this epoch
+    mode_used: str | None = None  # cow/mor actually applied (mode="auto" decides per epoch)
 
     @property
     def events_per_sec(self) -> float:
@@ -208,6 +209,22 @@ def _schema_evolve(table_schema: T.StructType, batch_schema: T.StructType,
     return T.StructType(body + meta_tail), changes
 
 
+def _touched_group_rows(table: LaketteTable, meta: dict, touched: list[int]) -> int:
+    """Existing rows in the KEY GROUPS a batch touches, from the version
+    file's maintained per-bucket counters alone (zero manifest loads) —
+    the COW cost estimate mode="auto" compares against the batch size.
+    Groups (oldest-spec buckets) are the honest unit: a COW epoch rewrites
+    whole groups, old-spec siblings included."""
+    n0 = _specs(meta)[0]
+    groups = {b % n0 for b in touched}
+    total = 0
+    for key, (nf, rows, ndf, drows) in table._bucket_stats(meta).items():
+        nb, b = table._ref_pair(key, n0)
+        if b % n0 in groups:
+            total += rows
+    return total
+
+
 def merge_into(
     spark: SparkSession,
     table: LaketteTable,
@@ -218,6 +235,7 @@ def merge_into(
     salt_buckets: int | None = None,
     src_offsets: tuple[int, int] | None = None,
     mode: str = "cow",
+    auto_cow_factor: float = 4.0,
     dedupe_in_batch: bool = True,
     dedupe_strategy: str = "agg",
     overwrite: bool = False,
@@ -253,7 +271,17 @@ def merge_into(
     folded away by compact()). Identical final semantics because every row
     carries `seq` and LWW-max is associative — this is the
     Iceberg-v2-style high-throughput ingest path.
+    mode="auto": decide PER EPOCH from the maintained per-bucket counters
+    (zero extra I/O): merge-on-read when the touched key groups hold more
+    than `auto_cow_factor` x the batch's rows (small update against a big
+    table — appending beats rewriting), copy-on-write otherwise (bulk
+    load / young table / hot groups — one proportionate rewrite keeps the
+    table read-optimized). Confluence makes any mix of modes converge to
+    the same state, so the choice is purely a cost matter; the decision
+    is recorded per epoch as `mode_used` in stats and metrics.
     """
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be cow/mor/auto, got {mode!r}")
     if overwrite and mode != "cow":
         raise ValueError(
             "overwrite=True requires mode='cow': merge-on-read resolves "
@@ -342,6 +370,7 @@ def merge_into(
     batch = batch.withColumn("_bucket", table.bucket_expr())
 
     if mode == "mor":
+        stats.mode_used = "mor"
         stats = _merge_mor(
             table, batch, stats,
             query_id=query_id, epoch=epoch, payload_cols=payload_cols,
@@ -368,6 +397,32 @@ def merge_into(
             if sk["mn"]:
                 stats.key_skew = round(float(sk["mx"]) / float(sk["mn"]), 2)
             batch = batch.drop("_n")
+
+        if mode == "auto":
+            # Per-epoch storage-layout decision (Hudi-style), from the
+            # maintained counters alone: copy-on-write rewrites every row
+            # of the touched key groups, so when those groups dwarf the
+            # batch (a trickle of updates against a huge table) appending
+            # merge-on-read deltas is cheaper by existing/batch; when the
+            # batch is commensurate with the groups (bulk load, young
+            # table, hot rewrite) COW keeps the table read-optimized for
+            # one proportionate write. Confluence makes the choice purely
+            # a performance matter — any mix of modes converges to the
+            # same state (property tests), so deciding per epoch is safe.
+            existing_rows = _touched_group_rows(table, meta, touched)
+            if existing_rows > auto_cow_factor * max(stats.batch_rows, 1):
+                stats.mode_used = "mor"
+                stats = _merge_mor(
+                    table, batch.drop("_n") if "_n" in batch.columns else batch,
+                    stats,
+                    query_id=query_id, epoch=epoch, payload_cols=payload_cols,
+                    new_schema=new_schema, src_offsets=src_offsets, meta=meta,
+                    obs_in=obs_in,
+                )
+                stats.wall_sec = round(time.monotonic() - t_start, 3)
+                _write_metrics(table, query_id, stats)
+                return stats
+        stats.mode_used = "cow"
 
         # --- read only the touched buckets of the current snapshot (pruned
         # scan; ref-level manifest pruning — only touched shards are opened).
@@ -894,6 +949,7 @@ def _write_metrics(table: LaketteTable, query_id: str, stats: MergeStats) -> Non
         "bucket_skew": stats.bucket_skew,
         "key_skew": stats.key_skew,
         "salt_buckets": stats.salt_buckets,
+        "mode_used": stats.mode_used,
         "snapshot_id": stats.snapshot_id,
         "version": stats.version,
         "evolved_columns": stats.evolved_columns,

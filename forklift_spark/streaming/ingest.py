@@ -141,6 +141,12 @@ def run_ingest(
     limit); source="wal_tail" uses the engine's pure-Python offset-tracked
     DataSource (SURVEY.md §2.1 S5) — identical semantics, custom offsets.
 
+    mode="cow" | "mor" | "auto": storage layout per epoch — "auto" lets
+    merge_into choose per epoch from the maintained per-bucket counters
+    (COW while the batch is commensurate with the touched key groups,
+    MOR once a trickle of updates runs against a big table); the per-epoch
+    decision lands in each MergeStats.mode_used and the metrics records.
+
     `drop_dup_within_watermark` (e.g. "10 minutes") enables T4: duplicate
     deliveries of the same (repo, path, seq) within the watermark are
     dropped by Spark's stateful dedup BEFORE the merge shuffle — an
