@@ -169,6 +169,66 @@ def lsh_buckets_arrow(
     return df.select(id_col, vec_col).mapInArrow(_sig, out_ddl)
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: train k-means (pyspark.ml — JVM, scalable)
+    over the embedding column and assign every row its inverted-list id
+    (nearest centroid). Returns (assigned DataFrame with an `ivf_list`
+    column, centroid matrix as numpy (n_lists, dim)).
+
+    100 TB posture: training scans the data a bounded number of k-means
+    iterations (distributed, JVM-side Breeze math); a production pipeline
+    materializes `ivf_list` once as a column/partition key so queries
+    touch only the probed lists' partitions — the assignment here is
+    exactly that column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.select(id_col, vec_col).withColumn("_v", array_to_vector(vec_col))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_v", predictionCol="ivf_list"
+    ).fit(v)
+    assigned = model.transform(v).select(id_col, vec_col, "ivf_list")
+    centers = np.vstack(model.clusterCenters())
+    return assigned, centers
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN (the other classic scale path beside LSH): candidates =
+    rows of the `n_probe` inverted lists whose centroids are most
+    cosine-similar to the query (centroid scoring is a driver-side numpy
+    dot over n_lists vectors — O(lists), not O(rows)); exact cosine
+    re-rank of candidates only. Same output shape as lsh_topk /
+    brute_force_topk, so the three strategies are drop-in comparable."""
+    assigned, centers = ivf_assign(df, vec_col, id_col, n_lists=n_lists, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    norms = np.linalg.norm(centers, axis=1) * (np.linalg.norm(q) + 1e-12)
+    sims = (centers @ q) / np.where(norms == 0, 1.0, norms)
+    probe = [int(i) for i in np.argsort(-sims)[: max(1, n_probe)]]
+    cands = assigned.filter(F.col("ivf_list").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     vec_col: str,

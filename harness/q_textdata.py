@@ -234,6 +234,20 @@ def ann_lsh(spark, sf):
     return sim.lsh_topk(emb, "embedding", "vec_id", qvec, k=10, bits=6, n_tables=4)
 
 
+# extra (driver gate capped at 50); rows-only: k-means lists are
+# hash-family/init specific by design
+@q("ann_ivf", extra=True)
+def ann_ivf(spark, sf):
+    """IVF ANN: k-means inverted lists (pyspark.ml coarse quantizer),
+    n_probe nearest lists probed, exact re-rank — the other classic ANN
+    scale path beside LSH; measured recall vs brute force in tests."""
+    emb = t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_topk(
+        emb, "embedding", "vec_id", qvec, k=10, n_lists=8, n_probe=3
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 

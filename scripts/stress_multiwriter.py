@@ -89,6 +89,22 @@ def meta_worker(root: str, qid: str, epochs: int, seed: int) -> None:
             raise RuntimeError(f"{qid} epoch {e}: rebase never converged")
 
 
+def vacuum_worker(root: str, duration: float) -> None:
+    """Maintenance loop racing the writers: vacuum with the documented
+    grace window (nothing younger than grace is ever collected, so live
+    commits are safe BY CONTRACT) plus epoch-marker retention. The stress
+    asserts this loop survives arbitrary interleavings with two committing
+    writers without corrupting state or dying."""
+    from forklift_spark.lakette.table import LaketteTable
+
+    t = LaketteTable(root)
+    end = time.monotonic() + duration
+    while time.monotonic() < end:
+        t.vacuum(keep_versions=2, grace_seconds=300)
+        t.expire_epochs(keep_last=1000)
+        time.sleep(0.05)
+
+
 def spark_worker(root: str, log_dir: str, qid: str) -> None:
     from forklift_spark.lakette.table import CommitConflictError, LaketteTable
     from forklift_spark.operators.merge import merge_into
@@ -179,7 +195,12 @@ def run_meta_seed(seed: int, epochs: int = 25, workdir: str | None = None) -> di
             "version": raw["version"], "files": len(paths)}
 
 
-def run_spark_seed(seed: int, n_events: int = 30_000, workdir: str | None = None) -> dict:
+def run_spark_seed(
+    seed: int,
+    n_events: int = 30_000,
+    workdir: str | None = None,
+    with_vacuum: bool = False,
+) -> dict:
     import pandas as pd
 
     from forklift_spark.changelog import ChangelogSpec, expected_final_state, generate_changelog
@@ -216,6 +237,11 @@ def run_spark_seed(seed: int, n_events: int = 30_000, workdir: str | None = None
                        "--log", halves[qid], "--qid", qid])
 
     a, b = worker("A"), worker("B")
+    vac = (
+        _spawn(["--vacuum-worker", "--root", root, "--duration", "240"])
+        if with_vacuum
+        else None
+    )
     # one SIGKILL on A mid-replay (after JVM spin-up), then restart
     time.sleep(12 + 6 * rng.random())
     kills = 0
@@ -226,14 +252,22 @@ def run_spark_seed(seed: int, n_events: int = 30_000, workdir: str | None = None
         a = worker("A")
     rc_a = a.wait(timeout=600)
     rc_b = b.wait(timeout=600)
+    vac_alive = True
+    if vac is not None:
+        # the maintenance loop must still be healthy (it exits only on its
+        # own timer); a crashed vacuum racing the writers is a failure
+        vac_alive = vac.poll() is None
+        vac.terminate()
+        vac.wait(timeout=30)
 
     spark = get_spark(app_name="stress-verify", cores=4, shuffle_partitions=8,
                       driver_memory="4g")
     table = LaketteTable(root)
     exp = spark.createDataFrame(expected_final_state(spec))
     ver = verify_state(spark, table, exp)
-    return {"seed": seed, "ok": bool(ver["ok"]) and rc_a == 0 and rc_b == 0,
-            "kills": kills, "rc": (rc_a, rc_b), "verify": ver}
+    return {"seed": seed, "ok": bool(ver["ok"]) and rc_a == 0 and rc_b == 0 and vac_alive,
+            "kills": kills, "rc": (rc_a, rc_b), "vacuum_alive": vac_alive,
+            "verify": ver}
 
 
 def main() -> None:
@@ -245,6 +279,10 @@ def main() -> None:
     # internal worker modes
     ap.add_argument("--meta-worker", action="store_true")
     ap.add_argument("--spark-worker", action="store_true")
+    ap.add_argument("--vacuum-worker", action="store_true")
+    ap.add_argument("--duration", type=float, default=240.0)
+    ap.add_argument("--with-vacuum", action="store_true",
+                    help="spark level: run a concurrent vacuum/retention loop")
     ap.add_argument("--root")
     ap.add_argument("--log")
     ap.add_argument("--qid")
@@ -257,11 +295,15 @@ def main() -> None:
     if args.spark_worker:
         spark_worker(args.root, args.log, args.qid)
         return
+    if args.vacuum_worker:
+        vacuum_worker(args.root, args.duration)
+        return
 
     results = []
     for s in range(args.seeds):
         r = (run_meta_seed(s, epochs=args.epochs) if args.level == "meta"
-             else run_spark_seed(s, n_events=args.events))
+             else run_spark_seed(s, n_events=args.events,
+                                 with_vacuum=args.with_vacuum))
         print(json.dumps(r))
         results.append(r)
     n_ok = sum(1 for r in results if r["ok"])

@@ -119,3 +119,36 @@ def test_minhash_lsh_recall_against_exact_jaccard(spark):
     # candidates are verified with exact Jaccard at the same threshold, so
     # every reported pair is a true pair
     assert precision == 1.0, f"LSH precision {precision:.3f}"
+
+
+# ---------------------------------------------------- IVF ANN (r4)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF (k-means inverted lists, n_probe nearest) against exact
+    brute-force top-k on a clustered fixture: the query's own cluster is
+    always probed, so recall@10 stays high; self is its own NN."""
+    import numpy as np
+
+    from forklift_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 40
+    rows = []
+    for c in range(5):  # 5 well-separated clusters
+        center = rng.standard_normal(dim) * 10
+        for j in range(per):
+            v = center + rng.standard_normal(dim)
+            rows.append((c * 1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    q = rows[7][1]  # a member of cluster 0
+
+    exact = [r.id for r in brute_force_topk(df, "emb", "id", q, k=10).collect()]
+    got_rows = ivf_topk(df, "emb", "id", q, k=10, n_lists=8, n_probe=2).collect()
+    got = [r.id for r in got_rows]
+    assert got_rows[0].id == 7 and got_rows[0].cos == 1.0  # self is NN
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.8, f"IVF recall@10 {recall}"
+    # deterministic across invocations (fixed seed)
+    again = [r.id for r in ivf_topk(df, "emb", "id", q, k=10, n_lists=8, n_probe=2).collect()]
+    assert got == again
