@@ -92,6 +92,102 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize stage: mapInPandas over image rows, one output row per
+    input (partition-preserving, no shuffle). The RE-ENCODE kernel is the
+    stub (no PIL in this container): output payload = deterministic
+    truncation proportional to the area ratio, output dims = the real
+    aspect-preserving fit of the stub-decoded dims into `max_side` — the
+    arithmetic a real PIL.thumbnail call performs, so swapping the kernel
+    changes no schema, batching, or partitioning."""
+    side = int(max_side)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            out_w, out_h, out_p = [], [], []
+            for p in pdf["payload"]:
+                raw = p if p is not None else b""
+                w, h, _ = _decode_stub(raw, "image")
+                scale = min(1.0, side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(8, int(len(raw) * (nw * nh) / max(w * h, 1)))
+                out_w.append(nw)
+                out_h.append(nh)
+                out_p.append(raw[:keep])  # stub re-encode
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_p,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32) -> DataFrame:
+    """Video frame sampling: one video row fans out to one row per sampled
+    timestamp (every `every_ms`, capped at `max_frames`) — the 1->N
+    explode shape of a real ffmpeg frame grab, via mapInPandas (Arrow
+    batches, partition-preserving; fan-out bounded per row so batch memory
+    is bounded). The FRAME-DECODE kernel is the stub: payload = a
+    deterministic slice keyed by (media bytes, ts); duration comes from
+    the same stub decode feature extraction uses."""
+    step, cap = int(every_ms), int(max_frames)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is not None else b""
+                _, _, dur = _decode_stub(raw, "video")
+                n = min(cap, max(1, dur // step))
+                for i in range(int(n)):
+                    ts = i * step
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    off = (ts // max(step, 1) * 7) % max(len(raw), 1)
+                    payloads.append(raw[off : off + 32])  # stub frame bytes
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_index": pd.array(idxs, dtype="Int32"),
+                    "ts_ms": pd.array(tss, dtype="Int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload = seeded pseudo-bytes with a
     real magic prefix, so the plumbing is testable without decoders."""

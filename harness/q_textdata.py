@@ -338,6 +338,17 @@ def text_fingerprint(spark, sf):
 # -------------------------------------------------------------- multimodal
 
 
+# extra; rows-only: synthetic media, stubbed frame decode (no codec libs)
+@q("mm_frames", extra=True)
+def mm_frames(spark, sf):
+    """Video frame sampling 1->N fan-out (mapInPandas, partition-
+    preserving, fan-out bounded per row) — kernel stubbed, plumbing real."""
+    import forklift_spark.operators.multimodal as mm
+
+    media = mm.synth_media(spark, n=96)
+    return mm.sample_frames(media, every_ms=1000, max_frames=16)
+
+
 @q("mm_features")  # rows-only: synthetic media, stubbed decode (no codec libs)
 def mm_features(spark, sf):
     """Binary-column plumbing: synthetic media table -> mapInPandas feature
