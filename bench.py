@@ -193,6 +193,12 @@ def main() -> None:
         "sha_exact": replay["sha_exact"],
         "final_rows": replay["final_rows"],
         "cpus": cpus,
+        # trial policy tag (ADVICE r4 #4): headline per-query values are
+        # best-of-N minima since r4 — cross-round comparisons against
+        # pre-r4 single-shot numbers are not like-for-like; the tag makes
+        # the methodology visible in the artifact itself
+        "timing": f"best_of_{query_trials}",
+        "replay_timing": f"best_of_{replay_trials}",
         "query_trials": trials,
         "replay_trials": [r["replay_wall_sec"] for r in replays],
         "steal": {

@@ -935,19 +935,29 @@ class LaketteTable:
                 # points at the parent, so epoch_committed didn't gate the
                 # retry). The retry may reclaim it; the crashed attempt's
                 # data files become unreferenced orphans (vacuum's concern).
-                # Reclaiming must never clobber a LIVE committer that merely
-                # shares our writer stamp (twin replicators, two compacts
-                # from the same base — code-review r3): only reclaim when
-                # CURRENT provably never advanced to this version AND the
-                # file is old enough that no live writer can still be in
-                # the instants between its exclusive create and its swap.
+                #
+                # Stamp-match reclaim is safe ONLY because a shared writer
+                # stamp means the same LOGICAL change (ADVICE r4 #1): for
+                # exactly-once ingest stamps {query_id, epoch}, two writers
+                # sharing the stamp are by contract committing the SAME
+                # epoch batch, so replacing one attempt's metadata with the
+                # other's is an idempotent re-commit, not a lost update —
+                # even if the orphan's creator is still alive and later
+                # swaps CURRENT, the epoch lands exactly once. Stamps whose
+                # holders may commit DIFFERENT content from the same base
+                # (compact: bucket subsets / output specs can differ) MUST
+                # carry a per-invocation nonce (operators/merge.py compact)
+                # so twins never match and fall to the conflict path.
                 import time as _time
 
                 try:
                     orphan = self.fs.read_json(path)
-                    orphan_age = _time.time() - self.fs.mtime(path)
                 except (OSError, json.JSONDecodeError):
-                    orphan, orphan_age = {}, 0.0
+                    orphan = {}  # unreadable: treat as foreign, age-gate below
+                try:
+                    orphan_age = _time.time() - self.fs.mtime(path)
+                except OSError:
+                    orphan_age = 0.0
                 reclaim = (
                     writer is not None
                     and orphan.get("writer") == writer
@@ -957,12 +967,12 @@ class LaketteTable:
                 if reclaim and orphan_age <= 2.0:
                     # Crash-orphan vs live-twin disambiguation (ADVICE r3):
                     # a LIVE twin sharing our writer stamp swaps CURRENT
-                    # within moments of its exclusive create. Instead of a
-                    # fixed age gate that fails query restarts for its whole
-                    # duration, wait out only the remainder of a short
-                    # create->swap window, polling CURRENT; if it advances
-                    # the twin was alive (conflict path — the caller's epoch
-                    # gate then skips), else the creator is provably dead.
+                    # within moments of its exclusive create. Wait out only
+                    # the remainder of a short create->swap window, polling
+                    # CURRENT; if it advances the twin was alive (conflict
+                    # path — the caller's epoch gate then skips). Past the
+                    # window the same-logical-change argument above makes
+                    # the overwrite idempotent either way.
                     deadline = _time.monotonic() + (2.0 - orphan_age)
                     while _time.monotonic() < deadline:
                         if self._raw_current()["version"] != raw["version"]:
@@ -976,21 +986,44 @@ class LaketteTable:
                     self.fs.put_json(path, new_meta)
                 else:
                     attempts += 1
-                    if base_version is None or attempts >= max_rebase_attempts:
-                        raise  # legacy caller, or too much contention
-                    # the CAS winner swaps CURRENT immediately after its
-                    # exclusive create — give it a moment before concluding
-                    # the racer crashed mid-commit (un-rebasable)
-                    advanced = False
-                    deadline = _time.monotonic() + 2.0
-                    while _time.monotonic() < deadline:
+                    if base_version is not None and attempts < max_rebase_attempts:
+                        # the CAS winner swaps CURRENT immediately after its
+                        # exclusive create — give it a moment before
+                        # concluding the racer crashed mid-commit
+                        deadline = _time.monotonic() + 2.0
+                        while _time.monotonic() < deadline:
+                            if self._raw_current()["version"] > raw["version"]:
+                                break
+                            _time.sleep(0.02)
                         if self._raw_current()["version"] > raw["version"]:
-                            advanced = True
-                            break
-                        _time.sleep(0.02)
-                    if not advanced:
+                            continue  # reload + re-validate + rebase
+                    # DEAD-CREATOR fallback (ADVICE r4 #1): a writer that
+                    # crashed between its exclusive create and CURRENT swap
+                    # would otherwise wedge this version number for every
+                    # OTHER writer until vacuum's 24 h retention. Any writer
+                    # may reclaim once the orphan is older than the reclaim
+                    # grace (default 60 s, LAKETTE_RECLAIM_GRACE env) — the
+                    # documented upper bound on how long a LIVE writer may
+                    # stall between create and swap (GC pause, steal burst);
+                    # raise it for environments with longer worst-case
+                    # stalls. A short CURRENT re-check closes the window
+                    # where the creator swapped while we decided.
+                    grace = float(os.environ.get("LAKETTE_RECLAIM_GRACE", "60"))
+                    try:
+                        orphan_age = _time.time() - self.fs.mtime(path)
+                    except OSError:
+                        orphan_age = 0.0
+                    dead = (
+                        orphan_age > grace
+                        and orphan.get("parent_version") == raw["version"]
+                        and self._raw_current()["version"] == raw["version"]
+                    )
+                    if dead:
+                        _time.sleep(0.1)  # creator-swapped-just-now window
+                        dead = self._raw_current()["version"] == raw["version"]
+                    if not dead:
                         raise
-                    continue  # reload + re-validate + rebase
+                    self.fs.put_json(path, new_meta)
             # crash-window healing (code-review r3): this commit is about to
             # overwrite the PREDECESSOR's writer stamp — if its exactly-once
             # marker never got written (crash between its commit and marker),

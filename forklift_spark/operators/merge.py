@@ -716,7 +716,15 @@ def compact(
     commit = table.commit_version(
         new_files=new_files,
         replaced_buckets=replaced,
-        writer={"query_id": "__compact__", "epoch": meta["version"]},
+        # per-invocation nonce (ADVICE r4 #1): two compacts from the same
+        # base can commit DIFFERENT content (bucket subsets, output specs),
+        # so their stamps must never match — stamp-match orphan reclaim is
+        # only safe for same-logical-change twins (see commit_version)
+        writer={
+            "query_id": "__compact__",
+            "epoch": meta["version"],
+            "nonce": uuid.uuid4().hex,
+        },
         n_buckets=out_buckets if n_buckets else None,
         base_version=meta["version"],
     )

@@ -48,11 +48,36 @@ _SCALE = 10_000  # rates quantized to basis points
 
 def sample_hash(id_col, salt: int = 0):
     """Deterministic uniform bucket in [0, 10000) from an integer id —
-    `(id + salt) * 2654435761 mod 2^32 mod 10^4`, pure codegen."""
-    return F.pmod(
-        F.pmod((F.col(id_col).cast("long") + F.lit(int(salt))) * F.lit(_KNUTH),
-               F.lit(_MOD)),
-        F.lit(_SCALE),
+    mathematically `(id + salt) * 2654435761 mod 2^32 mod 10^4`.
+
+    The multiply is performed MODULARLY, in two 16-bit pieces, so every
+    int64 intermediate stays far below 2^63 (ADVICE r4 #2): the naive
+    `(id + salt) * K` product overflows int64 at id ~ 3.47e9 — silently
+    wrapping under non-ANSI Spark (diverging from any exact engine) and
+    raising ArithmeticException under spark.sql.ansi.enabled=true. Here
+    x = (id + salt) mod 2^32 is split as hi*2^16 + lo; then
+    x*K mod 2^32 = ((hi*K mod 2^16)*2^16 + lo*K) mod 2^32, whose largest
+    intermediate is < 2^48. Identical bucket values to the naive formula
+    at every id (same math, no wrap), valid over the full non-negative
+    int64 id domain, still pure codegen."""
+    x = F.pmod(F.col(id_col).cast("long") + F.lit(int(salt)), F.lit(_MOD))
+    hi = F.floor(x / F.lit(65536)).cast("long")
+    lo = F.pmod(x, F.lit(65536))
+    h = F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536) + lo * F.lit(_KNUTH),
+        F.lit(_MOD),
+    )
+    return F.pmod(h, F.lit(_SCALE))
+
+
+def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
+    """The EXACT oracle-SQL twin of `sample_hash` (ANSI; DuckDB/Spark SQL
+    both evaluate it without overflow) — kept next to the Column version so
+    the two can never drift apart."""
+    x = f"(({id_expr}) + {int(salt)}) % 4294967296"
+    return (
+        f"((((({x}) // 65536) * {_KNUTH}) % 65536) * 65536"
+        f" + (({x}) % 65536) * {_KNUTH}) % 4294967296 % {_SCALE}"
     )
 
 
@@ -82,16 +107,28 @@ def pack_concat_chunks(
     tokens_col: str,
     max_tokens: int,
     group_col: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
-    """GPT-style packing: within each packing group (one global group when
-    `group_col` is None — fine at test scale, pass a group for scale),
-    documents are laid end-to-end in ascending `id_col` order and cut into
-    chunks of `max_tokens`. Emits per document: its group, chunk id (the
-    chunk its FIRST token lands in), offset within that chunk, and its
-    token count. One window cumulative sum — stays in codegen, one
-    exchange on the group key."""
+    """GPT-style packing: within each packing group, documents are laid
+    end-to-end in ascending `id_col` order and cut into chunks of
+    `max_tokens`. Emits per document: its group, chunk id (the chunk its
+    FIRST token lands in), offset within that chunk, and its token count.
+    One window cumulative sum — stays in codegen, one exchange on the
+    group key.
+
+    `group_col=None` builds ONE global window partition — the whole table
+    funnels through a single task, so, matching `cosine_pairs`' guard
+    discipline (VERDICT r4 #3), it requires an explicit
+    `allow_global=True` opt-in (fine at test scale; at scale pass a group:
+    source shard, or a hash-salted synthetic key)."""
     from pyspark.sql.window import Window
 
+    if group_col is None and not allow_global:
+        raise ValueError(
+            "pack_concat_chunks without group_col is a single global window "
+            "partition (the whole table through one task); pass a packing "
+            "group column or explicitly opt in with allow_global=True"
+        )
     grp = F.col(group_col) if group_col else F.lit("all")
     w = (
         Window.partitionBy(grp)
@@ -123,13 +160,22 @@ def pack_greedy(
     tokens_col: str,
     max_tokens: int,
     group_col: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """No-split packing: whole documents first-fit (in ascending `id_col`
     order) into bins of `max_tokens`; a document larger than the budget
     gets its own bin. Sequential by nature, so it runs per packing group
     via applyInPandas (Arrow-batched, no per-row Python on the JVM side);
     the group key is the scale unit. Deterministic: same input -> same
-    bins everywhere."""
+    bins everywhere. `group_col=None` packs the WHOLE table in one group
+    (one task) and requires `allow_global=True`, same guard discipline as
+    pack_concat_chunks."""
+    if group_col is None and not allow_global:
+        raise ValueError(
+            "pack_greedy without group_col runs the whole table through one "
+            "applyInPandas group (one task); pass a packing group column or "
+            "explicitly opt in with allow_global=True"
+        )
     budget = int(max_tokens)
 
     def _pack(pdf):

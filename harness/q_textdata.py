@@ -136,9 +136,13 @@ def embedding_dup_pairs_lsh(spark, sf):
 
 # ------------------------------------------ sampling / packing (extras)
 
-_SAMPLE_SQL = """
+from forklift_spark.operators.sampling import sample_hash_sql
+
+#: the oracle runs the engine's EXACT overflow-safe modular-multiply hash
+#: (sample_hash_sql is the Column expression's SQL twin — ADVICE r4 #2)
+_SAMPLE_SQL = f"""
 SELECT doc_id, lang FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+WHERE {sample_hash_sql('doc_id')} <
       CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
 """
 

@@ -1,9 +1,14 @@
 """spark-submit entry: replay a generated change log into a lakette table
 and print ONE JSON line with sustained throughput.
 
-Run (the cluster-size proxy — master comes from spark-submit, never set here):
+Run (the cluster-size proxy — master comes from spark-submit, never set here).
+The --py-files zip is BUILT AT USE TIME from the current source (ADVICE r4
+#3: a committed artifact goes stale the moment source changes, silently
+shipping outdated executor-side code — mapInPandas helpers are imported by
+name inside Python workers):
 
-  spark-submit --master local[8]  --py-files build/forklift_spark.zip \
+  ZIP=$(python -c "from scripts.bench_scaling import make_pyfiles_zip; print(make_pyfiles_zip())")
+  spark-submit --master local[8]  --py-files "$ZIP" \
       scripts/replay_job.py --log-dir /tmp/fk_scale/log --workdir /tmp/fk_scale/run8 \
       --cores 8 --mode mor --epochs 8
 

@@ -102,7 +102,7 @@ def test_pack_greedy_property_random_sizes(spark):
             [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tok long"
         )
         out = sorted(
-            sp.pack_greedy(df, "doc_id", "n_tok", budget).collect(),
+            sp.pack_greedy(df, "doc_id", "n_tok", budget, allow_global=True).collect(),
             key=lambda r: r.doc_id,
         )
         assert [r.doc_id for r in out] == list(range(len(sizes)))  # (a)
@@ -129,10 +129,55 @@ def test_pack_greedy_property_random_sizes(spark):
     run()
 
 
+def test_global_packing_requires_explicit_opt_in(docs):
+    """VERDICT r4 #3: group_col=None funnels the whole table through one
+    window partition / one applyInPandas group — loud guard, mirroring
+    cosine_pairs' quadratic gate, instead of a silent single-task plan."""
+    with pytest.raises(ValueError, match="allow_global"):
+        sp.pack_concat_chunks(docs, "doc_id", "n_tok", 1000)
+    with pytest.raises(ValueError, match="allow_global"):
+        sp.pack_greedy(docs, "doc_id", "n_tok", 1000)
+    # the explicit opt-in still works (test-scale escape hatch)
+    assert sp.pack_concat_chunks(
+        docs, "doc_id", "n_tok", 1000, allow_global=True
+    ).count() == docs.count()
+
+
+def test_sample_hash_no_int64_overflow_at_huge_ids(spark):
+    """ADVICE r4 #2: the naive (id+salt)*K product overflows int64 at
+    id ~ 3.47e9. The modular two-piece multiply must (a) survive
+    spark.sql.ansi.enabled=true at ids far beyond the overflow point and
+    (b) equal the exact Python big-int computation row for row."""
+    # (id + salt) itself must fit int64 — the documented domain is
+    # non-negative ids with headroom for the salt
+    ids = [0, 1, 3_470_000_000, 2**33, 2**40 + 12345, 2**62, 2**63 - 100]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id", sp.sample_hash("doc_id", salt=7).alias("h")
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    for i in ids:
+        want = ((i + 7) * 2654435761) % (2**32) % 10000  # exact big-int
+        assert got[i] == want, f"id={i}: got {got[i]}, want {want}"
+
+
 def test_pack_greedy_oversized_doc_gets_own_bin(spark):
     df = spark.createDataFrame(
         [(1, 5000), (2, 100), (3, 100)], "doc_id long, n_tok long"
     )
-    out = {r.doc_id: r for r in sp.pack_greedy(df, "doc_id", "n_tok", 1000).collect()}
+    out = {
+        r.doc_id: r
+        for r in sp.pack_greedy(df, "doc_id", "n_tok", 1000, allow_global=True).collect()
+    }
     assert out[1].bin_id != out[2].bin_id  # the giant is alone
     assert out[2].bin_id == out[3].bin_id  # small ones share
