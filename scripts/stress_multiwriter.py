@@ -133,6 +133,131 @@ def spark_worker(root: str, log_dir: str, qid: str) -> None:
             raise RuntimeError(f"{qid} epoch {e}: merge never converged")
 
 
+def run_memvac_seed(seed: int, epochs: int = 20, duration: float = 6.0) -> dict:
+    """VERDICT r4 #7 — level `memvac`: the eventual-VISIBILITY race under
+    MULTI-writer + concurrent-vacuum pressure, which posix cannot express.
+    MemoryStorage is in-process, so this level is threaded (the metadata
+    protocol has no JVM side): two writer threads land `epochs` commits
+    each (shared 4-bucket table, every commit rebases against the other),
+    a vacuum/retention thread runs continuously, and a chaos thread keeps
+    arming `delay_visibility` on version files / CURRENT / markers and
+    settling the store on a random cadence — so writers and vacuum keep
+    observing a store where freshly-PUT objects are not yet listable.
+
+    Contract under test: transient FileNotFoundError is the documented
+    reader-side retry surface (a hidden CURRENT target); the GRACE window
+    protects not-yet-referenced manifests/data from a racing vacuum; and
+    once the store settles, the table must hold every epoch exactly once
+    with counters equal to a from-scratch recount. Vacuum dying on any
+    NON-transient error fails the seed."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.storage import MemoryStorage
+    from forklift_spark.lakette.table import (
+        CommitConflictError,
+        LaketteTable,
+        _MANIFEST_CACHE,
+    )
+
+    rng = random.Random(seed)
+    _MANIFEST_CACHE.clear()
+    fs = MemoryStorage()
+    schema = T.StructType(
+        [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]
+    )
+    LaketteTable.create(f"/mem/{seed}/tbl", schema, ["repo", "path"],
+                        n_buckets=4, storage=fs)
+    root = f"/mem/{seed}/tbl"
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer(qid: str) -> None:
+        t = LaketteTable(root, storage=fs)
+        w_rng = random.Random((seed, qid).__hash__())
+        try:
+            for e in range(epochs):
+                for _ in range(4000):
+                    try:
+                        if t.epoch_committed(qid, e):
+                            break
+                        base = t._raw_current()["version"]
+                        c = t.commit_version(
+                            new_files=[{
+                                "path": f"data/{qid}-{e:04d}.parquet",
+                                "bucket": w_rng.randrange(4), "rows": 1,
+                                "delta": True, "kmin": None, "kmax": None,
+                                "smax": e,
+                            }],
+                            replaced_buckets=set(),
+                            writer={"query_id": qid, "epoch": e},
+                            base_version=base,
+                        )
+                        t.write_epoch_marker(qid, e, c.snapshot_id)
+                        break
+                    except FileNotFoundError:
+                        time.sleep(0.002)  # hidden CURRENT target: retry
+                    except CommitConflictError:
+                        if t.epoch_committed(qid, e):
+                            break
+                        time.sleep(0.002 * w_rng.random())
+                else:
+                    raise RuntimeError(f"{qid} epoch {e} never converged")
+        except Exception as ex:  # noqa: BLE001
+            errors.append(f"writer {qid}: {type(ex).__name__}: {ex}")
+
+    def vacuum_loop() -> None:
+        t = LaketteTable(root, storage=fs)
+        try:
+            while not stop.is_set():
+                try:
+                    t.vacuum(keep_versions=2, grace_seconds=300)
+                    t.expire_epochs(keep_last=1000)
+                except FileNotFoundError:
+                    pass  # hidden object mid-walk: the documented retry surface
+                time.sleep(0.003)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(f"vacuum: {type(ex).__name__}: {ex}")
+
+    def chaos_loop() -> None:
+        while not stop.is_set():
+            fs.delay_visibility(rng.choice(["v", "CURRENT", ".json", "_epochs"]))
+            time.sleep(0.004 + 0.01 * rng.random())
+            if rng.random() < 0.8:
+                fs.settle()
+
+    threads = [
+        threading.Thread(target=writer, args=("A",)),
+        threading.Thread(target=writer, args=("B",)),
+        threading.Thread(target=vacuum_loop, daemon=True),
+        threading.Thread(target=chaos_loop, daemon=True),
+    ]
+    for th in threads:
+        th.start()
+    threads[0].join(timeout=duration * 10)
+    threads[1].join(timeout=duration * 10)
+    stop.set()
+    threads[2].join(timeout=10)
+    fs.settle()  # the network heals; verify the settled state
+
+    t = LaketteTable(root, storage=fs)
+    raw = t._raw_current()
+    meta = t.current_metadata()
+    paths = [f["path"] for f in meta["files"]]
+    expected = {f"data/{q}-{e:04d}.parquet" for q in "AB" for e in range(epochs)}
+    ok = (
+        not errors
+        and sorted(paths) == sorted(expected)   # exactly once, none lost
+        and raw["version"] == 1 + 2 * epochs
+        and all(t.epoch_committed(q, e) for q in "AB" for e in range(epochs))
+        and t._bucket_stats(raw)
+        == t._bucket_stats({k: v for k, v in raw.items() if k != "bucket_stats"})
+    )
+    return {"seed": seed, "ok": ok, "version": raw["version"],
+            "files": len(paths), "errors": errors[:3]}
+
+
 # --------------------------------------------------------------- parents
 
 
@@ -272,7 +397,7 @@ def run_spark_seed(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--level", choices=["meta", "spark"], default="meta")
+    ap.add_argument("--level", choices=["meta", "spark", "memvac"], default="meta")
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--events", type=int, default=30_000)
@@ -301,9 +426,13 @@ def main() -> None:
 
     results = []
     for s in range(args.seeds):
-        r = (run_meta_seed(s, epochs=args.epochs) if args.level == "meta"
-             else run_spark_seed(s, n_events=args.events,
-                                 with_vacuum=args.with_vacuum))
+        if args.level == "meta":
+            r = run_meta_seed(s, epochs=args.epochs)
+        elif args.level == "memvac":
+            r = run_memvac_seed(s, epochs=args.epochs)
+        else:
+            r = run_spark_seed(s, n_events=args.events,
+                               with_vacuum=args.with_vacuum)
         print(json.dumps(r))
         results.append(r)
     n_ok = sum(1 for r in results if r["ok"])

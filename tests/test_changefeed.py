@@ -80,3 +80,68 @@ def test_follow_changes_yields_live_spans(spark, tmp_path):
     assert [s[1] for s in spans] == sorted(s[1] for s in spans)  # ordered
     want = {r.path: r.content for r in table.snapshot(spark).collect()}
     assert state == want == {"a.py": "v2"}
+
+
+def test_changes_span_across_schema_evolution(spark, tmp_path):
+    """VERDICT r4 #5: a changefeed span whose source EVOLVED mid-span
+    (additive column) is emitted under the span-end schema — the evolved
+    column rides the diff, typed NULL for rows last written before the
+    evolution — and both replicate() and derive() apply it downstream."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.operators.changes import snapshot_diff
+    from forklift_spark.operators.derive import derive
+    from forklift_spark.operators.replicate import replicate
+    from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA_V2
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    _merge(spark, table,
+           [("I", 1, "r", "a.py", "v1"), ("I", 2, "r", "b.py", "v1"),
+            ("I", 3, "r", "c.py", "v1")], "w", 0)
+    v0 = table.current_metadata()["version"]
+
+    # epoch 1 EVOLVES the schema (adds size_bytes) and updates a.py
+    v2_rows = [("U", 10, "r", "a.py", "c10", "py", "v2", None, 2, 123)]
+    merge_into(
+        spark, table, spark.createDataFrame(v2_rows, CHANGELOG_SCHEMA_V2),
+        query_id="w", epoch=1,
+    )
+    # epoch 2 updates b.py with the PRE-evolution envelope (no size_bytes)
+    _merge(spark, table, [("U", 11, "r", "b.py", "v2-old-envelope")], "w", 2)
+
+    off, diff = changes_since(spark, table, v0, full_rows=True)
+    assert "size_bytes" in diff.columns
+    assert dict(diff.dtypes)["size_bytes"] == "bigint"  # typed, not string
+    got = {r.path: r for r in diff.collect()}
+    assert got["a.py"].change == "update" and got["a.py"].size_bytes == 123
+    # evolved column is a TYPED NULL for the pre-evolution-envelope update
+    assert got["b.py"].change == "update" and got["b.py"].size_bytes is None
+    assert "c.py" not in got  # untouched key not in the span
+
+    # replicate applies the evolved span: destination evolves too
+    dst_root = str(tmp_path / "mirror")
+    replicate(spark, table, dst_root, replication_id="m")
+    dst = LaketteTable(dst_root)
+    assert "size_bytes" in [f.name for f in dst.user_schema().fields]
+    snap = {r.path: r for r in dst.snapshot(spark).collect()}
+    assert snap["a.py"].size_bytes == 123 and snap["b.py"].size_bytes is None
+
+    # derive (created post-evolution) may reference the evolved column
+    der_root = str(tmp_path / "silver")
+    derive(spark, table, der_root,
+           {"content": "content", "size_bytes": "size_bytes"}, derive_id="d")
+    der = {r.path: r for r in LaketteTable(der_root).snapshot(spark).collect()}
+    assert der["a.py"].size_bytes == 123 and der["b.py"].size_bytes is None
+
+    # and an INCREMENTAL derived span carries the evolved column as well
+    merge_into(
+        spark, table,
+        spark.createDataFrame(
+            [("U", 20, "r", "c.py", "c20", "py", "v2", None, 2, 456)],
+            CHANGELOG_SCHEMA_V2,
+        ),
+        query_id="w", epoch=3,
+    )
+    derive(spark, table, der_root,
+           {"content": "content", "size_bytes": "size_bytes"}, derive_id="d")
+    der2 = {r.path: r for r in LaketteTable(der_root).snapshot(spark).collect()}
+    assert der2["c.py"].size_bytes == 456

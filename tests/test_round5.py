@@ -109,6 +109,177 @@ def test_young_foreign_orphan_still_conflicts(spark, tmp_path):
         assert json.load(f).get("their_payload") is True
 
 
+# ------------------------------------------------ VERDICT r4 #4: SQL views
+
+
+def test_sql_view_over_lakette_table_with_time_travel(spark, tmp_path):
+    """create_or_replace_view registers a snapshot as a temp view so plain
+    spark.sql works over lakette tables, including a time-travelled pin —
+    results must match the DataFrame path exactly."""
+    from forklift_spark.lakette.table import LaketteTable
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    _seed_rows(spark, table, n=40)
+    v1 = table.current_metadata()["version"]
+    upd = spark.createDataFrame(
+        [("U", 1000, "r0", "p/0.py", "c2", "py", "patched", None, 1),
+         ("D", 1001, "r1", "p/1.py", None, None, None, None, 1)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp, schema_v int",
+    )
+    merge_into(spark, table, upd, query_id="seed", epoch=1)
+
+    table.create_or_replace_view(spark, "repos_now")
+    table.create_or_replace_view(spark, "repos_v1", version=v1)
+
+    now = spark.sql(
+        "SELECT repo, count(*) AS n FROM repos_now GROUP BY repo ORDER BY repo"
+    ).collect()
+    df_now = (
+        table.snapshot(spark).groupBy("repo").agg(F.count("*").alias("n"))
+        .orderBy("repo").collect()
+    )
+    assert [tuple(r) for r in now] == [tuple(r) for r in df_now]
+    # the pinned view still sees the pre-update state
+    assert spark.sql("SELECT count(*) AS n FROM repos_v1").collect()[0].n == 40
+    assert spark.sql("SELECT count(*) AS n FROM repos_now").collect()[0].n == 39
+    assert spark.sql(
+        "SELECT content FROM repos_now WHERE path = 'p/0.py'"
+    ).collect()[0].content == "patched"
+    assert spark.sql(
+        "SELECT content FROM repos_v1 WHERE path = 'p/0.py'"
+    ).collect()[0].content == "body 0"
+    spark.catalog.dropTempView("repos_now")
+    spark.catalog.dropTempView("repos_v1")
+
+
+# ------------------------- VERDICT r4 #9: legacy counter bootstrap, paid once
+
+
+def test_legacy_counter_bootstrap_is_paid_exactly_once(spark, tmp_path, monkeypatch):
+    """Metadata predating the summary counters pays ONE full manifest
+    materialization on the first commit (documented first-commit cost);
+    the SECOND commit must ride the maintained counters and open only the
+    touched buckets' shards."""
+    import json as _json
+
+    from forklift_spark.lakette.table import _MANIFEST_CACHE, LaketteTable
+
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=16)
+    rows = [
+        ("I", i, f"r{i % 13}", f"p/{i}.py", f"c{i}", "py", f"body {i}", None, 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp, schema_v int",
+    )
+    merge_into(spark, table, df, query_id="seed", epoch=0)
+
+    # simulate legacy metadata: strip every maintained counter
+    cur = table._raw_current()
+    name = f"v{cur['version']}.json"
+    for k in ("total_files", "total_rows", "total_delta_files",
+              "spec_files", "bucket_stats"):
+        cur.pop(k, None)
+    with open(os.path.join(table.meta_dir, name), "w") as f:
+        _json.dump(cur, f)
+    n_refs = len(cur["manifests"])
+    assert n_refs >= 10
+
+    class _Ctr:
+        def __init__(self):
+            self.opens = []
+
+    ctr = _Ctr()
+    real = LaketteTable._read_manifest
+
+    def counting(tbl, rel):
+        ctr.opens.append(rel)
+        return real(tbl, rel)
+
+    _MANIFEST_CACHE.clear()
+    monkeypatch.setattr(LaketteTable, "_read_manifest", counting)
+
+    one = spark.createDataFrame(
+        [("U", 9999, "r0", "p/0.py", "cx", "py", "patched", None, 1)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp, schema_v int",
+    )
+    merge_into(spark, table, one, query_id="up", epoch=0)
+    first_opens = len(set(ctr.opens))
+    assert first_opens >= n_refs  # the documented one-time bootstrap
+
+    ctr.opens.clear()
+    _MANIFEST_CACHE.clear()
+    two = spark.createDataFrame(
+        [("U", 10000, "r0", "p/0.py", "cy", "py", "patched again", None, 1)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, content string, event_ts timestamp, schema_v int",
+    )
+    merge_into(spark, table, two, query_id="up", epoch=1)
+    assert 0 < len(set(ctr.opens)) <= 2 < n_refs  # O(touched) from commit 2 on
+
+
+# ----------------------------------------- VERDICT r4 #2: persisted IVF index
+
+
+def test_ivf_persisted_index_queries_without_retraining(spark, tmp_path, monkeypatch):
+    """ivf_build trains ONCE and materializes ivf_list as a parquet
+    partition column + centroids sidecar; ivf_query must then (a) run with
+    ZERO KMeans fits (fit is monkeypatched to explode), (b) prune the scan
+    to the probed lists' PARTITIONS (PartitionFilters in the plan), (c)
+    keep recall vs exact brute force, and (d) match the retrain-per-call
+    ivf_topk on the same params (same seed => same quantizer)."""
+    import numpy as np
+
+    from forklift_spark.operators.similarity import (
+        brute_force_topk, ivf_build, ivf_query, ivf_topk,
+    )
+    from forklift_spark.plans.guards import formatted_plan
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 40
+    rows = []
+    for c in range(5):  # 5 well-separated clusters
+        center = rng.standard_normal(dim) * 10
+        for j in range(per):
+            v = center + rng.standard_normal(dim)
+            rows.append((c * 1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    q = rows[7][1]  # a member of cluster 0
+
+    root = str(tmp_path / "ivf")
+    meta = ivf_build(spark, df, "emb", "id", root, n_lists=8)
+    assert meta["dim"] == dim and len(meta["centroids"]) == 8
+    want = [tuple(r) for r in ivf_topk(df, "emb", "id", q, k=10, n_lists=8,
+                                       n_probe=2).collect()]
+
+    # (a) the query path must never fit a model
+    import pyspark.ml.clustering as clus
+
+    def _explode(*a, **kw):
+        raise AssertionError("ivf_query must not train k-means")
+
+    monkeypatch.setattr(clus.KMeans, "fit", _explode)
+    out = ivf_query(spark, root, q, k=10, n_probe=2)
+    got = [tuple(r) for r in out.collect()]
+
+    # (d) identical quantizer -> identical results as the ad-hoc variant
+    assert got == want
+    # (c) recall vs exact
+    exact = [r.id for r in brute_force_topk(df, "emb", "id", q, k=10).collect()]
+    recall = len({g[0] for g in got} & set(exact)) / 10
+    assert got[0][0] == 7 and recall >= 0.8, f"persisted-IVF recall {recall}"
+    # (b) partition pruning reaches the scan
+    plan = formatted_plan(ivf_query(spark, root, q, k=10, n_probe=2))
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan[:2000]
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("ivf_list" in ln and "[]" not in ln.split("PartitionFilters")[1][:4]
+               for ln in pf), pf
+
+
 # -------------------------------------------- ADVICE r4 #3: py-files freshness
 
 
