@@ -286,6 +286,85 @@ def ivf_build(
     return meta
 
 
+def ivf_assign_stored(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids,
+) -> DataFrame:
+    """Assign rows to the NEAREST STORED centroid — no k-means fit: one
+    Arrow-batched matmul per batch against the (n_lists, dim) centroid
+    matrix (same vectorized shape as lsh_buckets_arrow), partition-
+    preserving, plan size independent of dim. This is how NEW embeddings
+    route into a persisted IVF index in a CDC world (ivf_append): the
+    quantizer is frozen at build time; drift is a rebuild-cadence policy,
+    not a per-batch retrain.
+
+    Nearest by squared euclidean via the |c|^2 - 2*v.c trick (the |v|^2
+    term is constant per row and drops out of the argmin) — identical
+    list ids to pyspark.ml KMeans.transform on the same centroids."""
+    import numpy as _np
+
+    centers = _np.asarray(centroids, dtype=_np.float64)
+    c_norm2 = (centers * centers).sum(axis=1)  # (n_lists,)
+    dim = centers.shape[1]
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_ddl = f"{id_col} {id_t}, {vec_col} {vec_t}, ivf_list int"
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            vec = batch.column(batch.schema.get_field_index(vec_col))
+            flat = np.asarray(vec.flatten(), dtype=np.float64)
+            if flat.size != batch.num_rows * dim:
+                raise ValueError(
+                    f"ivf_assign_stored requires fixed-dim non-null vectors "
+                    f"(expected {dim} floats/row)"
+                )
+            v = flat.reshape(batch.num_rows, dim)
+            # argmin_c |v - c|^2 = argmin_c (|c|^2 - 2 v.c)
+            lists = np.argmin(c_norm2 - 2.0 * (v @ centers.T), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, vec, pa.array(lists.astype("int32"), type=pa.int32())],
+                names=[id_col, vec_col, "ivf_list"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(_assign, out_ddl)
+
+
+def ivf_append(
+    spark,
+    df: DataFrame,
+    index_root: str,
+) -> int:
+    """Route NEW embeddings into a persisted IVF index (ivf_build) using
+    the STORED centroids — zero fits, one Arrow matmul stage, appended
+    under the same `ivf_list` partition scheme so ivf_query's partition
+    pruning covers old and new rows alike. Returns rows appended."""
+    import json
+    import os
+
+    with open(os.path.join(index_root, "centroids.json")) as f:
+        meta = json.load(f)
+    assigned = ivf_assign_stored(
+        df, meta["vec_col"], meta["id_col"], meta["centroids"]
+    )
+    n = assigned.count()
+    (
+        assigned.repartition("ivf_list")
+        .write.mode("append")
+        .partitionBy("ivf_list")
+        .parquet(os.path.join(index_root, "data"))
+    )
+    return int(n)
+
+
 def ivf_query(
     spark,
     index_root: str,

@@ -224,3 +224,37 @@ def test_derive_pure_projection_without_predicate(spark, src, tmp_path):
     derive(spark, src, dst_root, {"lang": "lang", "n_chars": "length(content)"},
            derive_id="d")
     assert dst.snapshot(spark).count() == 29
+
+
+def test_derive_chains_bronze_silver_gold(spark, src, tmp_path):
+    """A derived table is an ordinary lakette table, so derive composes:
+    bronze -> silver (filter + map) -> gold (further map over silver's
+    output schema), each layer incrementally exactly-once under its own
+    derive_id, and gold converges to gold_spec . silver_spec of the source."""
+    silver_root = str(tmp_path / "silver")
+    gold_root = str(tmp_path / "gold")
+    gold_map = {"n_chars": "n_chars", "shout": "content || '!'"}
+
+    def refresh():
+        derive(spark, src, silver_root, MAPPING, predicate=PRED, derive_id="s")
+        derive(spark, LaketteTable(silver_root), gold_root, gold_map,
+               derive_id="g")
+
+    refresh()
+    gold = LaketteTable(gold_root)
+    row = gold.snapshot(spark).filter("path = 'f/4.txt'").collect()[0]
+    assert row.shout == "BODY 4!" and row.n_chars == 6
+
+    # a source change flows through BOTH layers incrementally
+    _apply(spark, src, [_ev("U", 900, "r0", "f/3.txt", "py", "chained")], 1)
+    _apply(spark, src, [_ev("D", 901, "r1", "f/4.txt", None, None)], 2)
+    refresh()
+    snap = {r.path: r for r in gold.snapshot(spark).collect()}
+    assert snap["f/3.txt"].shout == "CHAINED!"
+    assert "f/4.txt" not in snap  # delete propagated through two layers
+    # gold == gold_spec applied to the (recomputed) silver state
+    expected = _state(
+        spark,
+        derived_state_recompute(spark, LaketteTable(silver_root), gold_map),
+    )
+    assert _state(spark, gold) == expected

@@ -280,6 +280,56 @@ def test_ivf_persisted_index_queries_without_retraining(spark, tmp_path, monkeyp
                for ln in pf), pf
 
 
+def test_ivf_append_routes_new_rows_via_stored_centroids(spark, tmp_path, monkeypatch):
+    """CDC-world index maintenance: ivf_assign_stored must reproduce the
+    JVM quantizer's list ids exactly (same centroids => same argmin), and
+    ivf_append must land new embeddings under the partition scheme with
+    ZERO fits so ivf_query finds them immediately."""
+    import numpy as np
+
+    from forklift_spark.operators.similarity import (
+        ivf_assign, ivf_append, ivf_assign_stored, ivf_build, ivf_query,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 12
+    centers = [rng.standard_normal(dim) * 8 for _ in range(4)]
+    rows = [
+        (c * 100 + j, [float(x) for x in centers[c] + rng.standard_normal(dim)])
+        for c in range(4) for j in range(25)
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    root = str(tmp_path / "ivf")
+    ivf_build(spark, df, "emb", "id", root, n_lists=4)
+
+    # parity: stored-centroid argmin == the JVM KMeans.transform assignment
+    assigned_ml, centroids = ivf_assign(df, "emb", "id", n_lists=4)
+    want = {r.id: r.ivf_list for r in assigned_ml.collect()}
+    got = {
+        r.id: r.ivf_list
+        for r in ivf_assign_stored(df, "emb", "id", centroids).collect()
+    }
+    assert got == want
+
+    # append a new batch near cluster 2's center — zero fits allowed
+    import pyspark.ml.clustering as clus
+
+    monkeypatch.setattr(
+        clus.KMeans, "fit",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("no fits")),
+    )
+    new_rows = [
+        (9000 + j, [float(x) for x in centers[2] + 0.01 * rng.standard_normal(dim)])
+        for j in range(5)
+    ]
+    new_df = spark.createDataFrame(new_rows, "id long, emb array<float>")
+    assert ivf_append(spark, new_df, root) == 5
+    q = new_rows[0][1]
+    top = ivf_query(spark, root, q, k=5, n_probe=1).collect()
+    assert top[0].id == 9000 and top[0].cos == 1.0  # found itself, list pruned
+    assert {r.id for r in top} >= {9000, 9001, 9002}
+
+
 # -------------------------------------------- ADVICE r4 #3: py-files freshness
 
 
