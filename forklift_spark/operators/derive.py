@@ -126,6 +126,21 @@ def _derived_schema(
     )
 
 
+def _spec_fingerprint(mapping: MappingSpec, predicate) -> dict:
+    """Serializable identity of the transform, used to detect a CHANGED
+    spec against an existing derived table (silent drift guard): string
+    entries are captured verbatim; Column / pandas entries cannot be
+    serialized, so they are captured as opaque markers — changing between
+    two opaque entries is not detectable, which the docstring of derive()
+    calls out (prefer string/SQL entries for drift protection)."""
+    ent = {
+        k: (v if isinstance(v, str) else f"<non-sql:{type(v).__name__}>")
+        for k, v in mapping.items()
+    }
+    pred = predicate if isinstance(predicate, (str, type(None))) else "<non-sql>"
+    return {"mapping": ent, "predicate": pred}
+
+
 def _keep_expr(predicate: Column | str | None) -> Column:
     if predicate is None:
         return F.lit(True)
@@ -206,13 +221,24 @@ def derive(
     mode: str = "cow",
     n_buckets: int | None = None,
     every_version: bool = False,
+    allow_spec_change: bool = False,
 ) -> DeriveReport:
     """Bring the derived table at `dst_root` up to the source's current
     version under the transform (mapping, predicate). Creates the
     destination on first call (schema inferred from the spec; source key
     columns). Safe to call repeatedly — whole source versions land
     atomically, exactly-once under `derive_id`; a poll loop over this call
-    is a live derived view (availableNow semantics = one call)."""
+    is a live derived view (availableNow semantics = one call).
+
+    Spec drift guard: the transform's fingerprint is persisted next to the
+    destination on first call; a later call with a DIFFERENT spec raises
+    (incremental spans under a new spec would silently mix old-spec and
+    new-spec rows). Pass `allow_spec_change=True` to accept the new spec —
+    derive then runs a full RESYNC epoch (state-diff of new-spec expected
+    state vs the destination, overwrite semantics) so every row is
+    re-derived consistently, and updates the stored fingerprint. String/
+    SQL spec entries get exact drift detection; Column/pandas entries are
+    opaque (a swap between two opaque entries is not detectable)."""
     src_meta = src._raw_current()
     target_v = int(src_meta["version"])
     key_cols = list(src_meta["key_cols"])
@@ -234,58 +260,60 @@ def derive(
             dst = LaketteTable(dst_root)  # a twin deriver created it first
     report = DeriveReport(src_version=target_v)
 
+    # spec drift guard (see docstring). Epoch markers are keyed per SPEC
+    # (`derive_id@fp-hash`), so an accepted spec change starts from fresh
+    # offsets and its resync epoch can never be skipped by the old spec's
+    # markers; a crash between the resync commit and the fingerprint write
+    # re-enters here and heals idempotently (the marker gates the merge).
+    import hashlib
+    import json as _json
+
+    fp = _spec_fingerprint(mapping, predicate)
+    qid = (
+        derive_id + "@"
+        + hashlib.sha256(_json.dumps(fp, sort_keys=True).encode()).hexdigest()[:8]
+    )
+    fp_dir = os.path.join(dst_root, "_derive")
+    fp_path = os.path.join(fp_dir, f"{derive_id}.json")
+    spec_changed = False
+    if dst.fs.exists(fp_path):
+        if dst.fs.read_json(fp_path) != fp:
+            if not allow_spec_change:
+                raise ValueError(
+                    f"derive spec for {derive_id!r} differs from the one this "
+                    f"destination was built with — incremental spans under a "
+                    f"new spec would mix old- and new-spec rows. Pass "
+                    f"allow_spec_change=True to re-derive every row via a "
+                    f"resync epoch under the new spec."
+                )
+            spec_changed = True
+
+    def _store_fp():
+        dst.fs.makedirs(fp_dir)
+        dst.fs.put_json(fp_path, fp)
+
     def _apply(batch: DataFrame, epoch: int, *, mode_: str, overwrite: bool = False):
         # twin tolerance (replicate pattern): a twin deriver that raced us
         # past the marker check and won makes OUR application redundant —
         # re-enter merge_into, which skips on the twin's marker.
         try:
             return merge_into(
-                spark, dst, batch, query_id=derive_id, epoch=epoch,
+                spark, dst, batch, query_id=qid, epoch=epoch,
                 mode=mode_, overwrite=overwrite,
             )
         except CommitConflictError:
-            if not dst.epoch_committed(derive_id, epoch):
+            if not dst.epoch_committed(qid, epoch):
                 raise
             return merge_into(
-                spark, dst, batch, query_id=derive_id, epoch=epoch,
+                spark, dst, batch, query_id=qid, epoch=epoch,
                 mode=mode_, overwrite=overwrite,
             )
 
-    last = last_replicated_version(dst, derive_id)
-    if last is None:
-        # initial sync: transform of the whole current snapshot, one epoch.
-        # Source tombstones derive as deletes (LWW floor transfers).
-        report.initial_sync = True
-        snap = src.snapshot(spark, include_deleted=True, metadata=src_meta)
-        state = _expected_state(snap, mapping, key_cols, predicate)
-        batch = state.select(
-            F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
-            *key_cols,
-            *[c for c in state.columns
-              if c not in key_cols and c not in ("seq", "deleted", "content_sha")],
-            F.col("seq"),
-        )
-        report.applied_epochs.append(_apply(batch, target_v, mode_=mode))
-        return report
-    if last >= target_v:
-        report.src_version = last
-        return report  # already current
-
-    try:
-        src._raw_metadata_at(last)  # is the chain from `last` still readable?
-        spans = (
-            [(v - 1, v) for v in range(last + 1, target_v + 1)]
-            if every_version
-            else [(last, target_v)]
-        )
-    except ValueError:
-        spans = None  # vacuumed past the derived table's offset — repair
-
-    if spans is None:
-        # RESYNC epoch: expected = transform of the current source snapshot;
-        # state-diff vs the destination (repair=True catches same-seq
-        # divergence via content_sha and emits deletes for extra dst keys),
-        # applied with overwrite=True through the COW path.
+    def _resync() -> DeriveReport:
+        # expected = transform of the current source snapshot; state-diff
+        # vs the destination (repair=True catches same-seq divergence via
+        # content_sha and emits deletes for extra dst keys), applied with
+        # overwrite=True through the COW path.
         report.resync = True
         expected = _expected_state(
             src.snapshot(spark, include_deleted=True, metadata=src_meta),
@@ -307,10 +335,47 @@ def derive(
         report.applied_epochs.append(
             _apply(batch, target_v, mode_="cow", overwrite=True)
         )
+        _store_fp()
         return report
 
+    if spec_changed:
+        # every row must be re-derived under the new spec (fresh offsets:
+        # the per-spec qid has no markers, so the epoch cannot be skipped)
+        return _resync()
+
+    last = last_replicated_version(dst, qid)
+    if last is None:
+        # initial sync: transform of the whole current snapshot, one epoch.
+        # Source tombstones derive as deletes (LWW floor transfers).
+        report.initial_sync = True
+        snap = src.snapshot(spark, include_deleted=True, metadata=src_meta)
+        state = _expected_state(snap, mapping, key_cols, predicate)
+        batch = state.select(
+            F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            *key_cols,
+            *[c for c in state.columns
+              if c not in key_cols and c not in ("seq", "deleted", "content_sha")],
+            F.col("seq"),
+        )
+        report.applied_epochs.append(_apply(batch, target_v, mode_=mode))
+        _store_fp()
+        return report
+    if last >= target_v:
+        report.src_version = last
+        return report  # already current
+
+    try:
+        src._raw_metadata_at(last)  # is the chain from `last` still readable?
+        spans = (
+            [(v - 1, v) for v in range(last + 1, target_v + 1)]
+            if every_version
+            else [(last, target_v)]
+        )
+    except ValueError:
+        return _resync()  # vacuumed past the derived table's offset — repair
+
     for lo, hi in spans:
-        if dst.epoch_committed(derive_id, hi):
+        if dst.epoch_committed(qid, hi):
             continue  # a crashed previous run already landed this span
         span = snapshot_diff(spark, src, lo, hi, full_rows=True)
         events = _events_from_span(span, mapping, key_cols, predicate)

@@ -258,3 +258,38 @@ def test_derive_chains_bronze_silver_gold(spark, src, tmp_path):
         derived_state_recompute(spark, LaketteTable(silver_root), gold_map),
     )
     assert _state(spark, gold) == expected
+
+
+def test_derive_spec_change_guard_and_respec(spark, src, tmp_path):
+    """Calling derive with a DIFFERENT spec against an existing destination
+    must raise (silent old-spec/new-spec row mixing); with
+    allow_spec_change=True it re-derives EVERY row via a resync epoch under
+    the new spec (per-spec offsets: the old spec's markers cannot skip it),
+    and incremental derivation continues under the new spec."""
+    dst_root = str(tmp_path / "dst")
+    derive(spark, src, dst_root, MAPPING, predicate=PRED, derive_id="d")
+
+    new_map = {"lang": "lang", "content": "lower(content)",
+               "n_chars": "length(content)"}
+    with pytest.raises(ValueError, match="allow_spec_change"):
+        derive(spark, src, dst_root, new_map, predicate=PRED, derive_id="d")
+
+    r = derive(spark, src, dst_root, new_map, predicate=PRED, derive_id="d",
+               allow_spec_change=True)
+    assert r.resync
+    dst = LaketteTable(dst_root)
+    assert dst.snapshot(spark).filter("path = 'f/4.txt'").collect()[0].content \
+        == "body 4"
+    assert _state(spark, dst) == _state(
+        spark, derived_state_recompute(spark, src, new_map, predicate=PRED)
+    )
+
+    # incremental under the NEW spec still works (fresh per-spec offsets)
+    _apply(spark, src, [_ev("U", 950, "r0", "f/6.txt", "py", "RESPEC FLOW")], 1)
+    r2 = derive(spark, src, dst_root, new_map, predicate=PRED, derive_id="d")
+    assert not r2.resync and len(r2.applied_epochs) == 1
+    assert dst.snapshot(spark).filter("path = 'f/6.txt'").collect()[0].content \
+        == "respec flow"
+    # and the accepted spec is now the stored one: same call is a no-op
+    r3 = derive(spark, src, dst_root, new_map, predicate=PRED, derive_id="d")
+    assert not r3.applied_epochs
