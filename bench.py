@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q10",
+    # r5: the composed training-data pipeline (sample -> tokens -> pack);
+    # lives in the extras registry (driver gate capped at 50)
+    "pipeline_pack",
 ]
 
 
@@ -139,7 +142,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from forklift_spark.session import get_spark
-    from harness import QUERIES
+    from harness.queries import EXTRA_QUERIES
+    from harness import QUERIES as _Q
+
+    QUERIES = {**_Q, **EXTRA_QUERIES}
 
     spark = get_spark(
         app_name="forklift-bench",

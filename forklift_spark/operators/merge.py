@@ -149,6 +149,9 @@ class MergeStats:
     key_skew: float = 0.0  # max/mean input events per key (COW dedupe only)
     salt_buckets: int | None = None  # salting actually applied this epoch
     mode_used: str | None = None  # cow/mor actually applied (mode="auto" decides per epoch)
+    #: buckets this epoch wrote to — fed back as auto_prev for the
+    #: zero-job lagged auto decision in streaming loops
+    touched: list[int] | None = None
 
     @property
     def events_per_sec(self) -> float:
@@ -236,6 +239,7 @@ def merge_into(
     src_offsets: tuple[int, int] | None = None,
     mode: str = "cow",
     auto_cow_factor: float = 4.0,
+    auto_prev: "MergeStats | None" = None,
     dedupe_in_batch: bool = True,
     dedupe_strategy: str = "agg",
     overwrite: bool = False,
@@ -271,14 +275,23 @@ def merge_into(
     folded away by compact()). Identical final semantics because every row
     carries `seq` and LWW-max is associative — this is the
     Iceberg-v2-style high-throughput ingest path.
-    mode="auto": decide PER EPOCH from the maintained per-bucket counters
-    (zero extra I/O): merge-on-read when the touched key groups hold more
-    than `auto_cow_factor` x the batch's rows (small update against a big
-    table — appending beats rewriting), copy-on-write otherwise (bulk
-    load / young table / hot groups — one proportionate rewrite keeps the
-    table read-optimized). Confluence makes any mix of modes converge to
-    the same state, so the choice is purely a cost matter; the decision
-    is recorded per epoch as `mode_used` in stats and metrics.
+    mode="auto": decide PER EPOCH before any heavy work, against the
+    maintained per-bucket counters (zero manifest loads): merge-on-read
+    when the touched key groups hold more than `auto_cow_factor` x the
+    batch's rows (small update against a big table — appending beats
+    rewriting), copy-on-write otherwise (bulk load / young table / hot
+    groups — one proportionate rewrite keeps the table read-optimized).
+    The batch's size/touched-set comes from `auto_prev` when given (the
+    STREAMING shape: the previous applied epoch's measured stats —
+    consecutive stream epochs are statistically alike, so the decision
+    costs ZERO extra jobs and lags a workload shift by exactly one
+    epoch), else from one exact key-columns-only aggregate over the batch
+    (one-shot callers; for a cow decision its bucket counts are reused so
+    the epoch still runs the same number of jobs as fixed cow). An
+    auto-picked epoch runs the IDENTICAL plan as the corresponding fixed
+    mode (measured: BENCH/AUTO_MODE.md). Confluence makes any mix of
+    modes converge to the same state, so the choice is purely a cost
+    matter; the decision is recorded per epoch as `mode_used`.
     """
     if mode not in ("cow", "mor", "auto"):
         raise ValueError(f"mode must be cow/mor/auto, got {mode!r}")
@@ -339,6 +352,62 @@ def merge_into(
     # row observation — there, observe sum-of-group-counts on the winner
     # aggregate instead (each input row lands in exactly one group).
     obs_in = Observation(f"in-{query_id}-{epoch}")
+
+    if mode == "auto":
+        # Per-epoch storage-layout decision (Hudi-style), resolved BEFORE
+        # the dedupe branch so an auto-picked mor epoch runs the IDENTICAL
+        # one-exchange plan as mode="mor" (r5: the old placement forced the
+        # dedupe shuffle + cache on every auto epoch — a ~50% tax on small
+        # epochs, measured in BENCH/AUTO_MODE.md). The decision inputs are
+        # one KEY-COLUMNS-ONLY aggregate over the batch (column-pruned
+        # scan, tiny count shuffle) + the maintained bucket counters (zero
+        # manifest loads): copy-on-write rewrites every row of the touched
+        # key groups, so when those groups dwarf the batch (trickle
+        # updates against a big table) appending merge-on-read deltas is
+        # cheaper by existing/batch; when the batch is commensurate with
+        # the groups (bulk load / hot rewrite) COW keeps the table
+        # read-optimized for one proportionate write. Confluence makes any
+        # mix of modes converge to the same state (property tests), so the
+        # choice is purely a cost matter; recorded as `mode_used`.
+        if (
+            auto_prev is not None
+            and not auto_prev.skipped
+            and auto_prev.touched is not None
+            and auto_prev.batch_rows
+        ):
+            # LAGGED-TELEMETRY decision (streaming loops, zero extra jobs):
+            # consecutive stream epochs are statistically alike, so epoch
+            # N's mode is decided from epoch N-1's MEASURED batch size and
+            # touched set against the current counters. A one-epoch lag on
+            # a workload shift merely runs one epoch in the other mode —
+            # confluence makes that a cost blip, never a correctness event.
+            auto_touched = None
+            existing_rows = _touched_group_rows(table, meta, auto_prev.touched)
+            mode = (
+                "mor"
+                if existing_rows > auto_cow_factor * max(auto_prev.batch_rows, 1)
+                else "cow"
+            )
+        else:
+            # exact decision (one-shot callers / first epoch): one
+            # key-columns-only aggregate over the batch
+            decide = (
+                batch_df.select(table.bucket_expr().alias("_bucket"))
+                .groupBy("_bucket")
+                .count()
+                .collect()
+            )
+            in_rows = sum(r["count"] for r in decide)
+            auto_touched = [r["_bucket"] for r in decide]
+            existing_rows = _touched_group_rows(table, meta, auto_touched)
+            mode = (
+                "mor"
+                if existing_rows > auto_cow_factor * max(in_rows, 1)
+                else "cow"
+            )
+    else:
+        auto_touched = None
+
     dedupe = dedupe_in_batch or mode != "mor"
 
     # --- in-batch LWW dedupe (C2), optionally salted (C5).
@@ -388,40 +457,27 @@ def merge_into(
     cached = batch.cache()
     batch = cached
     try:
-        per_bucket = batch.groupBy("_bucket").count().collect()
-        stats.batch_rows = _obs_count(obs_in, "rows_in")
-        touched = [r["_bucket"] for r in per_bucket]
+        if auto_touched is not None:
+            # auto already counted buckets on the raw batch (dedupe never
+            # changes the key set) — reuse it instead of a second count
+            # job, so an auto-picked cow epoch runs the same NUMBER of
+            # jobs as fixed cow (the skew aggregate below materializes
+            # the cache and carries the input-rows observation)
+            touched = auto_touched
+        else:
+            per_bucket = batch.groupBy("_bucket").count().collect()
+            touched = [r["_bucket"] for r in per_bucket]
+        stats.touched = sorted(touched)
         stats.touched_buckets = len(touched)
         if "_n" in batch.columns:
             sk = batch.agg(F.max("_n").alias("mx"), F.avg("_n").alias("mn")).collect()[0]
             if sk["mn"]:
                 stats.key_skew = round(float(sk["mx"]) / float(sk["mn"]), 2)
             batch = batch.drop("_n")
+        elif auto_touched is not None:
+            batch.count()  # materialize the cache (no _n to aggregate)
+        stats.batch_rows = _obs_count(obs_in, "rows_in")
 
-        if mode == "auto":
-            # Per-epoch storage-layout decision (Hudi-style), from the
-            # maintained counters alone: copy-on-write rewrites every row
-            # of the touched key groups, so when those groups dwarf the
-            # batch (a trickle of updates against a huge table) appending
-            # merge-on-read deltas is cheaper by existing/batch; when the
-            # batch is commensurate with the groups (bulk load, young
-            # table, hot rewrite) COW keeps the table read-optimized for
-            # one proportionate write. Confluence makes the choice purely
-            # a performance matter — any mix of modes converges to the
-            # same state (property tests), so deciding per epoch is safe.
-            existing_rows = _touched_group_rows(table, meta, touched)
-            if existing_rows > auto_cow_factor * max(stats.batch_rows, 1):
-                stats.mode_used = "mor"
-                stats = _merge_mor(
-                    table, batch.drop("_n") if "_n" in batch.columns else batch,
-                    stats,
-                    query_id=query_id, epoch=epoch, payload_cols=payload_cols,
-                    new_schema=new_schema, src_offsets=src_offsets, meta=meta,
-                    obs_in=obs_in,
-                )
-                stats.wall_sec = round(time.monotonic() - t_start, 3)
-                _write_metrics(table, query_id, stats)
-                return stats
         stats.mode_used = "cow"
 
         # --- read only the touched buckets of the current snapshot (pruned
@@ -569,7 +625,8 @@ def _merge_mor(
     )
     stats.batch_rows = _obs_count(obs_in, "rows_in")
     stats.applied_rows = stats.rows_rewritten = _obs_count(obs, "rows")
-    stats.touched_buckets = len({f["bucket"] for f in new_files})
+    stats.touched = sorted({f["bucket"] for f in new_files})
+    stats.touched_buckets = len(stats.touched)
 
     commit = table.commit_version(
         new_files=new_files,

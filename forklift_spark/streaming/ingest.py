@@ -242,6 +242,13 @@ def run_ingest(
                     os.path.join(dead_letter_dir, f"epoch={epoch_id}")
                 )
         nonlocal current_salt
+        # mode="auto" in the STREAMING loop feeds the previous applied
+        # epoch's measured stats back in, so the per-epoch layout decision
+        # costs ZERO extra jobs in steady state (lagged telemetry —
+        # merge_into docstring)
+        prev = next(
+            (s for s in reversed(report.epochs) if not s.skipped), None
+        ) if mode == "auto" else None
         stats = merge_into(
             spark,
             table,
@@ -250,6 +257,7 @@ def run_ingest(
             epoch=epoch_id,
             salt_buckets=current_salt,
             mode=mode,
+            auto_prev=prev,
             dedupe_in_batch=dedupe_in_batch,
             dedupe_strategy=dedupe_strategy,
         )

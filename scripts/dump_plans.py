@@ -168,6 +168,45 @@ def main() -> None:
         "Oracle-checked row-for-row against DuckDB's window frame.",
     )
 
+    # 11. derived-table span transform (r5): diff -> one projection -> merge
+    from forklift_spark.operators.derive import _events_from_span
+
+    span = snapshot_diff(spark, t, 2, 3, full_rows=True)
+    add(
+        "Derived-table span transform (r5)",
+        _events_from_span(
+            span,
+            {"lang": "lang", "n_chars": "length(content)"},
+            ["repo", "path"],
+            "lang <> 'md'",
+        ),
+        "Expect: the bronze->silver hot path adds exactly ONE Project (+ "
+        "the filter folded into it) on top of the span diff's plan — the "
+        "mapping spec compiles to a single Catalyst projection, the "
+        "predicate stays codegen, no extra exchange and no Python. "
+        "Everything downstream is the ordinary exactly-once merge.",
+    )
+
+    # 12. composed sampling -> tokens -> packing pipeline (r5)
+    from forklift_spark.operators.text import token_stats
+
+    sampled = sp.sample_stratified(
+        d, "lang", "doc_id", {"en": 0.5, "zh": 0.25}, default_rate=0.1
+    )
+    toks = token_stats(sampled, "text", "doc_id", keep_cols=["source"])
+    add(
+        "Training-data pipeline composed (r5): sample -> tokens -> pack",
+        sp.pack_concat_chunks(
+            toks.select("doc_id", "source", F.col("n_ws_tokens").alias("n_tok")),
+            "doc_id", "n_tok", 1024, group_col="source",
+        ),
+        "Expect: the three stages fuse into scan -> codegen filter+project "
+        "-> ONE exchange (packing group) -> WindowExec. Sampling stays a "
+        "pushdown-friendly filter, token counting a projection (keep_cols "
+        "carries the group through, no re-join), packing the single "
+        "shuffle the whole pipeline pays. Oracle-checked end to end.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "

@@ -105,3 +105,53 @@ def test_run_ingest_mode_auto_end_to_end(spark, tmp_path):
     assert "cow" in modes  # the early bulk epochs
     ver = verify_state(spark, table, spark.createDataFrame(expected_final_state(spec)))
     assert ver["ok"], ver
+
+
+def test_auto_lagged_telemetry_decision(spark, tmp_path):
+    """mode="auto" with auto_prev (the streaming-loop shape) decides from
+    the PREVIOUS epoch's measured stats — zero decide jobs — and lags a
+    workload shift by exactly one epoch, which confluence makes a cost
+    blip, never a correctness event."""
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    s0 = merge_into(
+        spark, table,
+        _df(spark, [("I", i, f"r{i % 7}", f"f{i}.py", f"v{i}") for i in range(400)]),
+        query_id="w", epoch=0, mode="auto",
+    )
+    assert s0.mode_used == "cow" and s0.touched  # touched recorded for feedback
+
+    # trickle epoch decided from s0's telemetry: existing(400) >> s0... s0
+    # was a bulk batch, so the LAGGED decision still says cow (the shift
+    # lags one epoch); the exact decision would have said mor
+    s1 = merge_into(
+        spark, table,
+        _df(spark, [("U", 1000, "r1", "f1.py", "u1")]),
+        query_id="w", epoch=1, mode="auto", auto_prev=s0,
+    )
+    assert s1.mode_used == "cow"  # documented one-epoch lag
+    assert s1.batch_rows == 1
+
+    # next trickle epoch sees s1's telemetry (tiny batch) -> mor, no jobs
+    s2 = merge_into(
+        spark, table,
+        _df(spark, [("U", 1001, "r2", "f2.py", "u2")]),
+        query_id="w", epoch=2, mode="auto", auto_prev=s1,
+    )
+    assert s2.mode_used == "mor"
+
+    # back to bulk: lags one epoch (mor), then flips to cow
+    bulk = [("U", 2000 + i, f"r{i % 7}", f"f{i}.py", f"w{i}") for i in range(400)]
+    s3 = merge_into(spark, table, _df(spark, bulk), query_id="w", epoch=3,
+                    mode="auto", auto_prev=s2)
+    assert s3.mode_used == "mor"  # lag
+    s4 = merge_into(
+        spark, table,
+        _df(spark, [("U", 3000 + i, f"r{i % 7}", f"f{i}.py", f"x{i}") for i in range(400)]),
+        query_id="w", epoch=4, mode="auto", auto_prev=s3,
+    )
+    assert s4.mode_used == "cow"  # caught up
+
+    # converged state is exactly the LWW expectation regardless of the mix
+    final = {r.path: r.content for r in table.snapshot(spark).collect()}
+    for i in range(400):
+        assert final[f"f{i}.py"] == f"x{i}"
