@@ -33,6 +33,7 @@ def diff_frames(
     payload_cols: list[str] | None = None,
     *,
     full_rows: bool = False,
+    old_rows: bool = False,
     repair: bool = False,
 ) -> DataFrame:
     """Row-level change set turning `old` into `new` — the join core shared
@@ -98,6 +99,17 @@ def diff_frames(
         # exactly the envelope merge_into applies
         cols += [
             F.when(F.col("n.seq").isNotNull(), F.col(f"n.{c}")).alias(c)
+            for c in (payload_cols or [])
+        ]
+    if old_rows:
+        # RETRACTION view (derive_agg's delta strategy): the PRE-span
+        # payload as `_old_<c>`, populated only where the old side was a
+        # LIVE row (updates and deletes — the rows whose prior
+        # contribution an incremental aggregate must subtract). Inserts
+        # and old-side tombstones carry NULL _old_ payload: they
+        # contributed nothing before the span.
+        cols += [
+            F.when(o_live, F.col(f"o.{c}")).alias(f"_old_{c}")
             for c in (payload_cols or [])
         ]
     cols.append(seq.alias("seq"))
@@ -169,10 +181,16 @@ def snapshot_diff(
     *,
     changed_buckets_only: bool = True,
     full_rows: bool = False,
+    old_rows: bool = False,
 ) -> DataFrame:
     """Changes that turn snapshot@from_version into snapshot@to_version.
     `full_rows=True` adds every user payload column (new side), making the
-    result a merge-applyable change feed (lake-to-lake replication)."""
+    result a merge-applyable change feed (lake-to-lake replication).
+    `old_rows=True` additionally emits the pre-span payload as
+    `_old_<col>` on update/delete rows (NULL elsewhere) — the retraction
+    feed incremental aggregation (operators/derive_agg.py) subtracts; it
+    widens the OLD side's scan from keys-only to full payload, so pay for
+    it only when retractions are consumed."""
     from ..lakette.table import _file_nb, _specs
 
     meta_old = table._raw_metadata_at(from_version)
@@ -217,7 +235,11 @@ def snapshot_diff(
     # payload at all — prune at the SCAN, not after the LWW resolve, so a
     # changelog over a wide table never shuffles content bodies
     old = table.snapshot(
-        spark, include_deleted=True, metadata=meta_old, buckets=buckets, columns=[]
+        spark,
+        include_deleted=True,
+        metadata=meta_old,
+        buckets=buckets,
+        columns=None if old_rows else [],
     )
     new = table.snapshot(
         spark,
@@ -226,4 +248,6 @@ def snapshot_diff(
         buckets=buckets,
         columns=None if full_rows else [],
     )
-    return diff_frames(old, new, key_cols, payload_cols, full_rows=full_rows)
+    return diff_frames(
+        old, new, key_cols, payload_cols, full_rows=full_rows, old_rows=old_rows
+    )

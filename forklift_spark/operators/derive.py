@@ -141,6 +141,50 @@ def _spec_fingerprint(mapping: MappingSpec, predicate) -> dict:
     return {"mapping": ent, "predicate": pred}
 
 
+def _spec_guard(
+    dst: LaketteTable, derive_id: str, fp: dict, allow_spec_change: bool
+) -> tuple[str, bool, "callable"]:
+    """Shared drift guard for derive() and derive_agg(): persist the
+    transform's fingerprint next to the destination; raise when a later
+    call presents a DIFFERENT spec (incremental spans under a new spec
+    would silently mix old- and new-spec rows) unless the caller opted
+    into a resync. Returns (qid, spec_changed, store_fp):
+
+      qid     epoch-marker namespace, keyed per SPEC (`derive_id@fp-hash`)
+              so an accepted spec change starts from fresh offsets and its
+              resync epoch can never be skipped by the old spec's markers;
+              a crash between the resync commit and the fingerprint write
+              re-enters and heals idempotently (the marker gates the merge)
+      store_fp  call after the first successful apply under this spec."""
+    import hashlib
+    import json as _json
+
+    qid = (
+        derive_id + "@"
+        + hashlib.sha256(_json.dumps(fp, sort_keys=True).encode()).hexdigest()[:8]
+    )
+    fp_dir = os.path.join(dst.root, "_derive")
+    fp_path = os.path.join(fp_dir, f"{derive_id}.json")
+    spec_changed = False
+    if dst.fs.exists(fp_path):
+        if dst.fs.read_json(fp_path) != fp:
+            if not allow_spec_change:
+                raise ValueError(
+                    f"derive spec for {derive_id!r} differs from the one this "
+                    f"destination was built with — incremental spans under a "
+                    f"new spec would mix old- and new-spec rows. Pass "
+                    f"allow_spec_change=True to re-derive every row via a "
+                    f"resync epoch under the new spec."
+                )
+            spec_changed = True
+
+    def store_fp() -> None:
+        dst.fs.makedirs(fp_dir)
+        dst.fs.put_json(fp_path, fp)
+
+    return qid, spec_changed, store_fp
+
+
 def _keep_expr(predicate: Column | str | None) -> Column:
     if predicate is None:
         return F.lit(True)
@@ -260,37 +304,10 @@ def derive(
             dst = LaketteTable(dst_root)  # a twin deriver created it first
     report = DeriveReport(src_version=target_v)
 
-    # spec drift guard (see docstring). Epoch markers are keyed per SPEC
-    # (`derive_id@fp-hash`), so an accepted spec change starts from fresh
-    # offsets and its resync epoch can never be skipped by the old spec's
-    # markers; a crash between the resync commit and the fingerprint write
-    # re-enters here and heals idempotently (the marker gates the merge).
-    import hashlib
-    import json as _json
-
-    fp = _spec_fingerprint(mapping, predicate)
-    qid = (
-        derive_id + "@"
-        + hashlib.sha256(_json.dumps(fp, sort_keys=True).encode()).hexdigest()[:8]
+    # spec drift guard (see docstring / _spec_guard)
+    qid, spec_changed, _store_fp = _spec_guard(
+        dst, derive_id, _spec_fingerprint(mapping, predicate), allow_spec_change
     )
-    fp_dir = os.path.join(dst_root, "_derive")
-    fp_path = os.path.join(fp_dir, f"{derive_id}.json")
-    spec_changed = False
-    if dst.fs.exists(fp_path):
-        if dst.fs.read_json(fp_path) != fp:
-            if not allow_spec_change:
-                raise ValueError(
-                    f"derive spec for {derive_id!r} differs from the one this "
-                    f"destination was built with — incremental spans under a "
-                    f"new spec would mix old- and new-spec rows. Pass "
-                    f"allow_spec_change=True to re-derive every row via a "
-                    f"resync epoch under the new spec."
-                )
-            spec_changed = True
-
-    def _store_fp():
-        dst.fs.makedirs(fp_dir)
-        dst.fs.put_json(fp_path, fp)
 
     def _apply(batch: DataFrame, epoch: int, *, mode_: str, overwrite: bool = False):
         # twin tolerance (replicate pattern): a twin deriver that raced us
