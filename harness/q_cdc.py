@@ -346,3 +346,79 @@ def scan_snapshot_rescaled(spark, sf):
     assert table.migration_status()["migrated"], "rescale migration incomplete"
     snap = table.snapshot(spark)
     return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
+#: gold table = group-by (repo, lang) aggregation of the LWW final state
+#: under predicate lang <> 'de' — the silver -> gold invariant in pure SQL.
+#: CASTs pin DuckDB's count/sum types to Spark's (both BIGINT here).
+_DERIVE_AGG_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+final AS (
+  SELECT repo, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, lang,
+       CAST(count(content) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(length(content)), 0) AS BIGINT) AS total_chars,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM final WHERE lang <> 'de'
+GROUP BY repo, lang
+"""
+
+
+@q("derive_agg_scan", _DERIVE_AGG_SQL, extra=True)
+def derive_agg_scan(spark, sf):
+    """Incremental AGGREGATE derived table end-to-end (the silver -> gold
+    operator, operators/derive_agg.py): replay the insert epoch into a
+    source lakette table, derive_agg the gold rollup (initial sync:
+    group by repo+lang, count/sum aggregates, predicate lang <> 'de'),
+    then land the update+delete epochs and derive_agg AGAIN — one
+    incremental span through the RETRACTION feed (delta strategy: only
+    span rows + touched gold buckets are read, never the source table).
+    The gold snapshot must equal the grouped aggregation of the source's
+    final LWW state in pure SQL."""
+    from forklift_spark.lakette import LaketteTable
+    from forklift_spark.operators.derive_agg import derive_agg
+
+    base = os.path.basename(sf)
+    src_root = os.path.join(tempfile.gettempdir(), f"fk_dagg_src_{base}")
+    dst_root = os.path.join(tempfile.gettempdir(), f"fk_dagg_dst_{base}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    table = create_entity_table(src_root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    groups = {"repo": "repo", "lang": "lang"}
+    aggs = {"n_docs": "count(content)",
+            "total_chars": "sum(length(content))"}
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="dagg_src",
+            epoch=i,
+        )
+        if op == "I":  # initial sync from the post-insert snapshot
+            r = derive_agg(spark, table, dst_root, groups, aggs,
+                           predicate="lang <> 'de'", derive_id="gold")
+            assert r.initial_sync and r.strategy == "delta"
+    r = derive_agg(spark, table, dst_root, groups, aggs,
+                   predicate="lang <> 'de'", derive_id="gold")  # U+D span
+    assert not r.initial_sync and not r.resync, "span chain should be intact"
+    snap = LaketteTable(dst_root).snapshot(spark)
+    return snap.select("repo", "lang", "n_docs", "total_chars", "n_rows")
