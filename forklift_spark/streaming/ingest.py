@@ -83,6 +83,9 @@ def open_or_create_entity_table(root: str, n_buckets: int = 16) -> LaketteTable:
 @dataclass
 class IngestReport:
     epochs: list[MergeStats] = field(default_factory=list)
+    #: per-refresh reports from the `derived` hooks (DeriveReport /
+    #: AggDeriveReport), in invocation order
+    derived: list = field(default_factory=list)
 
     @property
     def applied_rows(self) -> int:
@@ -131,6 +134,8 @@ def run_ingest(
     vacuum_keep_versions: int = 4,
     vacuum_grace_seconds: float = 3600.0,
     expire_epochs_keep: int | None = None,
+    derived: "list | None" = None,
+    derived_every: int = 1,
 ) -> "IngestReport | tuple[IngestReport, object]":
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -170,7 +175,21 @@ def run_ingest(
     file population a continuous 10^10-event ingest grows — data files,
     version files, manifest shards, markers — at O(retained), not
     O(stream lifetime). K must stay comfortably above the deepest replay
-    the checkpoint can demand (see expire_epochs)."""
+    the checkpoint can demand (see expire_epochs).
+
+    `derived=[hook, ...]` wires the MEDALLION pattern into the loop: each
+    hook is a callable `hook(spark) -> report` (typically a lambda over
+    `derive()` / `derive_agg()` bound to this table as source) invoked
+    after every `derived_every`-th applied epoch, in list order — so a
+    bronze→silver hook followed by a silver→gold hook keeps the whole
+    chain fresh within one epoch. Hooks carry their own exactly-once
+    offsets, so they compose with crash/replay exactly like the merge
+    itself; refresh runs BEFORE the vacuum cadence so retention can never
+    out-run a lagging derived table's unread span (and if it somehow did,
+    derive's vacuumed-span resync repairs rather than corrupts). After an
+    availableNow drain the hooks run one final catch-up pass, so on
+    return every derived table reflects the source's final version.
+    Per-refresh reports land in `IngestReport.derived`."""
     report = IngestReport()
     adaptive_salt = salt_buckets == "auto"
     if adaptive_salt and dedupe_strategy == "prefilter":
@@ -267,6 +286,17 @@ def run_ingest(
                 current_salt = 16
             elif stats.key_skew < 3.0:
                 current_salt = None
+        # medallion loop: refresh derived tables (bronze->silver->gold)
+        # inside the streaming loop, in hook order so chained hooks see
+        # each other's commits, and BEFORE the retention block below can
+        # vacuum the source span a lagging hook would consume. Each hook
+        # is exactly-once on its own offsets (derive/derive_agg markers),
+        # so a crashed epoch re-runs the refresh idempotently.
+        if derived and not stats.skipped:
+            applied = sum(1 for e in report.epochs if not e.skipped)
+            if applied % derived_every == 0:
+                for hook in derived:
+                    report.derived.append(hook(spark))
         # bound merge-on-read delta accumulation: periodically fold deltas
         # into compacted base files (a crash mid-compact is harmless — the
         # next compact rewrites from the committed snapshot). INCREMENTAL:
@@ -365,6 +395,14 @@ def run_ingest(
                 )
         else:
             q.awaitTermination()
+    if derived:
+        # final catch-up: with derived_every > 1 (or a skipped tail epoch)
+        # the drained table can be ahead of the derived chain; hooks no-op
+        # cheaply when already current, so this is O(metadata) in the
+        # common case and leaves every derived table at the source's final
+        # version on return.
+        for hook in derived:
+            report.derived.append(hook(spark))
     return report
 
 
