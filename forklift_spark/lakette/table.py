@@ -45,7 +45,18 @@ META_COLS = [
     ("content_sha", T.StringType()),  # sha2(content, 256) — the per-row invariant
     ("deleted", T.BooleanType()),  # tombstone flag (confluent deletes)
 ]
-META_COL_NAMES = [c for c, _ in META_COLS]
+#: per-column writer sequences — present ONLY on tables created with
+#: column_lww=True (partial-update / patch-event semantics): col_seqs[c]
+#: is the seq of the last event that WROTE payload column c (full rows
+#: and deletes write every column; 'P' patch events write only their
+#: non-null columns). Stored state, because per-column LWW cannot be
+#: decided against a row-level seq once batches interleave.
+PATCH_COL = ("col_seqs", T.MapType(T.StringType(), T.LongType()))
+
+#: name filter used across the engine ("not a user/payload column") —
+#: includes col_seqs so patch state never leaks into payload handling on
+#: ANY table; the column itself exists only on column_lww tables
+META_COL_NAMES = [c for c, _ in META_COLS] + [PATCH_COL[0]]
 
 
 class CommitConflictError(RuntimeError):
@@ -128,6 +139,7 @@ class LaketteTable:
         target_file_rows: int | None = None,
         storage: Storage | None = None,
         stats_cols: list[str] | None = None,
+        column_lww: bool = False,
     ) -> "LaketteTable":
         t = cls(root, storage=storage)
         for d in (
@@ -135,9 +147,10 @@ class LaketteTable:
             t.epochs_dir, t.lineage_dir, t.metrics_dir,
         ):
             t.fs.makedirs(d)
+        meta_cols = list(META_COLS) + ([PATCH_COL] if column_lww else [])
         full = T.StructType(
             list(user_schema.fields)
-            + [T.StructField(c, typ, True) for c, typ in META_COLS]
+            + [T.StructField(c, typ, True) for c, typ in meta_cols]
         )
         # lakette/2: the version file carries only per-bucket manifest REFS
         # (+ summary counters), never the flat file list — commit cost is
@@ -160,6 +173,10 @@ class LaketteTable:
             # files by them. First key col (kmin/kmax) + seq (smax) are
             # always recorded regardless.
             "stats_cols": list(stats_cols or []),
+            # partial-update semantics (op='P' patch events, per-column
+            # LWW): rows carry per-column writer seqs in `col_seqs`;
+            # merges resolve column-by-column. COW-only in v1.
+            "column_lww": bool(column_lww),
             "schema": json.loads(full.json()),
             # online rescale support: the chain of bucket-counts live files
             # were written under (see _specs); rescale() appends, migration

@@ -255,7 +255,12 @@ def merge_into(
     unconditional overwrite).
 
     Batch envelope: key cols + payload cols + `op` ('I'/'U'/'D') + `seq`,
-    plus optional evolved columns. Semantics per key:
+    plus optional evolved columns. Tables created with `column_lww=True`
+    additionally accept `op='P'` PARTIAL-UPDATE events (only the non-NULL
+    columns are written) and resolve the merge per column — see
+    operators/patch.py for the confluent per-column LWW semantics; on a
+    row-level table a 'P' event fails the merge job loudly before the
+    commit. Row-level semantics per key:
 
       incoming.seq >  existing.seq  -> take incoming (delete => tombstone)
       incoming.seq <= existing.seq  -> keep existing (late event dropped)
@@ -334,6 +339,18 @@ def merge_into(
     # works at the ref level, so driver I/O per epoch is O(touched
     # buckets) end to end (VERDICT r3 #1)
     meta = table._raw_current()
+
+    # partial-update semantics (operators/patch.py): tables created with
+    # column_lww=True resolve merges PER COLUMN ('P' events write only
+    # their non-NULL columns); COW-only in v1, auto resolves to cow
+    column_lww = bool(meta.get("column_lww"))
+    if column_lww:
+        from .patch import ensure_patch_mode
+
+        mode = ensure_patch_mode(
+            meta, mode=mode, overwrite=overwrite,
+            dedupe_strategy=dedupe_strategy,
+        )
 
     # --- schema evolution (C4): additive ALTER folded into this commit
     new_schema, added = _schema_evolve(
@@ -417,7 +434,18 @@ def merge_into(
     # bucket repartition in _merge_mor). COW requires it (one row per key
     # before the join). dedupe_strategy="prefilter" is the wide-row variant
     # (see lww_dedupe): payload bytes never shuffle for losing rows.
-    if dedupe and dedupe_strategy == "prefilter":
+    if column_lww:
+        from .patch import column_lww_dedupe
+
+        batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        batch = column_lww_dedupe(
+            batch_df,
+            key_cols,
+            [c for c in payload_cols if c in batch_df.columns],
+            salt_buckets=salt_buckets,
+            count_col="_n",
+        )
+    elif dedupe and dedupe_strategy == "prefilter":
         winners = (
             batch_df.groupBy(*key_cols)
             .agg(F.max("seq").alias("seq"), F.count(F.lit(1)).alias("_n"))
@@ -496,30 +524,43 @@ def merge_into(
         cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}")) for k in key_cols]
         joined = e.join(b, cond, "full_outer")
 
-        take_b = (
-            F.col("b.seq").isNotNull()
-            if overwrite
-            else F.col("b.seq").isNotNull()
-            & (F.col("e.seq").isNull() | (F.col("b.seq") > F.col("e.seq")))
-        )
-        sel = [F.coalesce(F.col(f"b.{k}"), F.col(f"e.{k}")).alias(k) for k in key_cols]
-        for c in payload_cols:
-            b_c = F.col(f"b.{c}") if c in batch.columns else F.lit(None)
-            e_c = F.col(f"e.{c}") if c in existing.columns else F.lit(None)
-            sel.append(F.when(take_b, b_c).otherwise(e_c).alias(c))
-        sel.append(F.when(take_b, F.col("b.seq")).otherwise(F.col("e.seq")).alias("seq"))
-        content_new = (
-            F.sha2(F.col("b.content"), 256) if "content" in batch.columns else F.lit(None)
-        )
-        sel.append(
-            F.when(take_b, content_new).otherwise(F.col("e.content_sha")).alias("content_sha")
-        )
-        sel.append(
-            F.when(take_b, F.col("b.op") == F.lit("D"))
-            .otherwise(F.coalesce(F.col("e.deleted"), F.lit(False)))
-            .alias("deleted")
-        )
-        sel.append(F.when(take_b, F.lit(1)).otherwise(F.lit(0)).alias("_applied"))
+        if column_lww:
+            from .patch import patch_cow_select
+
+            sel = patch_cow_select(
+                batch.columns, existing.columns, key_cols, payload_cols
+            )
+        else:
+            from .patch import op_guard
+
+            take_b = (
+                F.col("b.seq").isNotNull()
+                if overwrite
+                else F.col("b.seq").isNotNull()
+                & (F.col("e.seq").isNull() | (F.col("b.seq") > F.col("e.seq")))
+            )
+            sel = [F.coalesce(F.col(f"b.{k}"), F.col(f"e.{k}")).alias(k) for k in key_cols]
+            for c in payload_cols:
+                b_c = F.col(f"b.{c}") if c in batch.columns else F.lit(None)
+                e_c = F.col(f"e.{c}") if c in existing.columns else F.lit(None)
+                sel.append(F.when(take_b, b_c).otherwise(e_c).alias(c))
+            sel.append(F.when(take_b, F.col("b.seq")).otherwise(F.col("e.seq")).alias("seq"))
+            content_new = (
+                F.sha2(F.col("b.content"), 256) if "content" in batch.columns else F.lit(None)
+            )
+            sel.append(
+                F.when(take_b, content_new).otherwise(F.col("e.content_sha")).alias("content_sha")
+            )
+            # op_guard: a 'P' patch event that wins a key on a ROW-LEVEL
+            # table raises inside the job (before anything commits) —
+            # silently applying it as a full row would overwrite good
+            # columns with its NULLs
+            sel.append(
+                F.when(take_b, op_guard(F.col("b.op")) == F.lit("D"))
+                .otherwise(F.coalesce(F.col("e.deleted"), F.lit(False)))
+                .alias("deleted")
+            )
+            sel.append(F.when(take_b, F.lit(1)).otherwise(F.lit(0)).alias("_applied"))
         merged = joined.select(*sel)
 
         obs = Observation(f"merge-{query_id}-{epoch}")
@@ -601,7 +642,12 @@ def _merge_mor(
     sel.append(
         (F.sha2(F.col("content"), 256) if "content" in batch.columns else F.lit(None).cast("string")).alias("content_sha")
     )
-    sel.append((F.col("op") == F.lit("D")).alias("deleted"))
+    # op_guard: 'P' patch events on a row-level table fail the job before
+    # the commit (see patch.py) — the MOR path would otherwise append them
+    # as full rows whose NULLs overwrite good columns at read-resolve
+    from .patch import op_guard
+
+    sel.append((op_guard(F.col("op")) == F.lit("D")).alias("deleted"))
     sel.append(F.col("_bucket"))
     delta = batch.select(*sel)
 

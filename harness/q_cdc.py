@@ -422,3 +422,121 @@ def derive_agg_scan(spark, sf):
     assert not r.initial_sync and not r.resync, "span chain should be intact"
     snap = LaketteTable(dst_root).snapshot(spark)
     return snap.select("repo", "lang", "n_docs", "total_chars", "n_rows")
+
+
+def _patch_changelog(spark, sf):
+    """Deterministic PARTIAL-UPDATE changelog derived from documents
+    (operators/patch.py semantics): wave 0 inserts every doc; later waves
+    patch single columns, delete a stripe, and resurrect part of it via a
+    patch above the tombstone; one wave is deliberately LATE (its seq sits
+    between two earlier waves) so per-column drops are exercised."""
+    d = t(spark, sf, "documents")
+    key = F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt"))
+    n = 10_000_000
+
+    def wave(wave_no, op, pred, seq_off, commit, lang, content):
+        return d.filter(pred).select(
+            F.lit(wave_no).alias("wave"),
+            F.lit(op).alias("op"),
+            (F.col("doc_id") + seq_off).alias("seq"),
+            F.col("source").alias("repo"),
+            key.alias("path"),
+            commit.alias("commit"),
+            lang.alias("lang"),
+            content.alias("content"),
+        )
+
+    s = F.lit(None).cast("string")
+    log = wave(0, "I", F.lit(True), 0, F.md5("text"), F.col("lang"), F.col("text"))
+    log = log.unionByName(wave(  # patch content only
+        1, "P", F.col("doc_id") % 3 == 0, n, s, s,
+        F.concat(F.col("text"), F.lit(" patched")),
+    ))
+    log = log.unionByName(wave(  # LATE lang patch (seq below wave 2's)
+        1, "P", F.col("doc_id") % 6 == 2, n // 2, s, F.lit("late"), s,
+    ))
+    log = log.unionByName(wave(  # patch lang only
+        2, "P", F.col("doc_id") % 4 == 1, 2 * n, s, F.lit("xx"), s,
+    ))
+    log = log.unionByName(wave(3, "D", F.col("doc_id") % 10 == 7, 3 * n, s, s, s))
+    log = log.unionByName(wave(  # patch ABOVE the tombstone: resurrect
+        4, "P", F.col("doc_id") % 20 == 7, 4 * n, s, s,
+        F.concat(F.lit("resurrected "), F.col("doc_id")),
+    ))
+    return log
+
+
+#: the same per-column LWW rule in pure SQL: for each payload column, the
+#: winner is the max-seq event that WROTE it (I/U/D write every column, D
+#: writes NULL, P writes its non-NULL columns); presence is row-level LWW
+_CDC_PATCH_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'P', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, text || ' patched'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'P', doc_id + 5000000, source, 'docs/doc_' || doc_id || '.txt',
+         'late', NULL
+  FROM documents WHERE doc_id % 6 = 2
+  UNION ALL
+  SELECT 'P', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         'xx', NULL
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT 'D', doc_id + 30000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT 'P', doc_id + 40000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, 'resurrected ' || doc_id
+  FROM documents WHERE doc_id % 20 = 7
+),
+pres AS (
+  SELECT repo, path, seq, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+lang_w AS (
+  SELECT repo, path, CASE WHEN op = 'D' THEN NULL ELSE lang END AS v,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog WHERE op IN ('I', 'U', 'D') OR lang IS NOT NULL
+),
+content_w AS (
+  SELECT repo, path, CASE WHEN op = 'D' THEN NULL ELSE content END AS v,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog WHERE op IN ('I', 'U', 'D') OR content IS NOT NULL
+)
+SELECT p.repo, p.path, p.seq, l.v AS lang, sha256(c.v) AS content_sha
+FROM pres p
+LEFT JOIN lang_w l ON l.repo = p.repo AND l.path = p.path AND l.rn = 1
+LEFT JOIN content_w c ON c.repo = p.repo AND c.path = p.path AND c.rn = 1
+WHERE p.rn = 1 AND p.op <> 'D'
+"""
+
+
+@q("cdc_patch_batch", _CDC_PATCH_SQL, extra=True)
+def cdc_patch_batch(spark, sf):
+    """Partial-update CDC end-to-end (operators/patch.py): replay the
+    patch changelog through the REAL engine — a column_lww lakette table,
+    one merge epoch per wave so the per-column writer seqs (col_seqs) do
+    the cross-batch work — then snapshot-scan. Must equal the pure-SQL
+    per-column LWW oracle exactly, content verified by sha."""
+    root = os.path.join(tempfile.gettempdir(), f"fk_patch_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8, column_lww=True)
+    log = _patch_changelog(spark, sf)
+    for w in range(5):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("wave") == w).drop("wave")
+            .withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="patch",
+            epoch=w,
+        )
+    snap = table.snapshot(spark)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")

@@ -207,6 +207,21 @@ def main() -> None:
         "shuffle the whole pipeline pays. Oracle-checked end to end.",
     )
 
+    # 13. per-column LWW patch dedupe (r5): partial updates, same shuffle
+    from forklift_spark.operators.patch import column_lww_dedupe
+
+    add(
+        "Partial-update per-column LWW dedupe (r5)",
+        column_lww_dedupe(ev, ["repo", "path"], ["commit", "lang", "content"]),
+        "Expect: per-column struct argmax + row-level argmax fused into ONE "
+        "aggregate — partial aggregation before the exchange (map-side "
+        "combine), ONE shuffle keyed (repo, path), the col_seqs "
+        "map_from_arrays projection in codegen after it. Identical exchange "
+        "shape and byte volume to the row-level lww_dedupe: patch semantics "
+        "cost zero extra shuffles; the per-column state is a few longs per "
+        "row in the written files.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
