@@ -613,8 +613,16 @@ class LaketteTable:
             if unknown:
                 raise ValueError(f"unknown snapshot columns: {sorted(unknown)}")
             schema = T.StructType([f for f in schema.fields if f.name in keep])
+        # column_lww tables: per-file max(seq) pruning is row-level and
+        # UNSAFE for per-column resolution — an old file may hold the
+        # winning value of a COLUMN for a key whose row-level seq is
+        # current (a newer patch row elsewhere), so dropping the file
+        # would silently null that column. Keep the (exact) post-resolve
+        # row filter below, skip the file-level prune.
+        column_lww = bool(meta.get("column_lww"))
         files = self.plan_files(
-            buckets=buckets, key_range=key_range, min_seq=min_seq, metadata=meta
+            buckets=buckets, key_range=key_range,
+            min_seq=None if column_lww else min_seq, metadata=meta,
         )
         # merge-on-read: buckets holding delta appends may carry several
         # versions of a key — resolve LWW (max seq) at read time, but ONLY
@@ -662,9 +670,25 @@ class LaketteTable:
         if clean_files:
             parts.append(_read(clean_files))
         if dirty_files:
-            from ..operators.merge import lww_dedupe
+            if column_lww:
+                # per-column LWW resolve (operators/patch.py): base rows
+                # and patch delta rows fold column-wise by stored writer
+                # seqs — same single-exchange aggregate shape as the
+                # row-level argmax below
+                from ..operators.patch import column_lww_fold
 
-            parts.append(lww_dedupe(_read(dirty_files), meta["key_cols"], "seq"))
+                payload = [
+                    f.name for f in schema.fields
+                    if f.name not in meta["key_cols"]
+                    and f.name not in META_COL_NAMES
+                ]
+                parts.append(
+                    column_lww_fold(_read(dirty_files), meta["key_cols"], payload)
+                )
+            else:
+                from ..operators.merge import lww_dedupe
+
+                parts.append(lww_dedupe(_read(dirty_files), meta["key_cols"], "seq"))
         if not parts:
             df = spark.createDataFrame([], schema)
         elif len(parts) == 1:

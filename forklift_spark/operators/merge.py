@@ -434,7 +434,7 @@ def merge_into(
     # bucket repartition in _merge_mor). COW requires it (one row per key
     # before the join). dedupe_strategy="prefilter" is the wide-row variant
     # (see lww_dedupe): payload bytes never shuffle for losing rows.
-    if column_lww:
+    if column_lww and dedupe:
         from .patch import column_lww_dedupe
 
         batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
@@ -445,6 +445,13 @@ def merge_into(
             salt_buckets=salt_buckets,
             count_col="_n",
         )
+    elif column_lww:
+        # mor fast path, dedupe skipped: raw patch events append as-is
+        # (mor_patch_row_shape tags each row's written columns; the read
+        # fold resolves) — one exchange per ingested byte, same as the
+        # row-level engine
+        batch_df = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        batch = batch_df
     elif dedupe and dedupe_strategy == "prefilter":
         winners = (
             batch_df.groupBy(*key_cols)
@@ -631,23 +638,44 @@ def _merge_mor(
     key_cols = table.key_cols()
     types = {f.name: f.dataType for f in new_schema.fields}
     sel = [F.col(k) for k in key_cols]
-    for c in payload_cols:
-        # a batch missing an evolved column must emit a TYPED null — an
-        # untyped F.lit(None) writes a null-typed parquet column that the
-        # table's declared type cannot read back (code-review r3)
-        sel.append(
-            (F.col(c) if c in batch.columns else F.lit(None).cast(types[c])).alias(c)
-        )
-    sel.append(F.col("seq"))
-    sel.append(
-        (F.sha2(F.col("content"), 256) if "content" in batch.columns else F.lit(None).cast("string")).alias("content_sha")
-    )
-    # op_guard: 'P' patch events on a row-level table fail the job before
-    # the commit (see patch.py) — the MOR path would otherwise append them
-    # as full rows whose NULLs overwrite good columns at read-resolve
-    from .patch import op_guard
+    if meta.get("column_lww"):
+        # patch-table delta rows carry their own per-column writer seqs;
+        # raw events (dedupe skipped) keep the one-exchange-per-byte path
+        # and the snapshot read's column_lww_fold does all resolution
+        from .patch import mor_patch_row_shape
 
-    sel.append((op_guard(F.col("op")) == F.lit("D")).alias("deleted"))
+        vals, col_seqs_expr, deleted_expr = mor_patch_row_shape(
+            batch.columns, payload_cols, types
+        )
+        sel += [vals[c].alias(c) for c in payload_cols]
+        sel.append(F.col("seq"))
+        sel.append(
+            (
+                F.sha2(vals["content"], 256)
+                if "content" in vals
+                else F.lit(None).cast("string")
+            ).alias("content_sha")
+        )
+        sel.append(deleted_expr.alias("deleted"))
+        sel.append(col_seqs_expr.alias("col_seqs"))
+    else:
+        for c in payload_cols:
+            # a batch missing an evolved column must emit a TYPED null — an
+            # untyped F.lit(None) writes a null-typed parquet column that the
+            # table's declared type cannot read back (code-review r3)
+            sel.append(
+                (F.col(c) if c in batch.columns else F.lit(None).cast(types[c])).alias(c)
+            )
+        sel.append(F.col("seq"))
+        sel.append(
+            (F.sha2(F.col("content"), 256) if "content" in batch.columns else F.lit(None).cast("string")).alias("content_sha")
+        )
+        # op_guard: 'P' patch events on a row-level table fail the job before
+        # the commit (see patch.py) — the MOR path would otherwise append them
+        # as full rows whose NULLs overwrite good columns at read-resolve
+        from .patch import op_guard
+
+        sel.append((op_guard(F.col("op")) == F.lit("D")).alias("deleted"))
     sel.append(F.col("_bucket"))
     delta = batch.select(*sel)
 

@@ -27,13 +27,16 @@ column (engine META column, lakette/table.py PATCH_COL). Without stored
 per-column seqs a LATE patch (below a column's last writer but above
 the row's tombstone floor) could not be dropped per-column.
 
-Applied through the ordinary COW merge path: `column_lww_dedupe`
+Applied through BOTH storage modes: on the COW path `column_lww_dedupe`
 replaces the row-level argmax before the join and `patch_cow_select`
-replaces the row-level decision matrix inside it; the write / commit /
-marker machinery is untouched. Merge-on-read is rejected loudly in v1
-(its read-time resolve is a row-level argmax; teaching snapshot() to
-fold col_seqs maps across delta files is a cost/complexity gap, not a
-semantics one).
+replaces the row-level decision matrix inside it; on the MERGE-ON-READ
+path delta rows carry their own col_seqs (`mor_patch_row_shape` — raw
+events keep the one-exchange-per-byte fast path) and the snapshot read
+resolves dirty groups with `column_lww_fold` instead of the row-level
+argmax (compact() inherits it through snapshot). The write / commit /
+marker machinery is untouched. Associativity makes any split between
+in-batch resolve, delta granularity, and read fold converge, so cow,
+mor and auto epochs mix freely — same as the row-level engine.
 """
 
 from __future__ import annotations
@@ -47,20 +50,14 @@ _FULL_WRITERS = ("I", "U", "D")
 
 def ensure_patch_mode(meta: dict, *, mode: str, overwrite: bool,
                       dedupe_strategy: str) -> str:
-    """Resolve/validate merge options for a column_lww table; returns the
-    effective mode. COW-only in v1: merge-on-read raises, mode='auto'
-    resolves to cow (there is no mor alternative to weigh)."""
+    """Validate merge options for a column_lww table; returns the mode
+    unchanged (cow, mor and auto are all supported: the merge-on-read
+    read path folds per-column writer seqs, see column_lww_fold)."""
     if overwrite:
         raise ValueError(
             "overwrite=True is not supported on a column_lww table: "
             "overwrite is the row-level repair primitive (replicate "
             "resync); per-column state has no force-this-row analogue yet"
-        )
-    if mode == "mor":
-        raise ValueError(
-            "mode='mor' is not supported on a column_lww table (v1): the "
-            "merge-on-read snapshot resolve is a row-level argmax and "
-            "cannot fold per-column writer seqs; use mode='cow'"
         )
     if dedupe_strategy != "agg":
         raise ValueError(
@@ -68,7 +65,7 @@ def ensure_patch_mode(meta: dict, *, mode: str, overwrite: bool,
             "key's max-seq row — a losing row's patch columns would be "
             "lost); column_lww tables require the 'agg' strategy"
         )
-    return "cow" if mode == "auto" else mode
+    return mode
 
 
 def op_guard(op_col: Column) -> Column:
@@ -231,3 +228,105 @@ def patch_cow_select(
     )
     sel.append(F.when(take_any, F.lit(1)).otherwise(F.lit(0)).alias("_applied"))
     return sel
+
+
+def column_lww_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Read-time per-column LWW resolve over STORED rows of a column_lww
+    table (the merge-on-read dirty-group path; compact() inherits it via
+    snapshot). Input rows carry resolved values + `col_seqs` + row `seq` +
+    `deleted` + `content_sha` — base rows and delta appends alike. Per
+    key, each payload column takes the value of the row with the highest
+    col_seqs[c] (NULL entries never win — that row never wrote c);
+    presence is the max-seq row's `deleted`. `content_sha` rides the SAME
+    struct as `content`, so the sha always belongs to the winning content
+    row (correct even when a caller pruned the content column itself
+    away). The algebra is identical to column_lww_dedupe — associative —
+    so any split between in-batch resolve, delta granularity, and this
+    read fold converges.
+
+    One aggregate, map-side combining, one exchange on the key — the same
+    shuffle shape as the row-level lww_dedupe read resolve: per-column
+    semantics cost zero extra exchanges at read time too."""
+    cols = [c for c in payload_cols if c in df.columns]
+
+    def packed(c: str) -> Column:
+        fields = [
+            F.col("col_seqs").getItem(c).alias("s"),
+            F.col(c).alias("v"),
+        ]
+        if c == "content" and "content_sha" in df.columns:
+            fields.append(F.col("content_sha").alias("sha"))
+        return F.max(F.struct(*fields)).alias(f"_p_{c}")
+
+    aggs = [packed(c) for c in cols]
+    # content pruned away but content_sha still needed (META always rides):
+    # resolve the sha by content's writer seq alone
+    sha_alone = "content" not in cols and "content_sha" in df.columns
+    if sha_alone:
+        aggs.append(
+            F.max(
+                F.struct(
+                    F.col("col_seqs").getItem("content").alias("s"),
+                    F.col("content_sha").alias("sha"),
+                )
+            ).alias("_p_sha")
+        )
+    grouped = df.groupBy(*key_cols).agg(
+        *aggs,
+        F.max("seq").alias("seq"),
+        F.max_by(F.col("deleted"), F.col("seq")).alias("deleted"),
+    )
+    sel = [
+        *key_cols,
+        *[F.col(f"_p_{c}.v").alias(c) for c in cols],
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in cols]),
+            F.array(*[F.col(f"_p_{c}.s") for c in cols]),
+        ).alias("col_seqs"),
+        F.col("seq"),
+        F.col("deleted"),
+    ]
+    if "content" in cols and "content_sha" in df.columns:
+        sel.append(F.col("_p_content.sha").alias("content_sha"))
+    elif sha_alone:
+        sel.append(F.col("_p_sha.sha").alias("content_sha"))
+    return grouped.select(*sel)
+
+
+def mor_patch_row_shape(
+    batch_cols: list[str], payload_cols: list[str], types: dict
+) -> tuple[dict, Column, Column]:
+    """Physical row shaping for a column_lww MERGE-ON-READ append:
+    (per-column value exprs, col_seqs expr, deleted expr), handling both
+    batch shapes — a column_lww_dedupe output (already resolved, carries
+    col_seqs/deleted) and RAW events (dedupe_in_batch=False, the
+    one-exchange-per-byte fast path: each event row becomes one delta row
+    whose col_seqs marks exactly the columns IT wrote, the read fold does
+    all resolution)."""
+    deduped = "col_seqs" in batch_cols
+    if deduped:
+        vals = {
+            c: (F.col(c) if c in batch_cols else F.lit(None).cast(types[c]))
+            for c in payload_cols
+        }
+        return vals, F.col("col_seqs"), F.col("deleted")
+    present = [c for c in payload_cols if c in batch_cols]
+    vals = {
+        c: (
+            F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col(c))
+            if c in batch_cols
+            else F.lit(None).cast(types[c])
+        )
+        for c in payload_cols
+    }
+    col_seqs = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in present]),
+        F.array(*[F.when(_writes(c), F.col("seq")) for c in present]),
+    )
+    # no op_guard here: this path is only reached on a column_lww table,
+    # where 'P' events are the point
+    return vals, col_seqs, F.col("op") == F.lit("D")

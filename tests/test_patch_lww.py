@@ -227,20 +227,18 @@ def test_schema_evolution_with_patches(spark, tmp_path):
     ] == 123  # seq 15 < 20: late for that column
 
 
-def test_guards_mor_prefilter_overwrite(spark, tmp_path):
+def test_guards_prefilter_overwrite(spark, tmp_path):
     table = create_entity_table(str(tmp_path / "t"), n_buckets=4, column_lww=True)
     rows = [_ev("I", 1, "r0", "a", "c", "py", "x")]
     df = spark.createDataFrame(rows, _DDL)
-    with pytest.raises(ValueError, match="mor"):
-        merge_into(spark, table, df, query_id="q", epoch=0, mode="mor")
     with pytest.raises(ValueError, match="prefilter"):
         merge_into(spark, table, df, query_id="q", epoch=0,
                    dedupe_strategy="prefilter")
     with pytest.raises(ValueError, match="overwrite"):
         merge_into(spark, table, df, query_id="q", epoch=0, overwrite=True)
-    # auto resolves to cow and applies
+    # auto picks a mode per epoch and applies (first epoch: exact decision)
     stats = merge_into(spark, table, df, query_id="q", epoch=0, mode="auto")
-    assert stats.mode_used == "cow" and not stats.skipped
+    assert stats.mode_used in ("cow", "mor") and not stats.skipped
 
 
 def test_patch_event_on_row_level_table_fails_loudly(spark, tmp_path):
@@ -313,3 +311,106 @@ def test_column_lww_dedupe_unit(spark):
     assert k.seq == 3 and k.deleted is False
     k2 = out[("r", "k2")]
     assert k2.col_seqs["lang"] == 1 and k2.col_seqs["commit"] is None
+
+
+def test_mor_modes_equal_cow_and_fold(spark, tmp_path):
+    """Merge-on-read patch path (r5 v2): raw appends (dedupe skipped),
+    deduped deltas, cow, and a random MIX of modes across batches all
+    converge to the sequential fold — associativity across in-batch
+    resolve, delta granularity, and the read-time column fold."""
+    events = _random_log(19, n_events=200, n_keys=25)
+    exp = _fold(events)
+    batches = [events[i::3] for i in range(3)]
+
+    variants = {
+        "mor_raw": dict(mode="mor", dedupe_in_batch=False),
+        "mor_dedup": dict(mode="mor", dedupe_in_batch=True),
+        "cow": dict(mode="cow"),
+    }
+    states = {}
+    for name, kw in variants.items():
+        t = create_entity_table(str(tmp_path / name), n_buckets=4,
+                                column_lww=True)
+        for i, b in enumerate(batches):
+            _apply(spark, t, b, i, **kw)
+        states[name] = _engine_state(spark, t)
+        assert _sha_ok(spark, t), name
+    # mixed modes batch-by-batch
+    t = create_entity_table(str(tmp_path / "mixed"), n_buckets=4,
+                            column_lww=True)
+    for i, (b, kw) in enumerate(zip(batches, variants.values())):
+        _apply(spark, t, b, i, **kw)
+    states["mixed"] = _engine_state(spark, t)
+    for name, st in states.items():
+        assert st == exp, name
+
+
+def test_mor_compact_folds_patch_deltas(spark, tmp_path):
+    """compact() on a patch table folds delta files through the column
+    fold (inherited via snapshot): state unchanged, groups clean after."""
+    from forklift_spark.operators.merge import compact
+
+    events = _random_log(23, n_events=150, n_keys=20)
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=4, column_lww=True)
+    for i in range(3):
+        _apply(spark, t, events[i::3], i, mode="mor", dedupe_in_batch=False)
+    before = _engine_state(spark, t)
+    assert t.current_metadata()["total_delta_files"] > 0
+    compact(spark, t)
+    assert t.current_metadata()["total_delta_files"] == 0
+    assert _engine_state(spark, t) == before == _fold(events)
+    assert _sha_ok(spark, t)
+    # and patches continue to resolve against the compacted base
+    late = [_ev("P", 1, "r0", "f/1.txt", content="ancient")]
+    fresh = [_ev("P", 10_000, "r0", "f/1.txt", lang="zz")]
+    _apply(spark, t, late + fresh, 99, mode="mor")
+    assert _engine_state(spark, t) == _fold(events + late + fresh)
+
+
+def test_min_seq_exact_on_patch_table(spark, tmp_path):
+    """snapshot(min_seq=W) on a column_lww table: file-level max(seq)
+    pruning is disabled (an old file can hold a column's winner for a
+    row-level-current key) but the row filter is exact."""
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=4, column_lww=True)
+    _apply(spark, t, [_ev("I", 10, "r0", "a", "c10", "py", "old body")], 0,
+           mode="mor")
+    _apply(spark, t, [_ev("P", 50, "r0", "a", lang="js")], 1, mode="mor")
+    got = t.snapshot(spark, min_seq=40).collect()
+    assert len(got) == 1
+    # the row is current (seq 50) and its content comes from the PRUNABLE
+    # older file — must not be nulled by file pruning
+    assert got[0].content == "old body" and got[0].lang == "js"
+    assert t.snapshot(spark, min_seq=60).count() == 0
+
+
+def test_patch_streaming_mor_with_compaction(spark, tmp_path):
+    """The high-throughput shape end-to-end: mor + no in-batch dedupe +
+    periodic incremental compaction through run_ingest."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forklift_spark.streaming.ingest import run_ingest
+
+    events = _random_log(29, n_events=300, n_keys=40)
+    seg_dir = tmp_path / "log"
+    seg_dir.mkdir()
+    cols = ["op", "seq", "repo", "path", "commit", "lang", "content",
+            "event_ts", "schema_ver"]
+    for i in range(3):
+        pdf = pd.DataFrame(events[i * 100:(i + 1) * 100], columns=cols)
+        pdf["event_ts"] = pd.Timestamp("2026-01-01")
+        pdf["schema_ver"] = pd.array([1] * len(pdf), dtype="int32")
+        pdf["seq"] = pdf["seq"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       seg_dir / f"seg-{i:05d}.parquet",
+                       coerce_timestamps="us")
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=4,
+                                column_lww=True)
+    run_ingest(
+        spark, str(seg_dir), table, str(tmp_path / "ckpt"),
+        query_id="pmor", max_files_per_trigger=1,
+        mode="mor", dedupe_in_batch=False, compact_every=2,
+    )
+    assert _engine_state(spark, table) == _fold(events)
+    assert _sha_ok(spark, table)
