@@ -109,6 +109,7 @@ class LaketteTable:
         self.fs: Storage = storage or PosixStorage()
         self.meta_dir = os.path.join(root, "metadata")
         self.manifests_dir = os.path.join(root, "metadata", "manifests")
+        self.staged_dir = os.path.join(root, "metadata", "staged")
         self.data_dir = os.path.join(root, "data")
         self.epochs_dir = os.path.join(root, "_epochs")
         self.lineage_dir = os.path.join(root, "_lineage")
@@ -1161,6 +1162,149 @@ class LaketteTable:
             "migrated": len(specs) == 1,
         }
 
+    # ------------------------------------------------- write-audit-publish
+
+    def _staged_path(self, stage_id: str) -> str:
+        return os.path.join(self.staged_dir, f"{stage_id}.json")
+
+    def stage_commit(
+        self,
+        *,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        schema: T.StructType | None = None,
+        writer: dict | None = None,
+        requires_dedup: bool | None = None,
+    ) -> str:
+        """WAP step 1 — STAGE: persist a pending commit's payload under
+        metadata/staged/ WITHOUT touching the version chain. Readers of the
+        table see nothing; the stager (or an auditor) reads the staged
+        state via staged_snapshot(), then publish_staged() makes it the
+        table's next version atomically or abort_staged() discards it.
+
+        This is the Iceberg write-audit-publish pattern re-expressed on
+        the lakette chain: data files are already durable (the writer
+        streamed them executor-side under data/ with final names), so
+        staging is one small metadata PUT, auditing is an ordinary pruned
+        scan of base+staged files, and publishing is the ordinary CAS
+        commit — with full rebase/conflict validation against whatever
+        landed meanwhile, exactly as if the writer had committed directly.
+        Staged payloads are crash-safe: the record survives the stager's
+        death, vacuum() protects the files it references, and a stale
+        stage is visible in list_staged() for manual abort.
+
+        Returns the stage id. `replaced_buckets` is normalized to
+        (nb, bucket) pairs at stage time so publish is spec-exact even if
+        staging happened mid-rescale."""
+        raw = self._raw_current()
+        cur_nb = int(raw["n_buckets"])
+        pairs = [
+            [int(b[0]), int(b[1])] if isinstance(b, (tuple, list)) else [cur_nb, int(b)]
+            for b in replaced_buckets
+        ]
+        stage_id = uuid.uuid4().hex[:16]
+        record = {
+            "stage_id": stage_id,
+            "base_version": int(raw["version"]),
+            "new_files": [dict(f) for f in new_files],
+            "replaced_buckets": sorted(pairs),
+            "schema": json.loads(schema.json()) if schema is not None else None,
+            "writer": writer,
+            "requires_dedup": requires_dedup,
+        }
+        self.fs.makedirs(self.staged_dir)
+        self._put_exclusive(self._staged_path(stage_id), record)
+        return stage_id
+
+    def staged_record(self, stage_id: str) -> dict[str, Any]:
+        return self.fs.read_json(self._staged_path(stage_id))
+
+    def list_staged(self) -> list[dict[str, Any]]:
+        """All pending (un-published, un-aborted) stage records."""
+        if not self.fs.isdir(self.staged_dir):
+            return []
+        return [
+            self.fs.read_json(os.path.join(self.staged_dir, fn))
+            for fn in sorted(self.fs.listdir(self.staged_dir))
+            if fn.endswith(".json")
+        ]
+
+    def staged_metadata(self, stage_id: str) -> dict[str, Any]:
+        """Materialized metadata of CURRENT ∘ staged-changes — what the
+        table WOULD look like if the stage published now. Feed it to
+        snapshot(metadata=...) (staged_snapshot does) for audit reads."""
+        rec = self.staged_record(stage_id)
+        meta = dict(self.current_metadata())
+        n0 = _specs(meta)[0]
+        cur_nb = int(meta["n_buckets"])
+        replaced = {(int(p[0]), int(p[1])) for p in rec["replaced_buckets"]}
+        files = [
+            f for f in meta["files"]
+            if (_file_nb(f, n0), f["bucket"]) not in replaced
+        ]
+        staged = [dict(f) for f in rec["new_files"]]
+        for f in staged:
+            f.setdefault("nb", cur_nb)
+        meta["files"] = files + staged
+        if rec.get("schema"):
+            meta["schema"] = rec["schema"]
+        if any(f.get("delta") for f in staged):
+            meta["requires_dedup"] = True
+        meta["staged"] = stage_id
+        return meta
+
+    def staged_snapshot(self, spark: SparkSession, stage_id: str, **kw) -> DataFrame:
+        """WAP step 2 — AUDIT read: the staged table state as a DataFrame
+        (all snapshot() pruning options apply). Run expectations / row
+        counts / invariant checks against this before publish_staged()."""
+        return self.snapshot(spark, metadata=self.staged_metadata(stage_id), **kw)
+
+    def publish_staged(self, stage_id: str) -> TableCommit:
+        """WAP step 3 — PUBLISH: commit the staged payload as the next
+        version (full CAS + rebase-over-independent-commits validation via
+        commit_version, base = the version the stager READ — an
+        overlapping commit landed since staging raises CommitConflictError
+        rather than silently clobbering it), then retire the record.
+
+        Crash between commit and record cleanup leaves a published-but-
+        listed stage; re-publishing it raises CommitConflictError from the
+        base check (its base has moved), and the stale record is safe to
+        abort_staged(delete_files=False)."""
+        rec = self.staged_record(stage_id)
+        schema = (
+            T.StructType.fromJson(rec["schema"]) if rec.get("schema") else None
+        )
+        commit = self.commit_version(
+            new_files=rec["new_files"],
+            replaced_buckets={(p[0], p[1]) for p in rec["replaced_buckets"]},
+            schema=schema,
+            writer=rec.get("writer"),
+            requires_dedup=rec.get("requires_dedup"),
+            base_version=rec["base_version"],
+        )
+        self.fs.remove(self._staged_path(stage_id))
+        return commit
+
+    def abort_staged(self, stage_id: str, *, delete_files: bool = True) -> int:
+        """Discard a staged commit. With delete_files (default), its new
+        data files — never referenced by any version — are removed eagerly
+        (paranoia-checked against CURRENT's reference set first); without,
+        they are left for vacuum(). Returns files removed."""
+        rec = self.staged_record(stage_id)
+        removed = 0
+        if delete_files:
+            referenced = {f["path"] for f in self.current_metadata()["files"]}
+            for f in rec["new_files"]:
+                if f["path"] in referenced:
+                    continue  # published elsewhere — never delete live data
+                try:
+                    self.fs.remove(os.path.join(self.root, f["path"]))
+                    removed += 1
+                except OSError:
+                    pass
+        self.fs.remove(self._staged_path(stage_id))
+        return removed
+
     # ---------------------------------------------------------- epoch markers
 
     def _marker_path(self, query_id: str, epoch: int) -> str:
@@ -1309,6 +1453,11 @@ class LaketteTable:
             meta = self.metadata_at(h["version"])
             referenced.update(f["path"] for f in meta["files"])
             referenced_manifests.update((meta.get("manifests") or {}).values())
+        # staged (write-audit-publish) commits reference data files no
+        # version knows about yet — a long audit must never lose its files
+        # to a concurrent vacuum, so stage records pin them like a version
+        for rec in self.list_staged():
+            referenced.update(f["path"] for f in rec["new_files"])
 
         removed_data = 0
         for fn in sorted(self.fs.listdir(self.data_dir)):

@@ -152,6 +152,10 @@ class MergeStats:
     #: buckets this epoch wrote to — fed back as auto_prev for the
     #: zero-job lagged auto decision in streaming loops
     touched: list[int] | None = None
+    #: set instead of version/snapshot_id when merge ran with
+    #: publish=False (write-audit-publish: data written + staged,
+    #: version chain untouched until table.publish_staged(stage_id))
+    stage_id: str | None = None
 
     @property
     def events_per_sec(self) -> float:
@@ -243,8 +247,17 @@ def merge_into(
     dedupe_in_batch: bool = True,
     dedupe_strategy: str = "agg",
     overwrite: bool = False,
+    publish: bool = True,
 ) -> MergeStats:
     """Apply one micro-batch of change events transactionally.
+
+    `publish=False` turns the merge into the WRITE+STAGE phase of
+    write-audit-publish: the epoch runs its normal plan and writes its
+    data files, but instead of committing, the payload is staged
+    (LaketteTable.stage_commit) and `MergeStats.stage_id` is set — no
+    version, no lineage, no epoch marker until table.publish_staged()
+    (use expectations.audit_and_publish for the audit step). A batch-
+    writer/backfill feature: the streaming loop always publishes.
 
     `overwrite=True` suspends the LWW guard for matched keys: every
     incoming row is taken regardless of the existing row's seq. This is
@@ -479,7 +492,7 @@ def merge_into(
             table, batch, stats,
             query_id=query_id, epoch=epoch, payload_cols=payload_cols,
             new_schema=new_schema, src_offsets=src_offsets, meta=meta,
-            obs_in=obs_in,
+            obs_in=obs_in, publish=publish,
         )
         stats.wall_sec = round(time.monotonic() - t_start, 3)
         _write_metrics(table, query_id, stats)
@@ -602,16 +615,24 @@ def merge_into(
         # current spec, so those old files are replaced too — COW epochs
         # migrate the groups they touch as a side effect.
         replaced = {(nb, b % nb) for nb in _specs(meta) for b in touched}
-        commit = table.commit_version(
-            new_files=new_files,
-            replaced_buckets=replaced,
-            schema=new_schema,
-            writer={"query_id": query_id, "epoch": epoch},
-            base_version=meta["version"],
-        )
-        stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
-        _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
-        table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
+        if not publish:
+            stats.stage_id = table.stage_commit(
+                new_files=new_files,
+                replaced_buckets=replaced,
+                schema=new_schema,
+                writer={"query_id": query_id, "epoch": epoch},
+            )
+        else:
+            commit = table.commit_version(
+                new_files=new_files,
+                replaced_buckets=replaced,
+                schema=new_schema,
+                writer={"query_id": query_id, "epoch": epoch},
+                base_version=meta["version"],
+            )
+            stats.version, stats.snapshot_id = commit.version, commit.snapshot_id
+            _write_lineage(table, query_id, epoch, commit.snapshot_id, new_files, stats, src_offsets)
+            table.write_epoch_marker(query_id, epoch, commit.snapshot_id)
     finally:
         cached.unpersist()
     stats.wall_sec = round(time.monotonic() - t_start, 3)
@@ -631,6 +652,7 @@ def _merge_mor(
     src_offsets: tuple[int, int] | None,
     meta: dict,
     obs_in: Observation,
+    publish: bool = True,
 ) -> MergeStats:
     """Merge-on-read epoch: ONE Spark job — project the deduped batch into
     the physical row shape (deletes become tombstone rows) and append it as
@@ -702,6 +724,14 @@ def _merge_mor(
     stats.touched = sorted({f["bucket"] for f in new_files})
     stats.touched_buckets = len(stats.touched)
 
+    if not publish:
+        stats.stage_id = table.stage_commit(
+            new_files=new_files,
+            replaced_buckets=set(),
+            schema=new_schema,
+            writer={"query_id": query_id, "epoch": epoch},
+        )
+        return stats
     commit = table.commit_version(
         new_files=new_files,
         replaced_buckets=set(),

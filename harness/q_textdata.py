@@ -455,3 +455,68 @@ def text_pii_redact(spark, sf):
         ).alias("text"),
     )
     return pii_redact(pii, "text", "doc_id")
+
+
+# ------------------------------------------------- data-quality expectations
+
+#: ingest-gate rule set over documents, calibrated so every action fires
+#: (or provably doesn't) at sf0.01: chars_consistent holds everywhere
+#: (fail never aborts), lang_allowed quarantines zh/es, len_floor drops
+#: the sub-60-char tail, min_len200 only annotates
+_DQ_RULES = None  # built lazily — Expectation import stays module-local
+
+
+def _dq_rules():
+    global _DQ_RULES
+    if _DQ_RULES is None:
+        from forklift_spark.operators.expectations import Expectation
+
+        _DQ_RULES = [
+            Expectation("chars_consistent", "n_chars = length(text)", "fail"),
+            Expectation("lang_allowed", "lang IN ('en','de','fr')", "quarantine"),
+            Expectation("len_floor", "n_chars >= 60", "drop"),
+            Expectation("min_len200", "n_chars >= 200", "warn"),
+        ]
+    return _DQ_RULES
+
+
+_DQ_SQL = """
+WITH flags AS (
+  SELECT doc_id,
+    (NOT coalesce(n_chars = length(text), false)) AS v_chars,
+    (NOT coalesce(lang IN ('en','de','fr'), false)) AS v_lang,
+    (NOT coalesce(n_chars >= 60, false)) AS v_len
+  FROM documents)
+SELECT doc_id, 'good' AS dq_route, '' AS dq_violations
+FROM flags WHERE NOT v_chars AND NOT v_lang AND NOT v_len
+UNION ALL
+SELECT doc_id, 'quarantine' AS dq_route,
+  concat_ws(',',
+    CASE WHEN v_chars THEN 'chars_consistent' END,
+    CASE WHEN v_lang THEN 'lang_allowed' END) AS dq_violations
+FROM flags WHERE v_chars OR v_lang
+"""
+
+
+@q("dq_split", _DQ_SQL, extra=True)
+def dq_split(spark, sf):
+    """Data-quality expectations gate (operators/expectations.py): split()
+    routes documents into good / quarantined under a four-rule spec with
+    every action represented. Rows failing only the drop rule appear on
+    NEITHER side; warn violations stay on the good path; quarantine tags
+    are the sorted violated-rule names. Pure codegen — the oracle replays
+    the identical three-valued-logic semantics in ANSI SQL."""
+    from forklift_spark.operators import expectations as xp
+
+    good, bad = xp.split(t(spark, sf, "documents"), _dq_rules())
+    return good.select(
+        "doc_id",
+        F.lit("good").alias("dq_route"),
+        F.lit("").alias("dq_violations"),
+    ).unionAll(
+        bad.select(
+            "doc_id",
+            F.lit("quarantine").alias("dq_route"),
+            F.array_join("dq_violations", ",").alias("dq_violations"),
+        )
+    )
