@@ -88,6 +88,9 @@ class IngestReport:
     #: per-refresh reports from the `derived` hooks (DeriveReport /
     #: AggDeriveReport), in invocation order
     derived: list = field(default_factory=list)
+    #: per-epoch data-quality gate records when `expectations` is set:
+    #: {"epoch": N, "quarantined": n, "fail_violations": n}
+    dq: list = field(default_factory=list)
 
     @property
     def applied_rows(self) -> int:
@@ -111,6 +114,81 @@ def replay_batch(
     return merge_into(
         spark, table, df, query_id=query_id, epoch=epoch, salt_buckets=salt_buckets,
         mode=mode, dedupe_strategy=dedupe_strategy,
+    )
+
+
+def _apply_dq_gate(
+    table: LaketteTable,
+    batch_df: DataFrame,
+    expectations: list,
+    quarantine_dir: str,
+    *,
+    query_id: str,
+    epoch_id: int,
+    report: "IngestReport",
+) -> DataFrame:
+    """One epoch through the data-quality gate (run_ingest docstring).
+
+    Returns the good-path events for the merge. Side effects — quarantine
+    parquet under table/_quarantine/epoch=N, the IngestReport.dq record,
+    the fail-action abort — run only for UNCOMMITTED epochs: a replayed
+    epoch whose marker exists already landed its quarantine rows and its
+    merge will no-op, so the gate is pass-through (exactly-once for the
+    quarantine sink, same protocol as dead letters / the table commit).
+
+    Costs: the split is two filters over one projection (expectations
+    module docstring); the per-rule counts ride ONE Observation on the
+    quarantine write, so the gate adds zero extra Spark jobs."""
+    from pyspark.sql import Observation
+
+    from ..operators import expectations as xp
+    from ..operators.merge import _obs_count
+
+    good, bad = xp.gate_events(batch_df, expectations)
+    if table.epoch_committed(query_id, epoch_id):
+        return good
+
+    fail_rules = [e.name for e in expectations if e.action == "fail"]
+    obs = Observation(f"dq-{query_id}-{epoch_id}")
+    metrics = [F.count(F.lit(1)).alias("quarantined")] + [
+        F.count(
+            F.when(F.array_contains(xp.VIOLATIONS_COL, F.lit(r)), 1)
+        ).alias(f"fail_{i}")
+        for i, r in enumerate(fail_rules)
+    ]
+    (
+        bad.observe(obs, *metrics)
+        # tags as csv: the quarantine parquet is a human triage surface
+        .withColumn(xp.VIOLATIONS_COL, F.array_join(xp.VIOLATIONS_COL, ","))
+        .write.mode("overwrite")
+        .parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}"))
+    )
+    fail_counts = {
+        r: _obs_count(obs, f"fail_{i}") for i, r in enumerate(fail_rules)
+    }
+    report.dq.append(
+        {
+            "epoch": int(epoch_id),
+            "quarantined": _obs_count(obs, "quarantined"),
+            "fail_violations": sum(fail_counts.values()),
+        }
+    )
+    violated = {r: n for r, n in fail_counts.items() if n > 0}
+    if violated:
+        # abort BEFORE the merge: no commit, no marker — the stream dies
+        # here and a restart replays this epoch exactly-once after the
+        # operator intervenes (fix rules upstream or relax the spec)
+        raise xp.ExpectationError(violated)
+    return good
+
+
+def read_quarantine(spark: SparkSession, table: LaketteTable) -> DataFrame:
+    """All quarantined change events with their violation tags (csv of
+    rule names) and epoch — the triage surface for the expectations gate."""
+    path = os.path.join(table.root, "_quarantine")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "epoch=*"))
     )
 
 
@@ -138,6 +216,7 @@ def run_ingest(
     expire_epochs_keep: int | None = None,
     derived: "list | None" = None,
     derived_every: int = 1,
+    expectations: "list | None" = None,
 ) -> "IngestReport | tuple[IngestReport, object]":
     """M3: streaming replay. `availableNow` drains the backlog in rate-limited
     micro-batches and stops — the 10^10-replay mode; with a live feed, pass
@@ -191,7 +270,19 @@ def run_ingest(
     derive's vacuumed-span resync repairs rather than corrupts). After an
     availableNow drain the hooks run one final catch-up pass, so on
     return every derived table reflects the source's final version.
-    Per-refresh reports land in `IngestReport.derived`."""
+    Per-refresh reports land in `IngestReport.derived`.
+
+    `expectations=[Expectation, ...]` puts the DATA-QUALITY GATE
+    (operators/expectations.py) in front of every epoch's merge: delete
+    events bypass (their NULL payloads must not be judged — gate_events
+    docstring), violating upserts route per their rule's action —
+    quarantine/fail rows land under table/_quarantine/epoch=N with their
+    violation tags (marker-gated overwrite, so crash replays never
+    duplicate), drop rows vanish, warn rows pass annotated-only. Any
+    fail-action violation raises ExpectationError BEFORE the merge, so
+    the epoch never commits and a restart replays it exactly-once after
+    the operator intervenes. Per-epoch counts (one Observation on the
+    quarantine write — zero extra jobs) land in `IngestReport.dq`."""
     report = IngestReport()
     adaptive_salt = salt_buckets == "auto"
     if adaptive_salt and dedupe_strategy == "prefilter":
@@ -251,6 +342,8 @@ def run_ingest(
         src = src.withWatermark("event_ts", drop_dup_within_watermark)
         src = src.dropDuplicatesWithinWatermark(["repo", "path", "seq"])
 
+    quarantine_dir = os.path.join(table.root, "_quarantine")
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         if source == "jsonl":
             from ..operators.parse import parse_events
@@ -262,6 +355,11 @@ def run_ingest(
                 dead.write.mode("overwrite").parquet(
                     os.path.join(dead_letter_dir, f"epoch={epoch_id}")
                 )
+        if expectations:
+            batch_df = _apply_dq_gate(
+                table, batch_df, expectations, quarantine_dir,
+                query_id=query_id, epoch_id=epoch_id, report=report,
+            )
         nonlocal current_salt
         # mode="auto" in the STREAMING loop feeds the previous applied
         # epoch's measured stats back in, so the per-epoch layout decision
