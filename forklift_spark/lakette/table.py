@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -447,6 +448,90 @@ class LaketteTable:
         df.createOrReplaceTempView(name)
         return df
 
+    # ------------------------------------------------------------------- refs
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, "refs", f"{name}.json")
+
+    def create_ref(
+        self,
+        name: str,
+        *,
+        kind: str = "tag",
+        version: int | None = None,
+        replace: bool = False,
+    ) -> dict[str, Any]:
+        """Named ref to a version (Iceberg tags/branches re-expressed on
+        the lakette chain): a `tag` is an immutable pointer — named time
+        travel for audits, rollback anchors, "the snapshot we trained on";
+        a `branch` is a movable pointer advanced with fast_forward().
+        Both PIN their version against vacuum(): the ref'd version's
+        metadata and data files survive retention until the ref is
+        dropped, so a tag is a durable reproducibility handle, not a hint.
+
+        Metadata-only: one small exclusive PUT under metadata/refs/ (CAS —
+        two writers racing to create the same tag: one loses loudly).
+        `replace=True` re-points an existing ref (tags included: that is
+        the explicit operator override, same spirit as snapshot rollback).
+        Writes to a branch are not supported — the version chain is
+        single-headed; branch refs exist for staged reading and promotion
+        workflows (pair with write-audit-publish), documented loudly."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref kind must be 'tag' or 'branch', got {kind!r}")
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = int(version) if version is not None else int(self._raw_current()["version"])
+        # fail fast on an unreachable version (vacuumed or never existed)
+        self.metadata_at(v)
+        rec = {"name": name, "kind": kind, "version": v}
+        self.fs.makedirs(os.path.join(self.meta_dir, "refs"))
+        if replace:
+            self.fs.put_json(self._ref_path(name), rec)
+        else:
+            self._put_exclusive(self._ref_path(name), rec)
+        return rec
+
+    def ref_version(self, name: str) -> int:
+        try:
+            return int(self.fs.read_json(self._ref_path(name))["version"])
+        except OSError:
+            raise ValueError(f"unknown ref {name!r}") from None
+
+    def list_refs(self) -> list[dict[str, Any]]:
+        d = os.path.join(self.meta_dir, "refs")
+        if not self.fs.isdir(d):
+            return []
+        return sorted(
+            (
+                self.fs.read_json(os.path.join(d, fn))
+                for fn in self.fs.listdir(d)
+                if fn.endswith(".json")
+            ),
+            key=lambda r: r["name"],
+        )
+
+    def drop_ref(self, name: str) -> None:
+        self.ref_version(name)  # loud on unknown
+        self.fs.remove(self._ref_path(name))
+
+    def fast_forward(self, name: str, version: int | None = None) -> dict[str, Any]:
+        """Advance a BRANCH ref to `version` (default: current head).
+        Strictly forward — rewinding is create_ref(replace=True), the
+        explicit override. Tags never move."""
+        rec = self.fs.read_json(self._ref_path(name))
+        if rec["kind"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag — tags never move")
+        v = int(version) if version is not None else int(self._raw_current()["version"])
+        if v < int(rec["version"]):
+            raise ValueError(
+                f"fast_forward {name!r}: {v} is behind the ref "
+                f"({rec['version']}) — use create_ref(replace=True) to rewind"
+            )
+        self.metadata_at(v)
+        rec = {**rec, "version": v}
+        self.fs.put_json(self._ref_path(name), rec)
+        return rec
+
     # ------------------------------------------------------------------- scan
 
     def plan_files(
@@ -559,6 +644,7 @@ class LaketteTable:
         columns: list[str] | None = None,
         exact_buckets: bool = True,
         col_ranges: dict[str, tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the current committed snapshot (or, with `version`, a past
         one — time travel; fails if vacuum() already collected its files).
@@ -601,6 +687,13 @@ class LaketteTable:
         `max_by(struct(...))`, which Catalyst cannot prune INTO — a narrow
         query over a wide dirty table would otherwise scan and shuffle the
         full content bodies. Pruning here reaches the parquet scan."""
+        if ref is not None:
+            # named time travel: `ref=` resolves a tag/branch pointer
+            # (create_ref) to its pinned version — vacuum-safe, because
+            # refs pin their version's files against retention
+            if version is not None:
+                raise ValueError("pass either ref= or version=, not both")
+            version = self.ref_version(ref)
         if version is not None and metadata is None:
             metadata = self.metadata_at(version)
         meta = metadata if metadata is not None else self._raw_current()
@@ -1447,6 +1540,14 @@ class LaketteTable:
         kept_meta = history[:keep_versions]
         kept_versions = {h["version"] for h in kept_meta}
         reachable = {h["version"] for h in history}
+        # refs (tags/branches) PIN their versions: a tagged snapshot is a
+        # durable reproducibility handle, so its metadata + data files
+        # survive retention until the ref is dropped (create_ref docstring)
+        ref_versions = {
+            r["version"] for r in self.list_refs()
+        } & reachable - kept_versions
+        kept_versions |= ref_versions
+        kept_meta = kept_meta + [{"version": v} for v in sorted(ref_versions)]
         referenced: set[str] = set()
         referenced_manifests: set[str] = set()
         for h in kept_meta:

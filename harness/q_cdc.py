@@ -540,3 +540,62 @@ def cdc_patch_batch(spark, sf):
         )
     snap = table.snapshot(spark)
     return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
+#: DML oracle: the LWW final state, then DELETE WHERE lang='de' and
+#: UPDATE SET content = content || ' [dml]' WHERE lang='fr' applied in SQL
+_DML_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+final AS (
+  SELECT repo, path, seq, lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, seq, lang,
+       CASE WHEN lang = 'fr' THEN sha256(content || ' [dml]')
+            ELSE sha256(content) END AS content_sha
+FROM final
+WHERE lang IS DISTINCT FROM 'de'
+"""
+
+
+@q("dml_delete_update", _DML_SQL, extra=True)
+def dml_delete_update(spark, sf):
+    """Predicate DML through the REAL engine (operators/dml.py): replay the
+    changelog into a lakette table, then DELETE WHERE lang='de' (tombstone
+    rewrite of only the touched buckets) and UPDATE content WHERE lang='fr'
+    (old-row SET + content_sha recompute), then snapshot-scan. Must equal
+    the pure-SQL oracle applying the same two statements to the LWW final
+    state."""
+    from forklift_spark.operators.dml import delete_where, update_where
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_dml_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="dml",
+            epoch=i,
+        )
+    delete_where(spark, table, "lang = 'de'")
+    update_where(spark, table, {"content": "content || ' [dml]'"}, "lang = 'fr'")
+    return table.snapshot(spark).select("repo", "path", "seq", "lang", "content_sha")

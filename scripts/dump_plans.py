@@ -222,6 +222,42 @@ def main() -> None:
         "row in the written files.",
     )
 
+    # 14. data-quality expectations split (r5): two filters, one projection
+    from forklift_spark.operators import expectations as xp
+
+    rules = [
+        xp.Expectation("lang_ok", "lang IN ('en','de','fr')", "quarantine"),
+        xp.Expectation("len_floor", "n_chars >= 60", "drop"),
+        xp.Expectation("chars_ok", "n_chars = length(text)", "fail"),
+    ]
+    good, bad = xp.split(d, rules)
+    add(
+        "Data-quality expectations split (r5)",
+        good.select("doc_id").unionAll(bad.select("doc_id")),
+        "Expect: NO exchange and NO Python anywhere — every rule compiles "
+        "to one boolean codegen column, the violation tags are "
+        "array_sort(filter(array(...))), and good/quarantine are two "
+        "filters over the same scan (Catalyst pushes each side's filter "
+        "down). At 100 TB the ingest gate costs one extra map-side "
+        "projection on the scan it already pays for.",
+    )
+
+    # 15. predicate-DML discovery scan (r5): pruned scan -> distinct buckets
+    add(
+        "Predicate DML discovery scan (r5)",
+        t.snapshot(spark, columns=["lang"])
+        .filter(F.expr("lang = 'de'"))
+        .select(t.bucket_expr().alias("b"))
+        .distinct(),
+        "Expect: the delete_where/update_where DISCOVERY pass — ReadSchema "
+        "carries only the predicate column + keys (column-pruned snapshot), "
+        "PushedFilters shows the predicate at the parquet scan, and the "
+        "only exchange is the distinct over at most n_buckets bucket ids. "
+        "The rewrite that follows touches ONLY those buckets (COW, "
+        "compact-style), so DML cost is O(matching buckets), never "
+        "O(table).",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
