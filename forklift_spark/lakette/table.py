@@ -142,6 +142,7 @@ class LaketteTable:
         storage: Storage | None = None,
         stats_cols: list[str] | None = None,
         column_lww: bool = False,
+        bloom_cols: list[str] | None = None,
     ) -> "LaketteTable":
         t = cls(root, storage=storage)
         for d in (
@@ -175,6 +176,7 @@ class LaketteTable:
             # files by them. First key col (kmin/kmax) + seq (smax) are
             # always recorded regardless.
             "stats_cols": list(stats_cols or []),
+            "bloom_cols": list(bloom_cols or []),
             # partial-update semantics (op='P' patch events, per-column
             # LWW): rows carry per-column writer seqs in `col_seqs`;
             # merges resolve column-by-column. COW-only in v1.
@@ -644,6 +646,7 @@ class LaketteTable:
         columns: list[str] | None = None,
         exact_buckets: bool = True,
         col_ranges: dict[str, tuple] | None = None,
+        col_eq: dict[str, Any] | None = None,
         ref: str | None = None,
     ) -> DataFrame:
         """Read the current committed snapshot (or, with `version`, a past
@@ -680,6 +683,16 @@ class LaketteTable:
         fully-compacted (or COW) table prunes everywhere. NULLs never
         match a range (tombstones carry NULL payloads).
 
+        `col_eq={"commit": "abc123"}` prunes files by the per-file BLOOM
+        filters the writer records for the table's `bloom_cols` (reverse
+        lookups on high-cardinality non-key columns, where min/max stats
+        cannot discriminate) AND filters rows to the equalities. Same
+        exactness discipline as col_ranges: only CLEAN groups' files are
+        bloom-pruned (a dirty group's stale file could hide a key's true
+        winner); dirty groups are read whole, resolved, then row-filtered.
+        Files without a stored bloom are kept conservatively. NULL values
+        are rejected (use a filter — NULL never equals anything).
+
         `columns` restricts the PAYLOAD columns read (key + engine columns
         always ride along; pass [] for keys-and-metadata only). This
         matters beyond ordinary projection pushdown: the merge-on-read LWW
@@ -701,7 +714,7 @@ class LaketteTable:
         if columns is not None:
             keep = (
                 set(meta["key_cols"]) | set(columns) | set(META_COL_NAMES)
-                | set(col_ranges or {})
+                | set(col_ranges or {}) | set(col_eq or {})
             )
             unknown = set(columns) - {f.name for f in schema.fields}
             if unknown:
@@ -754,6 +767,10 @@ class LaketteTable:
                 return True
 
             clean_files = [f for f in clean_files if _hits(f)]
+        if col_eq:
+            if any(v is None for v in col_eq.values()):
+                raise ValueError("col_eq values must be non-NULL")
+            clean_files = self._bloom_prune(clean_files, col_eq)
 
         def _read(fs):
             return spark.read.schema(schema).parquet(
@@ -794,6 +811,12 @@ class LaketteTable:
         if col_ranges:
             for c, (lo, hi) in col_ranges.items():
                 df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        if col_eq:
+            # exact under bloom pruning: any pruned file DEFINITELY lacked
+            # the value (no false negatives), and dirty groups were read
+            # whole — this row filter is what makes the result exact
+            for c, v in col_eq.items():
+                df = df.filter(F.col(c) == F.lit(v))
         if min_seq is not None:
             # exactness under smax pruning: a pruned file only ever holds
             # rows with seq < min_seq, so any stale survivor the pruned
@@ -813,6 +836,24 @@ class LaketteTable:
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("deleted")
         return df
+
+    @staticmethod
+    def _bloom_prune(files: list[dict], col_eq: dict[str, Any]) -> list[dict]:
+        """Drop files whose stored bloom filters PROVE a col_eq value is
+        absent (lakette/bloom.py). Missing filters keep the file; a bloom
+        hit keeps it too (possible false positive — the row filter in
+        snapshot() makes the result exact). Driver-side, pure metadata."""
+        from .bloom import might_contain
+
+        def _keep(f: dict) -> bool:
+            blooms = f.get("bloom") or {}
+            for c, v in col_eq.items():
+                spec = blooms.get(c)
+                if spec is not None and not might_contain(spec, v):
+                    return False
+            return True
+
+        return [f for f in files if _keep(f)]
 
     # ----------------------------------------------------------------- commit
 

@@ -126,6 +126,7 @@ def _rewrite_buckets(
         sort_cols=meta["key_cols"],
         max_rows_per_file=meta.get("target_file_rows"),
         stats_cols=meta.get("stats_cols"),
+        bloom_cols=meta.get("bloom_cols"),
     )
     replaced = {(nb, b % nb) for nb in _meta_specs(meta) for b in touched}
     commit = table.commit_version(

@@ -599,3 +599,73 @@ def dml_delete_update(spark, sf):
     delete_where(spark, table, "lang = 'de'")
     update_where(spark, table, {"content": "content || ' [dml]'"}, "lang = 'fr'")
     return table.snapshot(spark).select("repo", "path", "seq", "lang", "content_sha")
+
+
+#: reverse lookup by commit digest: the LWW final state filtered to one
+#: commit value, computed the same way on both engines (md5 of doc 41's
+#: text — doc 41 is neither updated (41 % 3 != 0) nor deleted (41 % 10 != 7))
+_BLOOM_LOOKUP_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         md5(text) AS commit, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         md5(text || ' v2'), lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, commit, lang
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+  AND commit = (SELECT md5(text) FROM documents WHERE doc_id = 41)
+"""
+
+
+@q("scan_snapshot_bloom", _BLOOM_LOOKUP_SQL, extra=True)
+def scan_snapshot_bloom(spark, sf):
+    """Bloom-pruned reverse lookup (lakette/bloom.py, VERDICT r4 'what a
+    100 TB operator hits first'): replay the changelog into a table with
+    bloom_cols=["commit"] and small target files, then snapshot(col_eq=)
+    a single commit digest — the driver prunes files whose stored bloom
+    proves the value absent BEFORE spark.read, and the row filter makes
+    the result exact. Must equal the oracle's filtered LWW final state."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.streaming.ingest import ENTITY_SCHEMA, KEY_COLS
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_bloom_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = LaketteTable.create(
+        root, ENTITY_SCHEMA, KEY_COLS, n_buckets=8,
+        target_file_rows=64, bloom_cols=["commit"],
+    )
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="bloom",
+            epoch=i,
+        )
+    target = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") == 41)
+        .select(F.md5("text").alias("c"))
+        .collect()[0]
+        .c
+    )
+    # planning guard, not just semantics: the bloom must actually prune
+    meta = table.current_metadata()
+    kept = table._bloom_prune(meta["files"], {"commit": target})
+    assert len(kept) < len(meta["files"]), "bloom pruned nothing"
+    snap = table.snapshot(spark, col_eq={"commit": target})
+    return snap.select("repo", "path", "seq", "commit", "lang")
