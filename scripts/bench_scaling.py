@@ -40,7 +40,8 @@ def make_pyfiles_zip() -> str:
 
 def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: str,
                  epochs: int, zip_path: str, verify: str, batch_dedupe: bool,
-                 dedupe_strategy: str = "agg") -> dict:
+                 dedupe_strategy: str = "agg",
+                 expected_dir: str | None = None) -> dict:
     spark_submit_bin = shutil.which("spark-submit") or os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
     )
@@ -56,7 +57,12 @@ def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: st
         "--mode", mode,
         "--epochs", str(epochs),
         "--n-events", str(n_events),
-        "--verify", verify,
+        # with a cached oracle the TRIAL runs replay-only: sha verification
+        # happens right after in a full-parallelism subprocess (verification
+        # is not part of the measured replay_wall at any protocol version,
+        # and running a 24M-row check on the 1-core leg's JVM just burns
+        # 15+ min of wall per trial)
+        "--verify", "skip" if expected_dir else verify,
         "--dedupe-strategy", dedupe_strategy,
     ]
     if not batch_dedupe:
@@ -68,6 +74,33 @@ def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: st
             return json.loads(line[len("RESULT "):])
     sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-6000:] + "\n")
     raise RuntimeError(f"replay_job at local[{cores}] produced no RESULT line")
+
+
+def _verify_cached(run_dir: str, expected_dir: str) -> dict:
+    """sha-verify one trial's table against the cached expected state, at
+    full parallelism in its own short-lived JVM. Verification was never
+    part of the measured replay_wall; this just stops paying a 24M-row
+    single-core argmax inside every local[1] trial."""
+    code = (
+        "import sys, json, os; sys.path.insert(0, sys.argv[1])\n"
+        "from forklift_spark.session import get_spark\n"
+        "from forklift_spark.lakette.table import LaketteTable\n"
+        "from forklift_spark.streaming.ingest import verify_state\n"
+        "spark = get_spark(app_name='fk-verify', cores=os.cpu_count() or 8,\n"
+        "                  shuffle_partitions=64, driver_memory='24g')\n"
+        "table = LaketteTable(os.path.join(sys.argv[2], 'table'))\n"
+        "exp = spark.read.parquet(sys.argv[3])\n"
+        "v = verify_state(spark, table, exp)\n"
+        "print('VERIFY ' + json.dumps({'sha_exact': v['ok'], 'final_rows': v['total']}))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code, REPO, run_dir, expected_dir],
+        check=True, capture_output=True, text=True, cwd=REPO,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("VERIFY "):
+            return json.loads(line[len("VERIFY "):])
+    raise RuntimeError("cached verify produced no VERIFY line")
 
 
 def write_report(lo: dict, hi: dict, n_events: int, mode: str, out_path: str,
@@ -178,7 +211,15 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/fk_scale")
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--content-tokens", type=int, default=96)
-    ap.add_argument("--verify", default="spark", choices=["spark", "pandas", "skip"])
+    ap.add_argument("--verify", default="spark",
+                    choices=["spark", "cached", "pandas", "skip"],
+                    help="'cached' computes the expected-state oracle ONCE "
+                         "at full parallelism and every trial verifies "
+                         "against the saved parquet — protocol-neutral "
+                         "(replay_wall is measured before verification and "
+                         "sha_exact is still asserted per trial) but it "
+                         "stops paying the 24M-row single-core argmax "
+                         "inside every local[1] trial")
     ap.add_argument("--trials", type=int, default=1,
                     help="run each parallelism level N times and score the best "
                          "trial (host-steal on this shared VM only ever slows a "
@@ -200,16 +241,45 @@ def main() -> None:
         check=True, cwd=REPO,
     )
 
+    expected_dir = None
+    if args.verify == "cached":
+        expected_dir = os.path.join(args.workdir, f"expected-{args.n_events}")
+        if not os.path.isdir(expected_dir):
+            # in a SUBPROCESS so the JVM dies with it: spark.stop() alone
+            # leaves the py4j JVM attached to this long-lived parent,
+            # idling-hot next to every timed trial
+            code = (
+                "import sys; sys.path.insert(0, sys.argv[1])\n"
+                "from forklift_spark.session import get_spark\n"
+                "from forklift_spark.streaming.ingest import expected_final_state_spark\n"
+                "import os\n"
+                "spark = get_spark(app_name='fk-expected', cores=os.cpu_count() or 8,\n"
+                "                  shuffle_partitions=64, driver_memory='24g')\n"
+                "expected_final_state_spark(spark, sys.argv[2]).write.mode('overwrite').parquet(sys.argv[3])\n"
+            )
+            subprocess.run(
+                [sys.executable, "-c", code, REPO, log_dir, expected_dir],
+                check=True, cwd=REPO,
+            )
+            print(f"cached expected state at {expected_dir}", flush=True)
+
     results, trials = [], {}
     for cores in args.cores:
         runs = []
         for t in range(args.trials):
             run_dir = os.path.join(args.workdir, f"run-{cores}-t{t}")
-            runs.append(
-                spark_submit(cores, log_dir, run_dir, args.n_events, args.mode,
-                             args.epochs, zip_path, args.verify, args.batch_dedupe,
-                             dedupe_strategy=args.dedupe_strategy)
-            )
+            run = spark_submit(cores, log_dir, run_dir, args.n_events, args.mode,
+                               args.epochs, zip_path, args.verify, args.batch_dedupe,
+                               dedupe_strategy=args.dedupe_strategy,
+                               expected_dir=expected_dir)
+            if expected_dir:
+                run.update(_verify_cached(run_dir, expected_dir))
+                print(f"  local[{cores}] t{t}: "
+                      f"{run['sustained_events_per_sec']:,.0f} ev/s sustained, "
+                      f"sha_exact={run['sha_exact']}", flush=True)
+                if not run["sha_exact"]:
+                    raise RuntimeError(f"trial {run_dir} is NOT sha-exact")
+            runs.append(run)
         trials[cores] = runs
         results.append(max(runs, key=lambda r: r["sustained_events_per_sec"]))
     summary = write_report(results[0], results[1], args.n_events, args.mode,

@@ -75,7 +75,14 @@ def main() -> None:
     ap.add_argument("--dedupe-strategy", default="agg", choices=["agg", "prefilter"],
                     help="prefilter = argmax-by-reference: payload bytes never "
                          "shuffle for losing rows (wide-row COW optimization)")
-    ap.add_argument("--verify", default="spark", choices=["spark", "pandas", "skip"])
+    ap.add_argument("--verify", default="spark",
+                    choices=["spark", "cached", "pandas", "skip"])
+    ap.add_argument("--expected-dir", default=None,
+                    help="with --verify cached: parquet of the pre-computed "
+                         "expected final state (bench_scaling computes it "
+                         "once at full parallelism; sha verification is "
+                         "still run per trial, just not the 24M-row oracle "
+                         "argmax on this trial's core count)")
     args = ap.parse_args()
 
     from forklift_spark.changelog import expected_final_state_chunked
@@ -144,7 +151,9 @@ def main() -> None:
         "host_steal_jiffies": (read_steal() - steal0) if steal0 >= 0 else None,
     }
     if args.verify != "skip":
-        if args.verify == "spark":
+        if args.verify == "cached":
+            exp = spark.read.parquet(args.expected_dir)
+        elif args.verify == "spark":
             exp = expected_final_state_spark(spark, args.log_dir)
         else:
             # chunk-aware: the bench log comes from generate_changelog_chunked,
