@@ -534,6 +534,53 @@ class LaketteTable:
         self.fs.put_json(self._ref_path(name), rec)
         return rec
 
+    def restore(self, version: int | None = None, *, ref: str | None = None) -> TableCommit:
+        """ROLL BACK the table head to a past version's state (Delta
+        RESTORE / Iceberg rollback analogue) — as a NEW commit, never by
+        rewinding the chain: history stays intact, the audit trail shows
+        the restore, and concurrent writers race through the ordinary CAS.
+
+        Metadata-only and instant: the old version's file entries are
+        re-committed as the next version's file set (the data files are
+        still on disk — within the vacuum retention window or pinned by a
+        ref; restoring a vacuumed version fails at metadata_at, and the
+        reliable pattern is restoring a TAG, whose files vacuum never
+        collects). The old schema is restored with the files — rows that
+        only exist in newer files are gone, which is the point.
+
+        Restoring across an online bucket rescale is rejected: old-spec
+        file entries under a replaced spec set would corrupt pruning.
+        Finish the migration (compact) first."""
+        if (version is None) == (ref is None):
+            raise ValueError("restore: pass exactly one of version= or ref=")
+        if ref is not None:
+            version = self.ref_version(ref)
+        old = self.metadata_at(int(version))
+        cur = self._raw_current()
+        if int(version) == int(cur["version"]):
+            raise ValueError("restore: already at that version")
+        if _specs(old) != _specs(cur):
+            raise ValueError(
+                "restore across a bucket rescale is not supported — the "
+                "bucket specs differ; compact() to finish the migration, "
+                "then restore"
+            )
+        replaced = {
+            (nb, b % nb) for nb in _specs(cur) for b in range(int(cur["n_buckets"]))
+        }
+        return self.commit_version(
+            new_files=[dict(f) for f in old["files"]],
+            replaced_buckets=replaced,
+            schema=T.StructType.fromJson(old["schema"]),
+            writer={
+                "query_id": "__restore__",
+                "epoch": int(version),
+                "nonce": uuid.uuid4().hex,
+            },
+            requires_dedup=bool(old.get("requires_dedup", False)),
+            base_version=int(cur["version"]),
+        )
+
     # ------------------------------------------------------------------- scan
 
     def plan_files(

@@ -75,6 +75,12 @@ def main() -> None:
     ap.add_argument("--dedupe-strategy", default="agg", choices=["agg", "prefilter"],
                     help="prefilter = argmax-by-reference: payload bytes never "
                          "shuffle for losing rows (wide-row COW optimization)")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="skip the post-replay fold-compact: the SUSTAINED "
+                         "metric (the scored basis) is computed from the "
+                         "per-epoch ingest metrics and never included the "
+                         "compact; skipping it only changes the secondary "
+                         "whole-wall figure (disclosed where used)")
     ap.add_argument("--verify", default="spark",
                     choices=["spark", "cached", "pandas", "skip"])
     ap.add_argument("--expected-dir", default=None,
@@ -126,7 +132,7 @@ def main() -> None:
         dedupe_in_batch=not args.no_batch_dedupe,
         dedupe_strategy=args.dedupe_strategy,
     )
-    if args.mode == "mor":
+    if args.mode == "mor" and not args.no_compact:
         compact(spark, table)
     wall = time.monotonic() - t0
 
