@@ -6,9 +6,12 @@ reads on both sides. Change taxonomy per logical key:
 
   old absent/tombstoned, new live            -> insert
   old live, new tombstoned                   -> delete
-  old live, new live, seq changed            -> update
-  anything else (same seq, both tombstoned,
-  tombstone for a never-visible key)         -> not emitted
+  old live, new live, physical state differs
+  on ANY scanned column (seq, content_sha,
+  and payload when full_rows)                -> update
+  anything else (identical rows, both
+  tombstoned, tombstone for a never-visible
+  key)                                       -> not emitted
 
 Emitted columns: change, key cols, seq (new side), content_sha (new side;
 NULL for deletes) — plus, with `full_rows=True`, every user payload column
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..lakette.table import META_COL_NAMES, LaketteTable
 
@@ -82,10 +86,31 @@ def diff_frames(
         ).when(o_exists & ~n_exists, F.lit("delete"))
         seq = F.coalesce(F.col("n.seq"), F.lit(0).cast("long"))
     else:
+        # update = the row's PHYSICAL state differs across every column the
+        # scan carries — not merely seq. Event-driven merges always advance
+        # seq, but predicate DML (operators/dml.py) edits rows IN PLACE with
+        # seq preserved (the LWW contract), so a seq-only classifier would
+        # silently hide DML updates from every downstream consumer. Narrow
+        # scans compare (seq, deleted, content_sha) — enough for content
+        # edits; full_rows/old_rows scans carry the payload and so compare
+        # it too, which is why derive/replicate (full-row consumers) see
+        # EVERY DML edit including non-content column fixes.
+        new_cols = set(new.columns)
+        shared = [
+            f.name for f in old.schema.fields
+            if f.name in new_cols and f.name not in key_cols
+            and f.name != "deleted"
+            # map columns (patch tables' col_seqs) are not comparable in
+            # Catalyst; their row-level seq/sha still drive classification
+            and not isinstance(f.dataType, T.MapType)
+        ]
+        phys_same = F.lit(True)
+        for c in shared:
+            phys_same = phys_same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         change = (
             F.when(~o_live & n_live, F.lit("insert"))
             .when(o_live & n_tomb, F.lit("delete"))
-            .when(o_live & n_live & (F.col("n.seq") != F.col("o.seq")), F.lit("update"))
+            .when(o_live & n_live & ~phys_same, F.lit("update"))
         )
         seq = F.col("n.seq")
 

@@ -396,7 +396,19 @@ def derive(
             continue  # a crashed previous run already landed this span
         span = snapshot_diff(spark, src, lo, hi, full_rows=True)
         events = _events_from_span(span, mapping, key_cols, predicate)
-        report.applied_epochs.append(_apply(events, hi, mode_=mode))
+        # overwrite on COW destinations: a span is AUTHORITATIVE state
+        # traffic (computed between two pinned source versions, and this
+        # deriver's markers guarantee dst sits exactly at `lo`), so rows
+        # that do NOT advance seq — predicate-DML edits (seq preserved)
+        # and restores (seq regressed) on the source — must still apply;
+        # the LWW guard would silently drop them. For event-driven spans
+        # overwrite and LWW agree (seqs always advance), so this changes
+        # nothing there. MOR destinations resolve reads by max seq and
+        # cannot express a non-advancing update — with mode='mor', source
+        # DML/restore requires a resync (or a cow destination, the default).
+        report.applied_epochs.append(
+            _apply(events, hi, mode_=mode, overwrite=(mode == "cow"))
+        )
     return report
 
 

@@ -233,7 +233,17 @@ def replicate(
             c for c in diff.columns
             if c not in ("change", "seq", "content_sha") and c not in key_cols
         ]
+        # overwrite on COW destinations: spans are authoritative state
+        # traffic, and source rows whose seq did NOT advance — predicate
+        # DML (seq preserved) and restore (seq regressed) — must still
+        # land; the LWW guard would silently drop them (derive() has the
+        # full rationale). Event-driven spans are unaffected (seqs always
+        # advance). MOR destinations cannot express non-advancing updates:
+        # with mode='mor', source DML/restore requires resync().
         report.applied_epochs.append(
-            _apply(_events_from_diff(diff, span_payload, key_cols), hi, mode_=mode)
+            _apply(
+                _events_from_diff(diff, span_payload, key_cols), hi,
+                mode_=mode, overwrite=(mode == "cow"),
+            )
         )
     return report

@@ -1,0 +1,98 @@
+"""Out-of-band writes (predicate DML, restore) flow through the CDC-out
+and derived-table surfaces: snapshot_diff emits their row-level effects
+like any commit's (diffs are state-based, so HOW a version was produced
+is invisible), and derive() propagates them downstream sha-exact."""
+
+from pyspark.sql import functions as F
+
+from forklift_spark.lakette.table import LaketteTable
+from forklift_spark.operators.changes import snapshot_diff
+from forklift_spark.operators.derive import derive, derived_state_recompute
+from forklift_spark.operators.dml import delete_where, update_where
+from forklift_spark.operators.merge import merge_into
+from forklift_spark.streaming.ingest import create_entity_table
+
+_DDL = (
+    "op string, seq long, repo string, path string, commit string, "
+    "lang string, content string, event_ts timestamp, schema_v int"
+)
+
+MAPPING = {"lang": "lang", "content": "upper(content)", "n_chars": "length(content)"}
+
+
+def _ev(op, seq, path, lang="py", content="body"):
+    return (op, seq, "r", path, f"c{seq}", lang, content, None, 1)
+
+
+def _apply(spark, table, rows, epoch):
+    merge_into(spark, table, spark.createDataFrame(rows, _DDL),
+               query_id="src", epoch=epoch)
+
+
+def _state(spark, table_or_df):
+    df = (
+        table_or_df.snapshot(spark)
+        if isinstance(table_or_df, LaketteTable)
+        else table_or_df
+    )
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_dml_emits_row_level_changes(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, [
+        _ev("I", 1, "a", lang="de"), _ev("I", 2, "b", lang="py"),
+        _ev("I", 3, "c", lang="fr", content="salut"),
+    ], 0)
+    v_pre = table.current_metadata()["version"]
+
+    delete_where(spark, table, "lang = 'de'")
+    update_where(spark, table, {"content": "content || '!'"}, "lang = 'fr'")
+
+    diff = snapshot_diff(spark, table, v_pre, table.current_metadata()["version"])
+    changes = {(r.change, r.path) for r in diff.collect()}
+    # exactly the DML's effects — untouched rows emit nothing
+    assert changes == {("delete", "a"), ("update", "c")}
+
+
+def test_derive_propagates_dml_and_restore(spark, tmp_path):
+    """bronze -> silver across a span containing DML and a restore: the
+    derived table must converge to transform(final source) sha-exact —
+    out-of-band corrections need no special handling downstream because
+    spans are state diffs."""
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=4)
+    _apply(spark, src, [
+        _ev("I", i, f"f{i}", lang=["py", "js", "md"][i % 3], content=f"body {i}")
+        for i in range(12)
+    ], 0)
+    dst_root = str(tmp_path / "dst")
+    derive(spark, src, dst_root, MAPPING, predicate="lang <> 'md'", derive_id="d")
+    v_tag = src.current_metadata()["version"]
+    src.create_ref("pre-dml", kind="tag")
+
+    # out-of-band corrections on the source
+    delete_where(spark, src, "lang = 'js'")
+    update_where(spark, src, {"content": "content || ' v2'"}, "lang = 'py'")
+    derive(spark, src, dst_root, MAPPING, predicate="lang <> 'md'", derive_id="d")
+    dst = LaketteTable(dst_root)
+    assert _state(spark, dst) == _state(
+        spark,
+        derived_state_recompute(spark, src, MAPPING, predicate="lang <> 'md'"),
+    )
+    # the deleted js rows are gone downstream, updated py rows carry ' V2'
+    got = dst.snapshot(spark)
+    assert got.filter("lang = 'js'").count() == 0
+    assert got.filter("lang = 'py'").count() > 0
+    assert got.filter("lang = 'py' AND content NOT LIKE '% V2'").count() == 0
+
+    # roll the source back; the next derive must converge to the restored
+    # state (the span diff simply inverts the DML's effects)
+    src.restore(ref="pre-dml")
+    derive(spark, src, dst_root, MAPPING, predicate="lang <> 'md'", derive_id="d")
+    assert _state(spark, dst) == _state(
+        spark,
+        derived_state_recompute(spark, src, MAPPING, predicate="lang <> 'md'"),
+    )
+    assert dst.snapshot(spark).filter("lang = 'js'").count() > 0  # resurrected
+    assert src.current_metadata()["version"] > v_tag  # restore moved FORWARD
