@@ -143,6 +143,7 @@ class LaketteTable:
         stats_cols: list[str] | None = None,
         column_lww: bool = False,
         bloom_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> "LaketteTable":
         t = cls(root, storage=storage)
         for d in (
@@ -177,6 +178,14 @@ class LaketteTable:
             # always recorded regardless.
             "stats_cols": list(stats_cols or []),
             "bloom_cols": list(bloom_cols or []),
+            # Iceberg sort-order analogue: compact() clusters base files
+            # by these columns (then key cols as tie-break) instead of the
+            # default key sort, making their per-file cstats ranges TIGHT
+            # so snapshot(col_ranges=) pruning bites on non-key scans.
+            # Applied at COMPACT time only — ingest-path writes stay
+            # key-sorted (clustering is a read optimization; paying a
+            # non-key sort on the hot merge path would tax every epoch).
+            "cluster_by": list(cluster_by or []),
             # partial-update semantics (op='P' patch events, per-column
             # LWW): rows carry per-column writer seqs in `col_seqs`;
             # merges resolve column-by-column. COW-only in v1.

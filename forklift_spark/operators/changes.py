@@ -39,6 +39,7 @@ def diff_frames(
     full_rows: bool = False,
     old_rows: bool = False,
     repair: bool = False,
+    old_seq: bool = False,
 ) -> DataFrame:
     """Row-level change set turning `old` into `new` — the join core shared
     by snapshot_diff (two versions of one table) and replicate's resync
@@ -138,6 +139,13 @@ def diff_frames(
             for c in (payload_cols or [])
         ]
     cols.append(seq.alias("seq"))
+    if old_seq:
+        # the PRE-span seq (NULL where the key was absent) — free (seq is
+        # always scanned) and what lets MOR-destination span consumers
+        # detect non-seq-advancing changes they cannot express (derive/
+        # replicate raise loudly instead of letting the LWW read resolve
+        # an arbitrary same-seq tie)
+        cols.append(F.col("o.seq").alias("_old_seq"))
     cols.append(F.when(n_live, F.col("n.content_sha")).alias("content_sha"))
     return j.select(*cols).filter(F.col("change").isNotNull())
 
@@ -207,6 +215,7 @@ def snapshot_diff(
     changed_buckets_only: bool = True,
     full_rows: bool = False,
     old_rows: bool = False,
+    old_seq: bool = False,
 ) -> DataFrame:
     """Changes that turn snapshot@from_version into snapshot@to_version.
     `full_rows=True` adds every user payload column (new side), making the
@@ -274,5 +283,6 @@ def snapshot_diff(
         columns=None if full_rows else [],
     )
     return diff_frames(
-        old, new, key_cols, payload_cols, full_rows=full_rows, old_rows=old_rows
+        old, new, key_cols, payload_cols,
+        full_rows=full_rows, old_rows=old_rows, old_seq=old_seq,
     )

@@ -197,10 +197,19 @@ def _events_from_span(
     mapping: MappingSpec,
     key_cols: list[str],
     predicate: Column | str | None,
+    *,
+    mor_guard: bool = False,
 ) -> DataFrame:
     """Span change set -> merge envelope under the derive semantics table
     (module docstring). One Catalyst projection; D rows carry NULL payload
-    (tombstones store no payload)."""
+    (tombstones store no payload).
+
+    `mor_guard=True` (the span must carry `_old_seq`) raises INSIDE the
+    merge job — zero extra Spark jobs — on any row whose seq did not
+    advance past the pre-span seq: a MOR destination resolves reads by
+    max(seq), so a non-advancing change (source predicate DML preserves
+    seq; restore regresses it) would either be silently lost or decay to
+    an arbitrary same-seq tie. Loud beats either."""
     from ..functions.mapping import _compile_entry
 
     live = F.col("change").isin("insert", "update")
@@ -218,7 +227,32 @@ def _events_from_span(
             .alias(name)
             for (name, entry), fld in zip(payload.items(), mapped.schema.fields)
         ],
-        F.col("seq"),
+        _guarded_seq(key_cols) if mor_guard else F.col("seq"),
+    )
+
+
+def _guarded_seq(key_cols: list[str]) -> Column:
+    """seq column that raises on a non-seq-advancing span row (requires
+    `_old_seq` from diff_frames(old_seq=True)); see _events_from_span."""
+    non_advancing = F.col("_old_seq").isNotNull() & (
+        F.col("seq") <= F.col("_old_seq")
+    )
+    msg = F.concat_ws(
+        "",
+        F.lit("mor destination cannot express a non-seq-advancing source "
+              "change (predicate DML preserves seq; restore regresses it): "
+              "key=("),
+        F.concat_ws(",", *[F.col(k).cast("string") for k in key_cols]),
+        F.lit(") seq "),
+        F.col("seq").cast("string"),
+        F.lit(" <= prior "),
+        F.col("_old_seq").cast("string"),
+        F.lit(" — use a cow destination or resync"),
+    )
+    return (
+        F.when(non_advancing, F.raise_error(msg).cast("long"))
+        .otherwise(F.col("seq"))
+        .alias("seq")
     )
 
 
@@ -394,8 +428,12 @@ def derive(
     for lo, hi in spans:
         if dst.epoch_committed(qid, hi):
             continue  # a crashed previous run already landed this span
-        span = snapshot_diff(spark, src, lo, hi, full_rows=True)
-        events = _events_from_span(span, mapping, key_cols, predicate)
+        span = snapshot_diff(
+            spark, src, lo, hi, full_rows=True, old_seq=(mode == "mor")
+        )
+        events = _events_from_span(
+            span, mapping, key_cols, predicate, mor_guard=(mode == "mor")
+        )
         # overwrite on COW destinations: a span is AUTHORITATIVE state
         # traffic (computed between two pinned source versions, and this
         # deriver's markers guarantee dst sits exactly at `lo`), so rows
@@ -404,8 +442,9 @@ def derive(
         # the LWW guard would silently drop them. For event-driven spans
         # overwrite and LWW agree (seqs always advance), so this changes
         # nothing there. MOR destinations resolve reads by max seq and
-        # cannot express a non-advancing update — with mode='mor', source
-        # DML/restore requires a resync (or a cow destination, the default).
+        # cannot express a non-advancing update — with mode='mor', such a
+        # row raises INSIDE the merge job (_guarded_seq): resync or a cow
+        # destination is the remedy, never an arbitrary same-seq tie.
         report.applied_epochs.append(
             _apply(events, hi, mode_=mode, overwrite=(mode == "cow"))
         )

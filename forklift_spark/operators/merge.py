@@ -793,6 +793,7 @@ def compact(
     drop_tombstones_below: int | None = None,
     n_buckets: int | None = None,
     buckets: list[int] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """C8 — fold merge-on-read deltas into compacted base files (and bin-pack
     small files). Tombstones are kept by default: they are what makes the
@@ -820,7 +821,21 @@ def compact(
     periodic compact(n_buckets=4*B) re-spreads the keys. Safe because the
     bucket of a key is recomputed from metadata everywhere, never stored
     in row data; one atomic metadata swap flips the whole table over.
-    Re-bucketing is necessarily a full rewrite, so it rejects `buckets`."""
+    Re-bucketing is necessarily a full rewrite, so it rejects `buckets`.
+
+    `cluster_by` (default: the table's declared `cluster_by` metadata, set
+    at create) is the Iceberg sort-order analogue: compacted base files are
+    sorted by these NON-KEY columns first (key cols as tie-break) instead
+    of the plain key sort, so each file covers a narrow slice of the
+    cluster columns' domains and its per-file cstats ranges become TIGHT —
+    that is what makes snapshot(col_ranges=) pruning bite on non-key scans
+    (key-sorted files span the whole domain of every other column, so
+    their cstats prune nothing). The cluster columns' cstats are always
+    recorded for the written files, whether or not the table lists them in
+    stats_cols. Clustering rides the same bucket repartition the writer
+    already does — zero extra exchanges; the trade is kmin/kmax key-range
+    tightness inside each file, which bucket hashing already handles.
+    Pass `cluster_by=[]` to override a table default back to key sort."""
     # raw metadata + maintained per-bucket stats: an INCREMENTAL compact
     # (buckets=[...]) plans and commits with zero un-touched manifest shard
     # loads; even the full path derives its replaced set and file counts
@@ -853,9 +868,25 @@ def compact(
         snap = snap.filter(~(tomb & (F.col("seq") < F.lit(int(drop_tombstones_below)))))
     merged = snap.withColumn("_bucket", table.bucket_expr(n_buckets=out_buckets))
     snapshot_id = meta["snapshot_id"] + 1
-    # partition-local key sort (O2) inside the writer: compacted base files
-    # are the read-optimized artifact — clustering rows by key improves
-    # parquet compression and row-group locality at no extra exchange
+    # partition-local sort (O2) inside the writer: compacted base files are
+    # the read-optimized artifact. Default = key sort (compression +
+    # row-group locality); with clustering, the declared cluster columns
+    # lead the sort so their cstats become tight (docstring). Either way
+    # the sort rides the bucket repartition — no extra exchange.
+    cluster = list(
+        cluster_by if cluster_by is not None else meta.get("cluster_by") or []
+    )
+    if cluster:
+        fields = {f["name"] for f in meta["schema"]["fields"]}
+        bad = [c for c in cluster if c not in fields]
+        if bad:
+            raise ValueError(f"cluster_by columns not in schema: {bad}")
+        overlap = [c for c in cluster if c in meta["key_cols"]]
+        if overlap:
+            raise ValueError(
+                f"cluster_by must be NON-key columns (keys are already the "
+                f"default sort): {overlap}"
+            )
     new_files = _write_datafiles(
         merged,
         root=table.root,
@@ -863,9 +894,11 @@ def compact(
         delta=False,
         n_partitions=out_buckets if target is None else len(target),
         key_col=meta["key_cols"][0],
-        sort_cols=meta["key_cols"],
+        sort_cols=[*cluster, *meta["key_cols"]],
         max_rows_per_file=meta.get("target_file_rows"),
-        stats_cols=meta.get("stats_cols"),
+        # cluster columns' cstats are what makes the layout useful — record
+        # them even when the table's stats_cols doesn't list them
+        stats_cols=sorted({*(meta.get("stats_cols") or []), *cluster}),
         bloom_cols=meta.get("bloom_cols"),
     )
     n0 = _specs(meta)[0]

@@ -108,13 +108,25 @@ def _events_from_state(df: DataFrame, payload_cols: list[str], key_cols) -> Data
     )
 
 
-def _events_from_diff(diff: DataFrame, payload_cols: list[str], key_cols) -> DataFrame:
+def _events_from_diff(
+    diff: DataFrame,
+    payload_cols: list[str],
+    key_cols,
+    *,
+    mor_guard: bool = False,
+) -> DataFrame:
+    """`mor_guard=True` (diff must carry `_old_seq`) raises inside the
+    merge job on any non-seq-advancing row — a MOR destination resolves by
+    max(seq) and cannot express one; see derive._guarded_seq."""
+    from .derive import _guarded_seq
+
     op = (
         F.when(F.col("change") == "insert", F.lit("I"))
         .when(F.col("change") == "update", F.lit("U"))
         .otherwise(F.lit("D"))
     )
-    return diff.select(op.alias("op"), *key_cols, *payload_cols, F.col("seq"))
+    seq = _guarded_seq(list(key_cols)) if mor_guard else F.col("seq")
+    return diff.select(op.alias("op"), *key_cols, *payload_cols, seq)
 
 
 def replicate(
@@ -226,12 +238,15 @@ def replicate(
     for lo, hi in spans:
         if dst.epoch_committed(replication_id, hi):
             continue  # a crashed previous run already landed this span
-        diff = snapshot_diff(spark, src, lo, hi, full_rows=True)
+        diff = snapshot_diff(
+            spark, src, lo, hi, full_rows=True, old_seq=(mode == "mor")
+        )
         # the span's diff is emitted under metadata_at(hi)'s schema, which
         # may predate later source evolutions — select what it carries
         span_payload = [
             c for c in diff.columns
-            if c not in ("change", "seq", "content_sha") and c not in key_cols
+            if c not in ("change", "seq", "content_sha", "_old_seq")
+            and c not in key_cols
         ]
         # overwrite on COW destinations: spans are authoritative state
         # traffic, and source rows whose seq did NOT advance — predicate
@@ -239,11 +254,15 @@ def replicate(
         # land; the LWW guard would silently drop them (derive() has the
         # full rationale). Event-driven spans are unaffected (seqs always
         # advance). MOR destinations cannot express non-advancing updates:
-        # with mode='mor', source DML/restore requires resync().
+        # with mode='mor', such a row raises INSIDE the merge job
+        # (derive._guarded_seq) — resync() or a cow destination is the
+        # remedy, never an arbitrary same-seq tie.
         report.applied_epochs.append(
             _apply(
-                _events_from_diff(diff, span_payload, key_cols), hi,
-                mode_=mode, overwrite=(mode == "cow"),
+                _events_from_diff(
+                    diff, span_payload, key_cols, mor_guard=(mode == "mor")
+                ),
+                hi, mode_=mode, overwrite=(mode == "cow"),
             )
         )
     return report

@@ -669,3 +669,76 @@ def scan_snapshot_bloom(spark, sf):
     assert len(kept) < len(meta["files"]), "bloom pruned nothing"
     snap = table.snapshot(spark, col_eq={"commit": target})
     return snap.select("repo", "path", "seq", "commit", "lang")
+
+
+#: final LWW state restricted to a lang range — what a clustered layout
+#: answers while scanning only the files whose cstats cover the range
+_CLUSTERED_SCAN_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         md5(text) AS commit, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         md5(text || ' v2'), lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, commit, lang
+FROM ranked
+WHERE rn = 1 AND op <> 'D' AND lang BETWEEN 'de' AND 'es'
+"""
+
+
+@q("scan_clustered", _CLUSTERED_SCAN_SQL, extra=True)
+def scan_clustered(spark, sf):
+    """Clustered-layout range scan (compact(cluster_by=), the Iceberg
+    sort-order analogue): replay the changelog into a table declared
+    cluster_by=["lang"] with small target files, compact (which sorts each
+    bucket's files by lang so their per-file cstats become tight), then
+    snapshot(col_ranges=) a lang range — the planner prunes files whose
+    recorded [min,max] misses the range BEFORE spark.read, and the row
+    filter makes the result exact. A key-sorted layout records the same
+    cstats but every file spans the whole lang domain, pruning nothing —
+    the prune-effectiveness assert below is the point of the layout."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.operators.merge import compact
+    from forklift_spark.streaming.ingest import ENTITY_SCHEMA, KEY_COLS
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_clus_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = LaketteTable.create(
+        root, ENTITY_SCHEMA, KEY_COLS, n_buckets=8,
+        target_file_rows=64, cluster_by=["lang"],
+    )
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="clus",
+            epoch=i,
+        )
+    compact(spark, table)  # applies the declared cluster order
+    lo, hi = "de", "es"
+    meta = table.current_metadata()
+    survivors = [
+        f for f in meta["files"]
+        if not (
+            (rng := (f.get("cstats") or {}).get("lang")) is not None
+            and rng[0] is not None and (rng[1] < lo or rng[0] > hi)
+        )
+    ]
+    # planning guard, not just semantics: the layout must actually prune
+    assert len(survivors) < len(meta["files"]), "clustering pruned nothing"
+    snap = table.snapshot(spark, col_ranges={"lang": (lo, hi)})
+    return snap.select("repo", "path", "seq", "commit", "lang")

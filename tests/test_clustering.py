@@ -1,0 +1,111 @@
+"""compact(cluster_by=): the Iceberg sort-order analogue. Key-sorted base
+files span the whole domain of every NON-key column, so their per-file
+cstats prune nothing on non-key scans; clustering the compaction sort by a
+declared column makes those ranges tight and snapshot(col_ranges=) pruning
+effective — with results byte-identical either way (pruning is planning,
+the row filter is what makes the scan exact)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.merge import compact, merge_into
+from forklift_spark.streaming.ingest import create_entity_table
+
+_DDL = (
+    "op string, seq long, repo string, path string, commit string, "
+    "lang string, content string, event_ts timestamp, schema_v int"
+)
+
+LANGS = ["c", "go", "java", "js", "md", "py", "rs", "ts"]
+
+
+def _seed(spark, table, n=160):
+    # langs uniformly interleaved across keys: every key-sorted file sees
+    # (almost) the full lang domain — worst case for cstats pruning
+    rows = [
+        ("I", i, "r", f"p{i:04d}", f"sha{i}", LANGS[i % len(LANGS)], f"b{i}", None, 1)
+        for i in range(1, n + 1)
+    ]
+    merge_into(spark, table, spark.createDataFrame(rows, _DDL),
+               query_id="seed", epoch=0)
+
+
+def _range_survivors(table, col, lo, hi):
+    """Files a col_ranges scan would read — the same conservative cstats
+    overlap test snapshot() plans with (missing stats => kept)."""
+    kept = []
+    for f in table.current_metadata()["files"]:
+        rng = (f.get("cstats") or {}).get(col)
+        if rng is not None and rng[0] is not None and (rng[1] < lo or rng[0] > hi):
+            continue
+        kept.append(f)
+    return kept
+
+
+def _state(spark, table):
+    df = table.snapshot(spark)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_clustering_tightens_cstats_and_stays_exact(spark, tmp_path):
+    table = create_entity_table(
+        str(tmp_path / "t"), n_buckets=4, target_file_rows=10
+    )
+    _seed(spark, table)
+    before_state = _state(spark, table)
+    compact(spark, table)  # key-sorted baseline layout, multiple files/bucket
+    n_files = len(table.current_metadata()["files"])
+    assert n_files > 8
+    # key sort leaves lang cstats wide-open: a lang point scan reads
+    # (nearly) everything, whether or not lang is in stats_cols
+    baseline = _range_survivors(table, "lang", "py", "py")
+    assert len(baseline) > n_files // 2
+
+    compact(spark, table, cluster_by=["lang"])
+    meta = table.current_metadata()
+    assert all((f.get("cstats") or {}).get("lang") for f in meta["files"])
+    clustered = _range_survivors(table, "lang", "py", "py")
+    # the planning decision: strictly fewer files for the same predicate
+    assert 0 < len(clustered) < len(baseline)
+    # and well-targeted: survivors' ranges actually cover 'py'
+    assert all(
+        f["cstats"]["lang"][0] <= "py" <= f["cstats"]["lang"][1]
+        for f in clustered
+    )
+
+    # exactness: clustered layout returns the identical table state, and
+    # the pruned scan equals the plain filter
+    assert _state(spark, table) == before_state
+    got = table.snapshot(spark, col_ranges={"lang": ("py", "py")})
+    want = table.snapshot(spark).filter(F.col("lang") == "py")
+    assert sorted(r.path for r in got.collect()) == sorted(
+        r.path for r in want.collect()
+    )
+
+
+def test_declared_cluster_by_is_the_compaction_default(spark, tmp_path):
+    table = create_entity_table(
+        str(tmp_path / "t"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang"],
+    )
+    _seed(spark, table, n=80)
+    compact(spark, table)  # no argument: the declared order applies
+    meta = table.current_metadata()
+    assert meta["cluster_by"] == ["lang"]
+    survivors = _range_survivors(table, "lang", "md", "md")
+    assert 0 < len(survivors) < len(meta["files"])
+    # explicit override back to plain key sort: lang stats not recorded
+    # (lang is not in stats_cols) -> every file conservatively kept
+    compact(spark, table, cluster_by=[])
+    assert len(_range_survivors(table, "lang", "md", "md")) == len(
+        table.current_metadata()["files"]
+    )
+
+
+def test_cluster_by_guards(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, table, n=8)
+    with pytest.raises(ValueError, match="not in schema"):
+        compact(spark, table, cluster_by=["nope"])
+    with pytest.raises(ValueError, match="NON-key"):
+        compact(spark, table, cluster_by=["repo"])

@@ -96,3 +96,39 @@ def test_derive_propagates_dml_and_restore(spark, tmp_path):
     )
     assert dst.snapshot(spark).filter("lang = 'js'").count() > 0  # resurrected
     assert src.current_metadata()["version"] > v_tag  # restore moved FORWARD
+
+def test_mor_destination_raises_on_non_advancing_span(spark, tmp_path):
+    """A MOR destination resolves reads by max(seq) and cannot express a
+    non-seq-advancing change — the span application must raise LOUDLY
+    (inside the merge job, zero extra jobs), never resolve an arbitrary
+    same-seq tie or silently drop the row."""
+    import pytest
+
+    from forklift_spark.operators.replicate import replicate
+
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=4)
+    _apply(spark, src, [_ev("I", i, f"f{i}") for i in range(6)], 0)
+
+    # normal event traffic flows into MOR destinations fine
+    d_root = str(tmp_path / "d_mor")
+    derive(spark, src, d_root, MAPPING, derive_id="d", mode="mor")
+    r_root = str(tmp_path / "r_mor")
+    replicate(spark, src, r_root, replication_id="r", mode="mor")
+    _apply(spark, src, [_ev("U", 10, "f0", content="edit")], 1)
+    derive(spark, src, d_root, MAPPING, derive_id="d", mode="mor")
+    replicate(spark, src, r_root, replication_id="r", mode="mor")
+    assert _state(spark, LaketteTable(r_root)) == _state(spark, src)
+
+    # predicate DML preserves seq -> the next MOR span must raise
+    update_where(spark, src, {"content": "content || '!'"}, "path = 'f1'")
+    with pytest.raises(Exception, match="non-seq-advancing"):
+        derive(spark, src, d_root, MAPPING, derive_id="d", mode="mor")
+    with pytest.raises(Exception, match="non-seq-advancing"):
+        replicate(spark, src, r_root, replication_id="r", mode="mor")
+
+    # cow destinations absorb the same span (the documented remedy)
+    c_root = str(tmp_path / "d_cow")
+    derive(spark, src, c_root, MAPPING, derive_id="c", mode="cow")
+    assert _state(spark, LaketteTable(c_root)) == _state(
+        spark, derived_state_recompute(spark, src, MAPPING)
+    )
