@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -144,6 +145,7 @@ class LaketteTable:
         column_lww: bool = False,
         bloom_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        cluster_mode: str = "linear",
     ) -> "LaketteTable":
         t = cls(root, storage=storage)
         for d in (
@@ -185,7 +187,11 @@ class LaketteTable:
             # Applied at COMPACT time only — ingest-path writes stay
             # key-sorted (clustering is a read optimization; paying a
             # non-key sort on the hot merge path would tax every epoch).
+            # cluster_mode "linear" = lexicographic (first column's cstats
+            # tight); "zorder" = Morton interleave of per-bucket ranks
+            # (EVERY cluster column's cstats tight — multi-dimension scans).
             "cluster_by": list(cluster_by or []),
+            "cluster_mode": cluster_mode,
             # partial-update semantics (op='P' patch events, per-column
             # LWW): rows carry per-column writer seqs in `col_seqs`;
             # merges resolve column-by-column. COW-only in v1.
@@ -204,6 +210,7 @@ class LaketteTable:
             "touched_nb": n_buckets,  # spec the touched ids are expressed in
             "writer": None,  # {"query_id": str, "epoch": int} of the committing merge
             "parent_version": None,
+            "committed_at": time.time(),  # informational (history_df)
         }
         # exclusive create: two processes racing to create the same table
         # root must not silently reset each other (open_or_create's
@@ -457,6 +464,145 @@ class LaketteTable:
         underlying DataFrame."""
         df = self.snapshot(spark, version=version, **snapshot_kwargs)
         df.createOrReplaceTempView(name)
+        return df
+
+    # ------------------------------------------------------- metadata tables
+
+    def files_df(
+        self,
+        spark: SparkSession,
+        *,
+        version: int | None = None,
+        ref: str | None = None,
+        view: str | None = None,
+    ) -> DataFrame:
+        """The Iceberg `table.files` metadata-table analogue: one row per
+        live data file of the (optionally time-travelled) snapshot —
+        (path, bucket, nb, delta, rows, kmin, kmax, smax) plus the per-file
+        column-stats map as a JSON string (`cstats_json`; blooms are
+        intentionally omitted — kilobyte blobs with no analytical value).
+
+        Scale posture: the driver touches only the version file's manifest
+        REFS (O(buckets)); the shards themselves are parsed by EXECUTORS
+        via spark.read.json — a metadata query over a 10^7-file table is a
+        distributed scan of immutable JSON shards, never a driver
+        materialization. Legacy lakette/1 tables (inline file list) fall
+        back to createDataFrame of that list — bounded by their own
+        pre-shard size. `view=` additionally registers the result as a
+        temp view (plan pinned at registration, like
+        create_or_replace_view)."""
+        if ref is not None:
+            version = self.ref_version(ref)
+        meta = (
+            self._raw_current() if version is None
+            else self._raw_metadata_at(int(version))
+        )
+        n0 = _specs(meta)[0]
+        entry = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("nb", T.IntegerType()),
+            T.StructField("delta", T.BooleanType()),
+            T.StructField("rows", T.LongType()),
+            T.StructField("kmin", T.StringType()),
+            T.StructField("kmax", T.StringType()),
+            T.StructField("smax", T.LongType()),
+            # values are [min, max] typed per column (string vs numeric) in
+            # the shards; parsed as strings here — the stable surface is
+            # the JSON text, callers from_json what they need
+            T.StructField(
+                "cstats", T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+            ),
+        ])
+        if "files" in meta:  # legacy inline list — already materialized
+            rows = [
+                {
+                    **{k: f.get(k) for k in
+                       ("path", "bucket", "rows", "kmin", "kmax", "smax")},
+                    "nb": f.get("nb", n0),
+                    "delta": bool(f.get("delta", False)),
+                    "cstats": {
+                        c: [None if x is None else str(x) for x in v]
+                        for c, v in (f.get("cstats") or {}).items()
+                    },
+                }
+                for f in meta["files"]
+            ]
+            df = spark.createDataFrame(rows, T.StructType(entry.fields))
+        else:
+            shard = T.StructType([
+                T.StructField("nb", T.IntegerType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("files", T.ArrayType(entry)),
+            ])
+            paths = [
+                os.path.join(self.root, rel)
+                for _, rel in sorted(meta.get("manifests", {}).items())
+            ]
+            if not paths:
+                return spark.createDataFrame([], entry)
+            df = (
+                spark.read.schema(shard).json(paths)
+                .select(F.explode("files").alias("f"), F.col("nb").alias("_snb"))
+                .select(
+                    "f.path",
+                    "f.bucket",
+                    F.coalesce("f.nb", "_snb").alias("nb"),
+                    F.coalesce("f.delta", F.lit(False)).alias("delta"),
+                    "f.rows", "f.kmin", "f.kmax", "f.smax", "f.cstats",
+                )
+            )
+        df = df.withColumn(
+            "cstats_json",
+            F.when(F.col("cstats").isNotNull(), F.to_json("cstats")),
+        ).drop("cstats")
+        if view:
+            df.createOrReplaceTempView(view)
+        return df
+
+    def history_df(
+        self, spark: SparkSession, *, view: str | None = None
+    ) -> DataFrame:
+        """The Iceberg `table.history`/`table.snapshots` analogue: one row
+        per RETAINED committed version — (version, snapshot_id,
+        parent_version, committed_at, writer_query_id, writer_epoch,
+        n_buckets, total_files, total_rows, total_delta_files). Versions
+        already vacuumed are absent by definition; `committed_at` is the
+        informational wall-clock stamp (NULL on pre-stamp versions).
+        Driver cost is one listdir of metadata/ (O(retained versions),
+        bounded by vacuum retention); parsing happens in executors."""
+        pat = re.compile(r"^v(\d+)\.json$")
+        paths = [
+            os.path.join(self.meta_dir, fn)
+            for fn in sorted(self.fs.listdir(self.meta_dir))
+            if pat.match(fn)
+        ]
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("snapshot_id", T.LongType()),
+            T.StructField("parent_version", T.LongType()),
+            T.StructField("committed_at", T.DoubleType()),
+            T.StructField("writer", T.StructType([
+                T.StructField("query_id", T.StringType()),
+                T.StructField("epoch", T.LongType()),
+            ])),
+            T.StructField("n_buckets", T.IntegerType()),
+            T.StructField("total_files", T.LongType()),
+            T.StructField("total_rows", T.LongType()),
+            T.StructField("total_delta_files", T.LongType()),
+        ])
+        df = (
+            spark.read.schema(schema).json(paths)
+            .select(
+                "version", "snapshot_id", "parent_version", "committed_at",
+                F.col("writer.query_id").alias("writer_query_id"),
+                F.col("writer.epoch").alias("writer_epoch"),
+                "n_buckets", "total_files", "total_rows", "total_delta_files",
+            )
+            .orderBy("version")
+        )
+        if view:
+            df.createOrReplaceTempView(view)
         return df
 
     # ------------------------------------------------------------------- refs
@@ -1192,6 +1338,10 @@ class LaketteTable:
                 requires_dedup if requires_dedup is not None else total_delta > 0
             )
             new_meta["writer"] = writer
+            # wall-clock commit stamp (history_df / audit surface) —
+            # informational only: ordering and correctness ride the version
+            # chain, never this clock
+            new_meta["committed_at"] = time.time()
             name = f"v{new_meta['version']}.json"
             path = os.path.join(self.meta_dir, name)
             # exclusive=True is the CAS: a racing commit of the same version

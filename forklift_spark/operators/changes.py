@@ -23,6 +23,9 @@ default)."""
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -204,6 +207,128 @@ def follow_changes(
         if deadline is not None and _time.monotonic() >= deadline:
             return
         _time.sleep(poll_interval)
+
+
+def export_changes(
+    spark: SparkSession,
+    table: LaketteTable,
+    out_root: str,
+    *,
+    export_id: str = "export",
+    from_version: int | None = None,
+    every_version: bool = False,
+    full_rows: bool = False,
+    storage=None,
+) -> dict:
+    """CDC-out SINK: materialize committed change spans as parquet
+    directories an EXTERNAL consumer (another warehouse, a search indexer,
+    a downstream team without this engine) can tail — the file-drop
+    counterpart of follow_changes' in-process generator.
+
+    Layout under `out_root`:
+      spans/v{lo:09d}-v{hi:09d}/*.parquet   the span's change set
+      _spans/{export_id}-v{lo:09d}-v{hi:09d}.json   commit marker
+
+    Exactly-once for consumers BY CONTRACT: a span directory is valid iff
+    its marker exists — data is written first (mode="overwrite", so a
+    crashed attempt's partial files are replaced wholesale on retry), the
+    marker last, and a marker'd span is never rewritten (re-runs skip it).
+    Markers double as resumable offsets (resume = max committed hi) and
+    carry lineage: version range, rows exported (one Observation on the
+    write — zero extra jobs), wall-clock stamp.
+
+    First call needs `from_version` (exporting "since the beginning" is
+    not generally possible — vacuum may have dropped old versions); later
+    calls resume from the markers and ignore it. Driver work is O(spans)
+    marker I/O; every row moves through one JVM write job per span."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    from ..lakette.storage import PosixStorage
+
+    fs = storage or PosixStorage()
+    marker_dir = os.path.join(out_root, "_spans")
+    fs.makedirs(marker_dir)
+    pat = re.compile(rf"^{re.escape(export_id)}-v(\d+)-v(\d+)\.json$")
+    committed = [
+        (int(m.group(1)), int(m.group(2)))
+        for fn in sorted(fs.listdir(marker_dir))
+        if (m := pat.match(fn))
+    ]
+    last = max((hi for _, hi in committed), default=None)
+    if last is None:
+        if from_version is None:
+            raise ValueError(
+                "first export needs from_version= (no committed spans under "
+                f"{marker_dir!r}; 'since the beginning' may be vacuumed away)"
+            )
+        last = int(from_version)
+    target = int(table._raw_current()["version"])
+    report = {"src_version": target, "exported": [], "skipped": [], "rows": 0}
+    if last >= target:
+        return report
+    spans = (
+        [(v - 1, v) for v in range(last + 1, target + 1)]
+        if every_version
+        else [(last, target)]
+    )
+    done = set(committed)
+    for lo, hi in spans:
+        if (lo, hi) in done:
+            report["skipped"].append((lo, hi))
+            continue
+        span_rel = f"spans/v{lo:09d}-v{hi:09d}"
+        obs = Observation(f"export-{lo}-{hi}")
+        df = snapshot_diff(spark, table, lo, hi, full_rows=full_rows).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        df.write.mode("overwrite").parquet(os.path.join(out_root, span_rel))
+        rows = int(obs.get["rows"])
+        fs.put_json(
+            os.path.join(marker_dir, f"{export_id}-v{lo:09d}-v{hi:09d}.json"),
+            {
+                "export_id": export_id,
+                "from_version": lo,
+                "to_version": hi,
+                "path": span_rel,
+                "rows": rows,
+                "full_rows": bool(full_rows),
+                "committed_at": _time.time(),
+            },
+        )
+        report["exported"].append((lo, hi))
+        report["rows"] += rows
+    return report
+
+
+def read_exported_changes(
+    spark: SparkSession,
+    out_root: str,
+    *,
+    export_id: str = "export",
+    storage=None,
+) -> DataFrame:
+    """Consumer side of export_changes: the union of all COMMITTED span
+    directories (marker'd only — partial/crashed attempts are invisible by
+    contract), in one spark.read over their paths."""
+    from ..lakette.storage import PosixStorage
+
+    fs = storage or PosixStorage()
+    marker_dir = os.path.join(out_root, "_spans")
+    pat = re.compile(rf"^{re.escape(export_id)}-v(\d+)-v(\d+)\.json$")
+    import json as _json
+
+    paths = [
+        os.path.join(out_root, _json.loads(
+            fs.read_text(os.path.join(marker_dir, fn)))["path"])
+        for fn in sorted(fs.listdir(marker_dir))
+        if pat.match(fn)
+    ]
+    if not paths:
+        raise ValueError(f"no committed spans under {marker_dir!r}")
+    return spark.read.parquet(*paths)
 
 
 def snapshot_diff(

@@ -794,6 +794,7 @@ def compact(
     n_buckets: int | None = None,
     buckets: list[int] | None = None,
     cluster_by: list[str] | None = None,
+    cluster_mode: str | None = None,
 ) -> dict:
     """C8 — fold merge-on-read deltas into compacted base files (and bin-pack
     small files). Tombstones are kept by default: they are what makes the
@@ -835,7 +836,18 @@ def compact(
     stats_cols. Clustering rides the same bucket repartition the writer
     already does — zero extra exchanges; the trade is kmin/kmax key-range
     tightness inside each file, which bucket hashing already handles.
-    Pass `cluster_by=[]` to override a table default back to key sort."""
+    Pass `cluster_by=[]` to override a table default back to key sort.
+
+    `cluster_mode` (default: the table's declared mode, itself defaulting
+    to "linear") picks the multi-column layout: "linear" is a
+    lexicographic sort — only the FIRST cluster column's per-file ranges
+    come out tight; "zorder" interleaves per-bucket ranks of every cluster
+    column into a Morton key (_zorder_expr) so each file covers a small
+    hyper-rectangle and col_ranges pruning bites on ALL of them — the
+    layout for tables scanned by more than one dimension. Needs >= 2
+    cluster columns (with one, linear is strictly better — rejected
+    loudly). Rank windows ride the writer's bucket exchange: zero extra
+    exchanges either way."""
     # raw metadata + maintained per-bucket stats: an INCREMENTAL compact
     # (buckets=[...]) plans and commits with zero un-touched manifest shard
     # loads; even the full path derives its replaced set and file counts
@@ -876,6 +888,9 @@ def compact(
     cluster = list(
         cluster_by if cluster_by is not None else meta.get("cluster_by") or []
     )
+    mode = cluster_mode or meta.get("cluster_mode") or "linear"
+    if mode not in ("linear", "zorder"):
+        raise ValueError(f"cluster_mode must be 'linear' or 'zorder': {mode!r}")
     if cluster:
         fields = {f["name"] for f in meta["schema"]["fields"]}
         bad = [c for c in cluster if c not in fields]
@@ -887,6 +902,12 @@ def compact(
                 f"cluster_by must be NON-key columns (keys are already the "
                 f"default sort): {overlap}"
             )
+        if mode == "zorder" and len(cluster) < 2:
+            raise ValueError(
+                "zorder needs >= 2 cluster columns (with one, linear is "
+                "strictly better — it sorts by the column directly)"
+            )
+    zorder = cluster if (cluster and mode == "zorder") else None
     new_files = _write_datafiles(
         merged,
         root=table.root,
@@ -894,7 +915,10 @@ def compact(
         delta=False,
         n_partitions=out_buckets if target is None else len(target),
         key_col=meta["key_cols"][0],
-        sort_cols=[*cluster, *meta["key_cols"]],
+        # linear: cluster cols lead the sort; zorder: the Morton key does
+        # (computed in the writer), keys break ties either way
+        sort_cols=meta["key_cols"] if zorder else [*cluster, *meta["key_cols"]],
+        zorder_cols=zorder,
         max_rows_per_file=meta.get("target_file_rows"),
         # cluster columns' cstats are what makes the layout useful — record
         # them even when the table's stats_cols doesn't list them
@@ -937,6 +961,41 @@ def compact(
     }
 
 
+def _zorder_expr(cols: list[str], *, bits: int = 8):
+    """Morton (Z-order) key over per-bucket PERCENT RANKS of `cols` —
+    interleaving `bits` bits per column so a contiguous z-range covers a
+    small hyper-rectangle in EVERY clustered dimension (a lexicographic
+    sort makes only its first column's per-file ranges tight; every later
+    column spans its whole domain in every file).
+
+    Rank-based, not value-based: percent_rank is order-preserving and
+    immune to skew/outliers (Delta's OPTIMIZE ZORDER uses range-partition
+    ids for the same reason), and works for any orderable type including
+    strings — no min/max scan, no quantile pass. The windows partition by
+    `_bucket`, which the writer's repartition already clusters —
+    ClusteredDistribution is satisfied, so the windows add LOCAL sorts
+    only, never an exchange (asserted in tests/test_clustering.py)."""
+    from pyspark.sql.window import Window
+
+    k = len(cols)
+    ranks = [
+        F.floor(
+            F.percent_rank().over(
+                Window.partitionBy("_bucket").orderBy(F.col(c).asc_nulls_first())
+            )
+            * ((1 << bits) - 1)
+        ).cast("long")
+        for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, i).bitwiseAND(F.lit(1)), i * k + (k - 1 - j))
+            )
+    return z
+
+
 def _write_datafiles(
     df: DataFrame,
     *,
@@ -949,6 +1008,7 @@ def _write_datafiles(
     max_rows_per_file: int | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> list[dict]:
     """Executor-side data-file writer — the SURVEY §8.1 object-store commit
     path (VERDICT r2 #1). `df` must carry an int `_bucket` column.
@@ -1018,7 +1078,13 @@ def _write_datafiles(
     )
 
     part = df.repartition(max(1, n_partitions), "_bucket")
-    if sort_cols:
+    if zorder_cols:
+        # the Morton key is computed AFTER the repartition so its rank
+        # windows ride the same exchange (see _zorder_expr); `sort_cols`
+        # (the keys) break z ties so equal-z runs stay key-local
+        part = part.withColumn("_z", _zorder_expr(zorder_cols))
+        part = part.sortWithinPartitions("_bucket", "_z", *(sort_cols or []))
+    elif sort_cols:
         part = part.sortWithinPartitions("_bucket", *sort_cols)
 
     def _write(batches):
@@ -1082,7 +1148,9 @@ def _write_datafiles(
                 continue
             tbl = _pa.Table.from_batches([batch])
             buckets = tbl.column("_bucket")
-            data = tbl.drop_columns(["_bucket"])
+            data = tbl.drop_columns(
+                [c for c in ("_bucket", "_z") if c in tbl.column_names]
+            )
             for bs in _pc.unique(buckets).to_pylist():
                 b = int(bs)
                 remaining = data.filter(_pc.equal(buckets, bs))

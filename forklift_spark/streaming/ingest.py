@@ -62,11 +62,13 @@ KEY_COLS = ["repo", "path"]
 def create_entity_table(
     root: str, n_buckets: int = 16, target_file_rows: int | None = None,
     column_lww: bool = False, cluster_by: list[str] | None = None,
+    cluster_mode: str = "linear",
 ) -> LaketteTable:
     return LaketteTable.create(
         root, ENTITY_SCHEMA, KEY_COLS,
         n_buckets=n_buckets, target_file_rows=target_file_rows,
         column_lww=column_lww, cluster_by=cluster_by,
+        cluster_mode=cluster_mode,
     )
 
 

@@ -136,6 +136,42 @@ def cdc_changes(spark, sf):
     return snapshot_diff(spark, table, versions["I"], versions["D"])
 
 
+@q("export_scan", _CDC_CHANGES_SQL, extra=True)
+def export_scan(spark, sf):
+    """CDC-out export sink end-to-end (operators/changes.py
+    export_changes): replay the 3 epochs, export the I->D span as a
+    marker-gated parquet drop, then READ THE EXPORTED FILES BACK — the
+    external consumer's view must equal the same change-set oracle
+    cdc_changes checks in-process. Data-first/marker-last makes the drop
+    exactly-once by contract; per-span markers carry version range + row
+    count (one Observation, zero extra jobs)."""
+    from forklift_spark.operators.changes import (
+        export_changes,
+        read_exported_changes,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_exp_{os.path.basename(sf)}")
+    out = os.path.join(root, "out")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(os.path.join(root, "t"), n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    versions = {}
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="exp",
+            epoch=i,
+        )
+        versions[op] = table.current_metadata()["version"]
+    rep = export_changes(spark, table, out, from_version=versions["I"])
+    assert rep["exported"], "export produced no spans"
+    return read_exported_changes(spark, out).select(
+        "change", "repo", "path", "seq", "content_sha"
+    )
+
+
 @q("scan_snapshot", _CDC_LWW_SQL)
 def scan_snapshot(spark, sf):
     """End-to-end: replay the derived changelog through the REAL engine in
@@ -741,4 +777,83 @@ def scan_clustered(spark, sf):
     # planning guard, not just semantics: the layout must actually prune
     assert len(survivors) < len(meta["files"]), "clustering pruned nothing"
     snap = table.snapshot(spark, col_ranges={"lang": (lo, hi)})
+    return snap.select("repo", "path", "seq", "commit", "lang")
+
+
+#: final LWW state restricted in TWO dimensions — the scan shape a
+#: Z-ordered layout serves with tight per-file ranges on BOTH columns
+_ZORDER_SCAN_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         md5(text) AS commit, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         md5(text || ' v2'), lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, commit, lang
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+  AND lang BETWEEN 'es' AND 'fr' AND commit BETWEEN '0' AND '8'
+"""
+
+
+@q("scan_zorder", _ZORDER_SCAN_SQL, extra=True)
+def scan_zorder(spark, sf):
+    """Z-ordered layout, two-dimension range scan (compact
+    cluster_mode="zorder", merge._zorder_expr): the Morton interleave of
+    per-bucket ranks gives every file a small hyper-rectangle of the
+    (lang, commit) space, so col_ranges pruning bites on BOTH dimensions —
+    a lexicographic layout serves only its first column. The prune assert
+    is sf-gated: tight two-dimension ranges need enough files per bucket
+    to split the curve (>=16 here); the lang (coarse-bit) dimension must
+    prune at any sf. Exactness never depends on pruning (row filter)."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.operators.merge import compact
+    from forklift_spark.streaming.ingest import ENTITY_SCHEMA, KEY_COLS
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_zo_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = LaketteTable.create(
+        root, ENTITY_SCHEMA, KEY_COLS, n_buckets=2, target_file_rows=8,
+        cluster_by=["lang", "commit"], cluster_mode="zorder",
+    )
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="zo",
+            epoch=i,
+        )
+    compact(spark, table)
+    ranges = {"lang": ("es", "fr"), "commit": ("0", "8")}
+    meta = table.current_metadata()
+
+    def survivors(col):
+        lo, hi = ranges[col]
+        return [
+            f for f in meta["files"]
+            if not (
+                (rng := (f.get("cstats") or {}).get(col)) is not None
+                and rng[0] is not None and (rng[1] < lo or rng[0] > hi)
+            )
+        ]
+
+    n = len(meta["files"])
+    assert len(survivors("lang")) < n, "zorder pruned nothing on dim 1"
+    if n >= 32:  # enough files to split the curve in both dimensions
+        assert len(survivors("commit")) < n, "zorder pruned nothing on dim 2"
+    snap = table.snapshot(spark, col_ranges=ranges)
     return snap.select("repo", "path", "seq", "commit", "lang")

@@ -109,3 +109,88 @@ def test_cluster_by_guards(spark, tmp_path):
         compact(spark, table, cluster_by=["nope"])
     with pytest.raises(ValueError, match="NON-key"):
         compact(spark, table, cluster_by=["repo"])
+
+def _grid_seed(spark, table, n=320):
+    # two INDEPENDENT dimensions: lang cycles fast, commit-group slow —
+    # every (lang, grp) cell is populated, the z-order worst/best case
+    rows = [
+        ("I", i, "r", f"p{i:04d}", f"g{(i // 8) % 10}",
+         LANGS[i % len(LANGS)], f"b{i}", None, 1)
+        for i in range(1, n + 1)
+    ]
+    merge_into(spark, table, spark.createDataFrame(rows, _DDL),
+               query_id="seed", epoch=0)
+
+
+def test_zorder_prunes_every_cluster_dimension(spark, tmp_path):
+    linear = create_entity_table(
+        str(tmp_path / "lin"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang", "commit"],
+    )
+    zorder = create_entity_table(
+        str(tmp_path / "zo"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang", "commit"], cluster_mode="zorder",
+    )
+    for t in (linear, zorder):
+        _grid_seed(spark, t)
+        compact(spark, t)
+    n_lin = len(linear.current_metadata()["files"])
+    n_zo = len(zorder.current_metadata()["files"])
+    assert n_lin > 8 and n_zo > 8
+
+    # linear: first column tight, second column wide-open in (almost)
+    # every file. zorder: BOTH dimensions prune strictly — and the second
+    # dimension prunes strictly BETTER than linear's, which is the point.
+    zo_lang = _range_survivors(zorder, "lang", "py", "py")
+    zo_grp = _range_survivors(zorder, "commit", "g3", "g3")
+    lin_grp = _range_survivors(linear, "commit", "g3", "g3")
+    assert 0 < len(zo_lang) < n_zo
+    assert 0 < len(zo_grp) < n_zo
+    assert len(zo_grp) / n_zo < len(lin_grp) / n_lin
+
+    # exactness: both layouts answer a two-dimension scan identically
+    for t in (linear, zorder):
+        got = t.snapshot(
+            spark, col_ranges={"lang": ("py", "py"), "commit": ("g3", "g3")}
+        )
+        want = t.snapshot(spark).filter("lang = 'py' AND commit = 'g3'")
+        assert sorted(r.path for r in got.collect()) == sorted(
+            r.path for r in want.collect()
+        )
+    assert _state(spark, linear) == _state(spark, zorder)
+
+
+def test_zorder_rank_windows_add_no_exchange(spark):
+    """The Morton key's rank windows must ride the writer's bucket
+    repartition — ClusteredDistribution satisfied, LOCAL sorts only. One
+    Exchange in the whole writer input plan, or the layout would double
+    the compaction shuffle at 100 TB."""
+    from forklift_spark.operators.merge import _zorder_expr
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 11).alias("b"),
+        (F.col("id") % 4).cast("int").alias("_bucket"),
+    )
+    part = (
+        df.repartition(4, "_bucket")
+        .withColumn("_z", _zorder_expr(["a", "b"]))
+        .sortWithinPartitions("_bucket", "_z", "id")
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # and the key is a real interleave: both dims' bits present
+    zs = [r["_z"] for r in part.select("_z").distinct().collect()]
+    assert len(zs) > 7 * 2  # more distinct z values than either dim alone
+
+
+def test_zorder_guards(spark, tmp_path):
+    table = create_entity_table(
+        str(tmp_path / "t"), n_buckets=2, cluster_by=["lang"]
+    )
+    _seed(spark, table, n=8)
+    with pytest.raises(ValueError, match=">= 2 cluster columns"):
+        compact(spark, table, cluster_mode="zorder")
+    with pytest.raises(ValueError, match="linear.*zorder|zorder.*linear"):
+        compact(spark, table, cluster_mode="hilbert")
