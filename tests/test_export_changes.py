@@ -97,3 +97,80 @@ def test_export_crash_window_and_guards(spark, tmp_path):
     export_changes(spark, table, out2, from_version=v0, full_rows=True)
     row = read_exported_changes(spark, out2).first()
     assert row.content == "body" and row.lang == "py"
+
+def test_continuous_export_rides_the_ingest_loop(spark, tmp_path):
+    """export_changes needs NO loop integration of its own: it is a valid
+    `derived=` hook (any callable spark -> report), so one run_ingest call
+    maintains the table AND a marker-gated external changelog drop —
+    spans stay contiguous and resume from the markers across epochs."""
+    from forklift_spark.changelog import ChangelogSpec, generate_changelog
+    from forklift_spark.streaming.ingest import run_ingest
+
+    spec = ChangelogSpec(
+        n_events=2_000, n_repos=6, paths_per_repo=10, seed=31, segment_rows=400
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(spec, log_dir)
+    bronze = create_entity_table(str(tmp_path / "bronze"), n_buckets=4)
+    out = str(tmp_path / "out")
+
+    report = run_ingest(
+        spark, log_dir, bronze, str(tmp_path / "ckpt"), query_id="exp",
+        max_files_per_trigger=1,
+        derived=[lambda s: export_changes(s, bronze, out, from_version=1)],
+    )
+    applied = [e for e in report.epochs if not e.skipped]
+    assert len(applied) >= 2  # genuinely multi-epoch
+
+    markers = [
+        json.loads(open(os.path.join(out, "_spans", fn)).read())
+        for fn in sorted(os.listdir(os.path.join(out, "_spans")))
+    ]
+    assert len(markers) >= 2  # exported MID-STREAM, not one bulk drop
+    # contiguous coverage 1 -> final version, no gaps or overlaps
+    assert markers[0]["from_version"] == 1
+    assert all(
+        m["from_version"] == p["to_version"]
+        for p, m in zip(markers, markers[1:])
+    )
+    assert markers[-1]["to_version"] == bronze.current_metadata()["version"]
+    # each span dir is exactly snapshot_diff of its version range
+    m = markers[len(markers) // 2]
+    got = spark.read.parquet(os.path.join(out, m["path"]))
+    want = snapshot_diff(spark, bronze, m["from_version"], m["to_version"])
+    assert _chg(got) == _chg(want)
+    assert read_exported_changes(spark, out).count() == sum(
+        m["rows"] for m in markers
+    )
+
+
+def test_declared_clustering_applies_in_loop_maintenance(spark, tmp_path):
+    """Incremental compaction inside run_ingest inherits the table's
+    declared cluster_by — hot buckets come out lang-clustered with tight
+    cstats, no per-call plumbing."""
+    from forklift_spark.changelog import ChangelogSpec, generate_changelog
+    from forklift_spark.streaming.ingest import run_ingest
+
+    spec = ChangelogSpec(
+        n_events=2_000, n_repos=6, paths_per_repo=10, seed=37, segment_rows=400
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(spec, log_dir)
+    bronze = create_entity_table(
+        str(tmp_path / "bronze"), n_buckets=4, target_file_rows=16,
+        cluster_by=["lang"],
+    )
+    run_ingest(
+        spark, log_dir, bronze, str(tmp_path / "ckpt"), query_id="clus",
+        max_files_per_trigger=1, mode="mor", compact_every=1,
+    )
+    meta = bronze.current_metadata()
+    base = [f for f in meta["files"] if not f.get("delta")]
+    compacted = [f for f in base if (f.get("cstats") or {}).get("lang")]
+    assert compacted, "maintenance compaction recorded no cluster cstats"
+    # clustered files are genuinely tight: some file's lang range is a
+    # strict subrange (a key-sorted layout spans the whole domain)
+    langs = sorted({f["cstats"]["lang"][0] for f in compacted}
+                   | {f["cstats"]["lang"][1] for f in compacted})
+    assert any(f["cstats"]["lang"][0] == f["cstats"]["lang"][1]
+               for f in compacted) or len(langs) > 1
