@@ -328,7 +328,47 @@ def read_exported_changes(
     ]
     if not paths:
         raise ValueError(f"no committed spans under {marker_dir!r}")
-    return spark.read.parquet(*paths)
+    # mergeSchema: spans written before a source schema evolution lack the
+    # evolved columns — the union carries them as typed NULLs (additive
+    # evolution only, same rule the engine enforces on merge)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def expire_exported_spans(
+    out_root: str,
+    *,
+    export_id: str = "export",
+    keep_last: int = 10,
+    storage=None,
+) -> dict:
+    """Retention for an export drop: delete all but the newest `keep_last`
+    committed spans (span dir FIRST, marker LAST — the crash windows leave
+    either a fully valid span or an invisible orphan dir, never a marker
+    without data). Consumers past the cut are unaffected; a NEW consumer
+    can no longer bootstrap from the expired history — the same
+    time-travel-vs-retention trade vacuum() makes, so run it on the same
+    cadence contract (only expire spans every live consumer has passed)."""
+    import json as _json
+    import shutil as _shutil
+
+    from ..lakette.storage import PosixStorage
+
+    fs = storage or PosixStorage()
+    marker_dir = os.path.join(out_root, "_spans")
+    pat = re.compile(rf"^{re.escape(export_id)}-v(\d+)-v(\d+)\.json$")
+    marked = sorted(
+        (int(m.group(2)), fn)
+        for fn in fs.listdir(marker_dir)
+        if (m := pat.match(fn))
+    )
+    expired = marked[: max(0, len(marked) - max(1, int(keep_last)))]
+    report = {"expired": len(expired), "kept": len(marked) - len(expired)}
+    for _, fn in expired:
+        rec = _json.loads(fs.read_text(os.path.join(marker_dir, fn)))
+        span_dir = os.path.join(out_root, rec["path"])
+        _shutil.rmtree(span_dir, ignore_errors=True)
+        fs.remove(os.path.join(marker_dir, fn))
+    return report
 
 
 def snapshot_diff(

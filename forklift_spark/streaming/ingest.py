@@ -272,7 +272,11 @@ def run_ingest(
     derive's vacuumed-span resync repairs rather than corrupts). After an
     availableNow drain the hooks run one final catch-up pass, so on
     return every derived table reflects the source's final version.
-    Per-refresh reports land in `IngestReport.derived`.
+    Per-refresh reports land in `IngestReport.derived`. Any callable with
+    its own offsets fits — `replicate()` (a live mirror) and
+    `export_changes()` (a continuous marker-gated parquet changelog drop
+    for external consumers) slot in unchanged
+    (tests/test_export_changes.py).
 
     `expectations=[Expectation, ...]` puts the DATA-QUALITY GATE
     (operators/expectations.py) in front of every epoch's merge: delete

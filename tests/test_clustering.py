@@ -194,3 +194,21 @@ def test_zorder_guards(spark, tmp_path):
         compact(spark, table, cluster_mode="zorder")
     with pytest.raises(ValueError, match="linear.*zorder|zorder.*linear"):
         compact(spark, table, cluster_mode="hilbert")
+
+
+def test_clustered_range_filter_reaches_the_parquet_scan(spark, tmp_path):
+    """The col_ranges row filter must land in the parquet scan as a pushed
+    filter: surviving files are SORTED by the cluster column, so their
+    row-group stats are tight too — file pruning (planner) and row-group
+    pruning (reader) compose from the one layout."""
+    table = create_entity_table(
+        str(tmp_path / "t"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang"],
+    )
+    _seed(spark, table, n=80)
+    compact(spark, table)
+    plan = (
+        table.snapshot(spark, col_ranges={"lang": ("md", "md")})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters", 1)[1][:200], plan[:2000]

@@ -174,3 +174,40 @@ def test_declared_clustering_applies_in_loop_maintenance(spark, tmp_path):
                    | {f["cstats"]["lang"][1] for f in compacted})
     assert any(f["cstats"]["lang"][0] == f["cstats"]["lang"][1]
                for f in compacted) or len(langs) > 1
+
+
+def test_export_survives_schema_evolution_and_expires(spark, tmp_path):
+    """Spans written before an additive source evolution lack the new
+    column — read_exported_changes merges schemas so pre-evolution rows
+    carry typed NULLs. expire_exported_spans bounds the drop's file
+    population (span dir first, marker last)."""
+    from forklift_spark.operators.changes import expire_exported_spans
+
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _merge(spark, table, [_ev("I", 1, "a"), _ev("I", 2, "b")], 0)
+    v0 = table.current_metadata()["version"]
+    _merge(spark, table, [_ev("U", 3, "a")], 1)
+
+    out = str(tmp_path / "out")
+    export_changes(spark, table, out, from_version=v0, full_rows=True)
+
+    # additive evolution upstream, then another span
+    evolved = spark.createDataFrame(
+        [("U", 4, "r", "b", "c4", "py", "body", None, 2, 9)],
+        _DDL + ", stars int",
+    )
+    merge_into(spark, table, evolved, query_id="q", epoch=2)
+    export_changes(spark, table, out, full_rows=True)
+
+    got = read_exported_changes(spark, out)
+    assert "stars" in got.columns
+    rows = {r.path: r for r in got.collect()}
+    assert rows["b"].stars == 9          # evolved span carries the column
+    assert rows["a"].stars is None       # pre-evolution span: typed NULL
+
+    # retention: keep only the newest span; its data stays readable
+    rep = expire_exported_spans(out, keep_last=1)
+    assert rep == {"expired": 1, "kept": 1}
+    left = read_exported_changes(spark, out)
+    assert _chg(left) == [("update", "b", 4)]
+    assert len(os.listdir(os.path.join(out, "spans"))) == 1
