@@ -147,6 +147,26 @@ class LaketteTable:
         cluster_by: list[str] | None = None,
         cluster_mode: str = "linear",
     ) -> "LaketteTable":
+        if cluster_by:
+            user_fields = {f.name for f in user_schema.fields}
+            bad = [c for c in cluster_by if c not in user_fields]
+            if bad:
+                raise ValueError(f"cluster_by columns not in schema: {bad}")
+            overlap = [c for c in cluster_by if c in key_cols]
+            if overlap:
+                raise ValueError(
+                    f"cluster_by must be NON-key columns (keys are already "
+                    f"the default sort): {overlap}"
+                )
+        if cluster_mode not in ("linear", "zorder"):
+            raise ValueError(
+                f"cluster_mode must be 'linear' or 'zorder': {cluster_mode!r}"
+            )
+        if cluster_mode == "zorder" and len(cluster_by or []) < 2:
+            raise ValueError(
+                "zorder needs >= 2 cluster columns (with one, linear is "
+                "strictly better — it sorts by the column directly)"
+            )
         t = cls(root, storage=storage)
         for d in (
             t.meta_dir, t.manifests_dir, t.data_dir,
@@ -184,12 +204,17 @@ class LaketteTable:
             # by these columns (then key cols as tie-break) instead of the
             # default key sort, making their per-file cstats ranges TIGHT
             # so snapshot(col_ranges=) pruning bites on non-key scans.
-            # Applied at COMPACT time only — ingest-path writes stay
-            # key-sorted (clustering is a read optimization; paying a
-            # non-key sort on the hot merge path would tax every epoch).
             # cluster_mode "linear" = lexicographic (first column's cstats
-            # tight); "zorder" = Morton interleave of per-bucket ranks
-            # (EVERY cluster column's cstats tight — multi-dimension scans).
+            # tight) — FREE on every base rewrite (COW merge epochs and
+            # predicate DML apply it too: same partition-local sort the
+            # writer already does, only the columns change), so the layout
+            # survives between compactions. "zorder" = Morton interleave
+            # of per-bucket ranks (EVERY cluster column's cstats tight —
+            # multi-dimension scans) — COMPACT-ONLY: its rank windows cost
+            # real CPU the hot merge path must not pay per epoch; zorder
+            # epochs write key-sorted and the next compact restores the
+            # curve. MOR delta appends are unsorted either way (folded at
+            # compact).
             "cluster_by": list(cluster_by or []),
             "cluster_mode": cluster_mode,
             # partial-update semantics (op='P' patch events, per-column

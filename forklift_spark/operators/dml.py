@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from ..lakette.table import LaketteTable
 from ..lakette.table import _specs as _meta_specs
-from .merge import _obs_count, _write_datafiles
+from .merge import _base_layout, _obs_count, _write_datafiles
 
 #: engine-maintained physical columns a SET clause may never assign
 _ENGINE_COLS = {"seq", "content_sha", "deleted", "col_seqs"}
@@ -123,9 +123,11 @@ def _rewrite_buckets(
         delta=False,
         n_partitions=max(1, len(touched)),
         key_col=meta["key_cols"][0],
-        sort_cols=meta["key_cols"],
+        # rewritten buckets keep the table's declared linear cluster order
+        # (merge._base_layout) — DML must not degrade the read layout
+        sort_cols=_base_layout(meta)[0],
         max_rows_per_file=meta.get("target_file_rows"),
-        stats_cols=meta.get("stats_cols"),
+        stats_cols=_base_layout(meta)[1],
         bloom_cols=meta.get("bloom_cols"),
     )
     replaced = {(nb, b % nb) for nb in _meta_specs(meta) for b in touched}

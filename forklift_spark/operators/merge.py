@@ -599,10 +599,13 @@ def merge_into(
             delta=False,
             n_partitions=max(1, len(touched)),
             key_col=key_cols[0],
-            sort_cols=key_cols,  # COW rewrites whole buckets: key-sorted base files
+            # COW rewrites whole buckets: base files come out in the
+            # table's declared linear cluster order (keys as tie-break) —
+            # or plain key-sorted without one (_base_layout)
+            sort_cols=_base_layout(meta)[0],
             max_rows_per_file=meta.get("target_file_rows"),
-            stats_cols=meta.get("stats_cols"),
-        bloom_cols=meta.get("bloom_cols"),
+            stats_cols=_base_layout(meta)[1],
+            bloom_cols=meta.get("bloom_cols"),
         )
         stats.rows_rewritten = _obs_count(obs, "rows")
         stats.applied_rows = _obs_count(obs, "applied")
@@ -959,6 +962,24 @@ def compact(
         "n_buckets": out_buckets,
         "compacted_buckets": len(replaced),
     }
+
+
+def _base_layout(meta: dict) -> tuple[list[str], list[str]]:
+    """(sort_cols, stats_cols) for BASE-file rewrites OUTSIDE compact (COW
+    merge epochs, predicate DML): a declared LINEAR cluster order rides
+    every rewrite at zero extra cost — the writer already does one
+    partition-local sort, only the columns change — so clustered COW
+    tables never lose their layout between compactions. Z-order stays
+    compact-only: its per-bucket rank windows cost real CPU, which the
+    hot merge path must not pay per epoch (create() documents the trade).
+    Cluster columns' cstats are recorded either way the compact() does."""
+    cluster = (
+        list(meta.get("cluster_by") or [])
+        if (meta.get("cluster_mode") or "linear") == "linear"
+        else []
+    )
+    stats = sorted({*(meta.get("stats_cols") or []), *cluster})
+    return [*cluster, *meta["key_cols"]], stats
 
 
 def _zorder_expr(cols: list[str], *, bits: int = 8):

@@ -212,3 +212,58 @@ def test_clustered_range_filter_reaches_the_parquet_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters", 1)[1][:200], plan[:2000]
+
+
+def test_linear_layout_rides_every_cow_rewrite(spark, tmp_path):
+    """A declared LINEAR cluster order must survive ordinary COW merge
+    epochs and predicate DML rewrites WITHOUT a compact — the rewrite
+    already pays one partition-local sort, so clustering it is free
+    (merge._base_layout). Z-order stays compact-only by design."""
+    from forklift_spark.operators.dml import update_where
+
+    table = create_entity_table(
+        str(tmp_path / "t"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang"],
+    )
+    _seed(spark, table, n=80)  # plain COW merge, NO compact
+    meta = table.current_metadata()
+    assert all((f.get("cstats") or {}).get("lang") for f in meta["files"])
+    assert 0 < len(_range_survivors(table, "lang", "md", "md")) < len(meta["files"])
+
+    # a DML rewrite keeps the layout (and its cstats) on touched buckets
+    update_where(spark, table, {"content": "content || '!'"}, "lang = 'md'")
+    meta = table.current_metadata()
+    assert all((f.get("cstats") or {}).get("lang") for f in meta["files"])
+    assert 0 < len(_range_survivors(table, "lang", "md", "md")) < len(meta["files"])
+
+    # zorder tables: epochs write key-sorted (no rank-window tax) — no
+    # cluster cstats until the next compact restores the curve
+    zo = create_entity_table(
+        str(tmp_path / "zo"), n_buckets=2, target_file_rows=10,
+        cluster_by=["lang", "commit"], cluster_mode="zorder",
+    )
+    _grid_seed(spark, zo, n=80)
+    assert not any(
+        (f.get("cstats") or {}).get("lang")
+        for f in zo.current_metadata()["files"]
+    )
+    compact(spark, zo)
+    assert all(
+        (f.get("cstats") or {}).get("lang")
+        for f in zo.current_metadata()["files"]
+    )
+
+
+def test_cluster_declaration_guards(tmp_path):
+    with pytest.raises(ValueError, match="not in schema"):
+        create_entity_table(str(tmp_path / "a"), cluster_by=["nope"])
+    with pytest.raises(ValueError, match="NON-key"):
+        create_entity_table(str(tmp_path / "b"), cluster_by=["repo"])
+    with pytest.raises(ValueError, match=">= 2 cluster columns"):
+        create_entity_table(
+            str(tmp_path / "c"), cluster_by=["lang"], cluster_mode="zorder"
+        )
+    with pytest.raises(ValueError, match="linear.*zorder|zorder.*linear"):
+        create_entity_table(
+            str(tmp_path / "d"), cluster_by=["lang"], cluster_mode="hilbert"
+        )
