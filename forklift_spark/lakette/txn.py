@@ -1,0 +1,228 @@
+"""Multi-table transactional publish over the WAP primitives — the
+medallion pipeline's missing piece: land bronze + silver + gold (or any
+set of staged commits) so that a reader never observes a torn subset
+across process CRASHES.
+
+Protocol (one small JSON record under the caller's txn_dir is the
+arbiter):
+
+  1. callers stage each member with the ordinary machinery
+     (merge_into(publish=False) / stage_commit) — nothing visible;
+  2. publish_transaction writes the record (exclusive create,
+     state="pending"), pre-validates every member's staged base against
+     the table's CURRENT — any failure here raises with NOTHING
+     published and the staged work intact;
+  3. the record flips to state="committed" (atomic overwrite — THE
+     transaction commit point);
+  4. each member publishes through the ordinary CAS
+     (publish_staged — full rebase/conflict validation), the record
+     accumulating per-member published versions;
+  5. state="done".
+
+Crash atomicity: recover_transactions() rolls a dead "pending" record
+BACK (abort the staged members — nothing was ever visible; gated behind
+a grace age so a LIVE publisher pre-flip is never raced) and rolls a
+dead "committed" record FORWARD (publish the remaining members). Both
+directions are idempotent: a member whose publish landed but whose
+record update was lost is recognized by its WRITER STAMP in the version
+chain (bounded O(retained versions) metadata reads) and skipped.
+
+Concurrency limits, stated honestly: atomicity across tables holds
+against crashes, not against arbitrary CONCURRENT writers — if an
+interleaving commit conflicts with a member after the flip, that member's
+publish raises and the transaction is left state="committed" with the
+published subset visible and the remainder staged; recover_transactions
+retries the remainder after the conflict is resolved (publish_staged
+auto-rebases provably-independent commits, so disjoint-bucket traffic
+never triggers this). Cross-table ISOLATION for un-coordinated writers
+needs a catalog-level commit (out of scope). The intended user — one
+pipeline owning its derived chain — gets full atomicity.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+import uuid
+from typing import Any
+
+from .storage import PosixStorage, Storage
+from .table import CommitConflictError, LaketteTable
+
+_VFILE = re.compile(r"^v(\d+)\.json$")
+
+
+def _writer_published_version(table: LaketteTable, writer: dict) -> int | None:
+    """Version committed with this (query_id, epoch) writer stamp, or None.
+    The idempotence probe for roll-forward: bounded by vacuum retention."""
+    qid, ep = writer.get("query_id"), writer.get("epoch")
+    for fn in sorted(table.fs.listdir(table.meta_dir), reverse=True):
+        if not _VFILE.match(fn):
+            continue
+        w = table.fs.read_json(os.path.join(table.meta_dir, fn)).get("writer")
+        if w and w.get("query_id") == qid and w.get("epoch") == ep:
+            return int(_VFILE.match(fn).group(1))
+    return None
+
+
+def _record_path(txn_dir: str, txn_id: str) -> str:
+    return os.path.join(txn_dir, f"{txn_id}.json")
+
+
+def _publish_member(table: LaketteTable, m: dict) -> int:
+    """Publish one member idempotently. Returns the published version."""
+    try:
+        table.staged_record(m["stage_id"])
+    except (OSError, FileNotFoundError):
+        # staged record gone: either our own earlier publish landed, or a
+        # crashed publish lost the record-update race — the writer stamp
+        # in the chain disambiguates
+        v = _writer_published_version(table, m["writer"])
+        if v is not None:
+            return v
+        raise ValueError(
+            f"member {m['root']} stage {m['stage_id']} vanished without a "
+            "matching writer stamp in the chain — aborted by someone else?"
+        )
+    try:
+        return int(table.publish_staged(m["stage_id"]).version)
+    except CommitConflictError:
+        v = _writer_published_version(table, m["writer"])
+        if v is not None:
+            # crash window: the publish landed, the staged-record removal
+            # or our record update did not — clean up and move on
+            try:
+                table.abort_staged(m["stage_id"], delete_files=False)
+            except (OSError, FileNotFoundError):
+                pass
+            return v
+        raise
+
+
+def publish_transaction(
+    members: list[tuple[LaketteTable, str]],
+    txn_dir: str,
+    *,
+    txn_id: str | None = None,
+    storage: Storage | None = None,
+) -> dict[str, Any]:
+    """Publish every (table, stage_id) member atomically w.r.t. crashes
+    (module docstring). Returns the final record."""
+    fs = storage or PosixStorage()
+    fs.makedirs(txn_dir)
+    txn_id = txn_id or uuid.uuid4().hex[:16]
+    recs = []
+    for table, stage_id in members:
+        rec = table.staged_record(stage_id)  # raises if missing
+        if not rec.get("writer") or rec["writer"].get("query_id") is None:
+            raise ValueError(
+                f"transaction member {table.root} stage {stage_id} has no "
+                "writer stamp — stage with writer={'query_id','epoch'} so "
+                "crash recovery can prove publication"
+            )
+        recs.append((table, rec))
+    record = {
+        "txn_id": txn_id,
+        "state": "pending",
+        "created_at": time.time(),
+        "members": [
+            {
+                "root": t.root,
+                "stage_id": r["stage_id"],
+                "writer": r["writer"],
+                "base_version": r["base_version"],
+                "published_version": None,
+            }
+            for t, r in recs
+        ],
+    }
+    path = _record_path(txn_dir, txn_id)
+    fs.put_json_exclusive(path, record)
+
+    # pre-flip validation: every member's base must still be CURRENT.
+    # Failing here is a CLEAN stop — nothing visible, staged work intact,
+    # record marked aborted so recovery never touches it.
+    for t, r in recs:
+        cur = int(t._raw_current()["version"])
+        if cur != int(r["base_version"]):
+            record["state"] = "aborted"
+            record["abort_reason"] = (
+                f"{t.root} moved {r['base_version']} -> {cur} since staging"
+            )
+            fs.put_json(path, record)
+            raise CommitConflictError(
+                f"txn {txn_id}: {record['abort_reason']} — nothing was "
+                "published; re-stage against the current version (staged "
+                "records left intact)"
+            )
+
+    record["state"] = "committed"  # THE commit point
+    fs.put_json(path, record)
+
+    for (table, _), m in zip(recs, record["members"]):
+        try:
+            m["published_version"] = _publish_member(table, m)
+        except CommitConflictError as e:
+            record["conflict"] = f"{m['root']}: {e}"
+            fs.put_json(path, record)
+            raise CommitConflictError(
+                f"txn {txn_id} is COMMITTED but member {m['root']} conflicts "
+                "with an interleaving commit — the published subset is "
+                "visible; resolve the conflict and run "
+                "recover_transactions() to finish the remainder"
+            ) from e
+        fs.put_json(path, record)
+    record["state"] = "done"
+    fs.put_json(path, record)
+    return record
+
+
+def recover_transactions(
+    txn_dir: str,
+    *,
+    storage: Storage | None = None,
+    tables: dict[str, LaketteTable] | None = None,
+    grace_seconds: float = 60.0,
+) -> list[dict[str, Any]]:
+    """Finish every dead transaction under txn_dir: committed records roll
+    FORWARD (publish the remainder — idempotent via writer stamps),
+    pending records older than `grace_seconds` roll BACK (abort the
+    staged members — nothing was ever visible; the grace keeps recovery
+    off a LIVE publisher still between create and flip). done/aborted
+    records are left as the audit trail. Returns the records acted on."""
+    fs = storage or PosixStorage()
+    if not fs.isdir(txn_dir):
+        return []
+    out = []
+    for fn in sorted(fs.listdir(txn_dir)):
+        if not fn.endswith(".json"):
+            continue
+        path = os.path.join(txn_dir, fn)
+        record = fs.read_json(path)
+        state = record.get("state")
+        if state == "pending":
+            age = time.time() - record.get("created_at", 0)
+            if age <= grace_seconds:
+                continue  # possibly a live publisher pre-flip
+            for m in record["members"]:
+                t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
+                try:
+                    t.abort_staged(m["stage_id"])
+                except (OSError, FileNotFoundError):
+                    pass  # already gone
+            record["state"] = "aborted"
+            record["abort_reason"] = "publisher died before the commit point"
+            fs.put_json(path, record)
+            out.append(record)
+        elif state == "committed":
+            for m in record["members"]:
+                if m.get("published_version") is not None:
+                    continue
+                t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
+                m["published_version"] = _publish_member(t, m)
+                fs.put_json(path, record)
+            record["state"] = "done"
+            fs.put_json(path, record)
+            out.append(record)
+    return out
