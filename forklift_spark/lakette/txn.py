@@ -9,9 +9,10 @@ arbiter):
   1. callers stage each member with the ordinary machinery
      (merge_into(publish=False) / stage_commit) — nothing visible;
   2. publish_transaction writes the record (exclusive create,
-     state="pending"), pre-validates every member's staged base against
-     the table's CURRENT — any failure here raises with NOTHING
-     published and the staged work intact;
+     state="pending"), pre-validates every member with the SAME
+     independence rule the publish CAS uses (provably-disjoint
+     interleaving commits pass and rebase at publish; overlapping ones
+     fail here with NOTHING published and the staged work intact);
   3. the record flips to state="committed" (atomic overwrite — THE
      transaction commit point);
   4. each member publishes through the ordinary CAS
@@ -140,22 +141,38 @@ def publish_transaction(
     path = _record_path(txn_dir, txn_id)
     fs.put_json_exclusive(path, record)
 
-    # pre-flip validation: every member's base must still be CURRENT.
-    # Failing here is a CLEAN stop — nothing visible, staged work intact,
-    # record marked aborted so recovery never touches it.
+    # pre-flip validation, SAME independence rule the publish CAS applies
+    # (_validate_base): interleaving commits that are provably disjoint
+    # from a member's footprint pass here and rebase at publish;
+    # overlapping ones fail with NOTHING published, staged work intact,
+    # record marked aborted so recovery never touches it. Best-effort
+    # narrowing — the authoritative check is publish's own CAS.
     for t, r in recs:
-        cur = int(t._raw_current()["version"])
-        if cur != int(r["base_version"]):
+        cur = t._raw_current()
+        if int(cur["version"]) == int(r["base_version"]):
+            continue
+        cur_nb = int(cur["n_buckets"])
+        pairs = {(int(p[0]), int(p[1])) for p in r["replaced_buckets"]}
+        pairs |= {
+            (int(f.get("nb", cur_nb)), int(f["bucket"])) for f in r["new_files"]
+        }
+        touched: set[int] = set()
+        for nb, b in pairs:
+            if cur_nb % nb == 0:
+                touched.update(range(b, cur_nb, nb))
+            else:
+                touched.update(range(cur_nb))
+        try:
+            t._validate_base(int(r["base_version"]), cur, touched)
+        except CommitConflictError as e:
             record["state"] = "aborted"
-            record["abort_reason"] = (
-                f"{t.root} moved {r['base_version']} -> {cur} since staging"
-            )
+            record["abort_reason"] = f"{t.root}: {e}"
             fs.put_json(path, record)
             raise CommitConflictError(
-                f"txn {txn_id}: {record['abort_reason']} — nothing was "
-                "published; re-stage against the current version (staged "
-                "records left intact)"
-            )
+                f"txn {txn_id}: member {t.root} conflicts with a commit that "
+                "landed since staging — nothing was published; re-stage "
+                "against the current version (staged records left intact)"
+            ) from e
 
     record["state"] = "committed"  # THE commit point
     fs.put_json(path, record)

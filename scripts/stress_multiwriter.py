@@ -53,7 +53,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # --------------------------------------------------------------- workers
 
 
-def meta_worker(root: str, qid: str, epochs: int, seed: int) -> None:
+def meta_worker(
+    root: str, qid: str, epochs: int, seed: int, bucket_base: int | None = None
+) -> None:
+    """`bucket_base` pins this writer to buckets [base, base+2) — the txn
+    stress uses it to keep background traffic provably disjoint from the
+    transaction's footprint (so publishes rebase instead of conflicting)."""
     from forklift_spark.lakette.table import CommitConflictError, LaketteTable
 
     rng = random.Random(seed)
@@ -63,7 +68,11 @@ def meta_worker(root: str, qid: str, epochs: int, seed: int) -> None:
             continue
         entry = {
             "path": f"data/{qid}-{e:04d}.parquet",
-            "bucket": rng.randrange(4),
+            "bucket": (
+                bucket_base + rng.randrange(2)
+                if bucket_base is not None
+                else rng.randrange(4)
+            ),
             "rows": 1,
             "delta": True,
             "kmin": None,
@@ -87,6 +96,56 @@ def meta_worker(root: str, qid: str, epochs: int, seed: int) -> None:
                 time.sleep(0.002 * rng.random())
         else:
             raise RuntimeError(f"{qid} epoch {e}: rebase never converged")
+
+
+def txn_worker(workdir: str, epochs: int, seed: int) -> None:
+    """Multi-table transaction publisher under SIGKILL fuzzing: per epoch,
+    settle predecessors' debris (recover_transactions), assert NO TORN
+    EPOCH survived recovery (the atomicity invariant this stress exists
+    to check), drop own stale staged twins, stage one metadata entry per
+    table (buckets 0-1 — a concurrent background writer owns 2-3, so
+    publishes REBASE over its commits rather than conflict), publish
+    transactionally."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.lakette.txn import (
+        _writer_published_version,
+        publish_transaction,
+        recover_transactions,
+    )
+
+    rng = random.Random(seed)
+    tables = [LaketteTable(os.path.join(workdir, n)) for n in ("ta", "tb")]
+    tmap = {t.root: t for t in tables}
+    txn_dir = os.path.join(workdir, "txns")
+    qid = "T"
+    for e in range(epochs):
+        recover_transactions(txn_dir, tables=tmap, grace_seconds=0)
+        stamped = [
+            _writer_published_version(t, {"query_id": qid, "epoch": e})
+            is not None
+            for t in tables
+        ]
+        if all(stamped):
+            continue
+        if any(stamped):
+            raise RuntimeError(f"TORN epoch {e} survived recovery: {stamped}")
+        members = []
+        for t in tables:
+            for rec in t.list_staged():
+                w = rec.get("writer") or {}
+                if w.get("query_id") == qid and w.get("epoch") == e:
+                    t.abort_staged(rec["stage_id"])  # crashed attempt's twin
+            sid = t.stage_commit(
+                new_files=[{
+                    "path": f"data/{qid}-{e:04d}.parquet",
+                    "bucket": rng.randrange(2), "rows": 1, "delta": True,
+                    "kmin": None, "kmax": None, "smax": e,
+                }],
+                replaced_buckets=set(),
+                writer={"query_id": qid, "epoch": e},
+            )
+            members.append((t, sid))
+        publish_transaction(members, txn_dir)
 
 
 def vacuum_worker(root: str, duration: float) -> None:
@@ -320,6 +379,97 @@ def run_meta_seed(seed: int, epochs: int = 25, workdir: str | None = None) -> di
             "version": raw["version"], "files": len(paths)}
 
 
+def run_txn_seed(seed: int, epochs: int = 15, workdir: str | None = None) -> dict:
+    """Two tables, one transaction publisher SIGKILLed up to 3 times and
+    restarted, a concurrent disjoint-bucket background writer on table A.
+    Invariants at the end (after a final recovery sweep): every txn epoch's
+    writer stamp is present on BOTH chains (no torn epoch, exactly once),
+    the background writer landed every epoch, no staged leftovers, no
+    live (pending/committed) txn records, maintained counters exact."""
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.lakette.txn import (
+        _writer_published_version,
+        recover_transactions,
+    )
+
+    rng = random.Random(seed ^ 0x7A)
+    tmp = workdir or tempfile.mkdtemp(prefix=f"fk_stress_txn_{seed}_")
+    schema = T.StructType(
+        [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType())]
+    )
+    roots = [os.path.join(tmp, n) for n in ("ta", "tb")]
+    for r in roots:
+        LaketteTable.create(r, schema, ["repo", "path"], n_buckets=4)
+    txn_dir = os.path.join(tmp, "txns")
+
+    def worker() -> subprocess.Popen:
+        return _spawn(
+            ["--txn-worker", "--root", tmp, "--epochs", "15",
+             "--seed", str(seed)]
+        )
+
+    bg = _spawn(
+        ["--meta-worker", "--root", roots[0], "--qid", "BG",
+         "--epochs", "15", "--seed", str(seed), "--bucket-base", "2"]
+    )
+    w = worker()
+    kills = 0
+    deadline = time.monotonic() + 180
+    while w.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.05 + 0.3 * rng.random())
+        if w.poll() is None and kills < 3 and rng.random() < 0.5:
+            w.send_signal(signal.SIGKILL)
+            w.wait()
+            kills += 1
+            w = worker()
+    rc_w = w.wait(timeout=180)
+    rc_bg = bg.wait(timeout=180)
+
+    tables = [LaketteTable(r) for r in roots]
+    recover_transactions(txn_dir, tables={t.root: t for t in tables},
+                         grace_seconds=0)
+    torn = exactly_once_ok = True
+    for e in range(15):
+        got = [
+            _writer_published_version(t, {"query_id": "T", "epoch": e})
+            for t in tables
+        ]
+        if (got[0] is None) != (got[1] is None):
+            torn = False
+        if got[0] is None:
+            exactly_once_ok = False
+    a_files = [f["path"] for f in tables[0].current_metadata()["files"]]
+    bg_ok = all(f"data/BG-{e:04d}.parquet" in a_files for e in range(15))
+    once_ok = all(
+        a_files.count(f"data/T-{e:04d}.parquet") == 1 for e in range(15)
+    )
+    staged_left = sum(len(t.list_staged()) for t in tables)
+    live_records = sum(
+        1
+        for fn in os.listdir(txn_dir)
+        if fn.endswith(".json")
+        and json.load(open(os.path.join(txn_dir, fn)))["state"]
+        in ("pending", "committed")
+    )
+    raw = tables[0]._raw_current()
+    counters_ok = tables[0]._bucket_stats(raw) == tables[0]._bucket_stats(
+        {k: v for k, v in raw.items() if k != "bucket_stats"}
+    )
+    ok = (
+        rc_w == 0 and rc_bg == 0 and torn and exactly_once_ok and bg_ok
+        and once_ok and staged_left == 0 and live_records == 0 and counters_ok
+    )
+    return {
+        "seed": seed, "ok": ok, "kills": kills, "rc": (rc_w, rc_bg),
+        "torn_free": torn, "complete": exactly_once_ok, "bg_ok": bg_ok,
+        "exactly_once": once_ok, "staged_left": staged_left,
+        "live_records": live_records, "counters_ok": counters_ok,
+        "versions": [int(t._raw_current()["version"]) for t in tables],
+    }
+
+
 def run_spark_seed(
     seed: int,
     n_events: int = 30_000,
@@ -397,7 +547,8 @@ def run_spark_seed(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--level", choices=["meta", "spark", "memvac"], default="meta")
+    ap.add_argument("--level", choices=["meta", "spark", "memvac", "txn"],
+                    default="meta")
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--events", type=int, default=30_000)
@@ -405,6 +556,8 @@ def main() -> None:
     ap.add_argument("--meta-worker", action="store_true")
     ap.add_argument("--spark-worker", action="store_true")
     ap.add_argument("--vacuum-worker", action="store_true")
+    ap.add_argument("--txn-worker", action="store_true")
+    ap.add_argument("--bucket-base", type=int, default=None)
     ap.add_argument("--duration", type=float, default=240.0)
     ap.add_argument("--with-vacuum", action="store_true",
                     help="spark level: run a concurrent vacuum/retention loop")
@@ -415,13 +568,17 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.meta_worker:
-        meta_worker(args.root, args.qid, args.epochs, args.seed)
+        meta_worker(args.root, args.qid, args.epochs, args.seed,
+                    bucket_base=args.bucket_base)
         return
     if args.spark_worker:
         spark_worker(args.root, args.log, args.qid)
         return
     if args.vacuum_worker:
         vacuum_worker(args.root, args.duration)
+        return
+    if args.txn_worker:
+        txn_worker(args.root, args.epochs, args.seed)
         return
 
     results = []
@@ -430,6 +587,8 @@ def main() -> None:
             r = run_meta_seed(s, epochs=args.epochs)
         elif args.level == "memvac":
             r = run_memvac_seed(s, epochs=args.epochs)
+        elif args.level == "txn":
+            r = run_txn_seed(s)
         else:
             r = run_spark_seed(s, n_events=args.events,
                                with_vacuum=args.with_vacuum)

@@ -210,3 +210,31 @@ def test_writerless_stage_rejected(spark, tmp_path):
     sid = a.stage_commit(new_files=[], replaced_buckets=set(), writer=None)
     with pytest.raises(ValueError, match="writer stamp"):
         publish_transaction([(a, sid)], str(tmp_path / "txn"))
+
+
+def test_disjoint_interleaving_rebases_through(spark, tmp_path):
+    """Pre-flip validation uses the SAME independence rule as the publish
+    CAS: a provably-disjoint interleaving commit (different bucket) must
+    NOT abort the transaction — it rebases at publish, both members land."""
+    a, b = _two_tables(spark, tmp_path)
+    sa = _stage(spark, a, [_ev("U", 2, "x", "vA")], 1)
+    sb = _stage(spark, b, [_ev("U", 2, "y", "vB")], 1)
+
+    # find a path hashing to the OTHER bucket than 'x' on table a
+    probe = spark.createDataFrame(
+        [("r", f"p{i}") for i in range(16)], "repo string, path string"
+    ).select("path", a.bucket_expr().alias("b")).collect()
+    x_bucket = (
+        spark.createDataFrame([("r", "x")], "repo string, path string")
+        .select(a.bucket_expr().alias("b")).first().b
+    )
+    other = next(r.path for r in probe if r.b != x_bucket)
+    merge_into(spark, a,
+               spark.createDataFrame([_ev("I", 5, other, "bg")], _DDL),
+               query_id="bg", epoch=0)
+
+    rec = publish_transaction([(a, sa), (b, sb)], str(tmp_path / "txn"))
+    assert rec["state"] == "done"
+    assert a.snapshot(spark).filter("content = 'vA'").count() == 1
+    assert a.snapshot(spark).filter("content = 'bg'").count() == 1  # both live
+    assert b.snapshot(spark).filter("content = 'vB'").count() == 1
