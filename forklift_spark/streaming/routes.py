@@ -8,11 +8,15 @@ expressed Spark-first: per epoch the batch is materialized once
 ordinary exactly-once `merge_into`. No extra scans of the source, no
 Python on the row path.
 
-Exactly-once is PER ROUTE: each route merges under its own query_id, so
-its destination's epoch markers gate it independently. A crash between
-route A's commit and route B's commit replays the epoch — A skips on its
-marker, B applies — which converges without cross-table transactions
-(same contract as any multi-sink CDC fan-out; document, don't pretend).
+Exactly-once is PER ROUTE by default: each route merges under its own
+query_id, so its destination's epoch markers gate it independently. A
+crash between route A's commit and route B's commit replays the epoch —
+A skips on its marker, B applies — which converges without cross-table
+transactions (same contract as any multi-sink CDC fan-out). When a torn
+epoch must never be OBSERVABLE either (dashboards joining the
+destinations mid-replay), `atomic=True` upgrades the epoch to one
+multi-table transaction (lakette/txn.py) at the cost of a txn record
+put per epoch — see merge_routes.
 
 A route's mapping spec defines the COMPLETE output envelope, so it must
 emit `op`, `seq`, and the destination's key columns — enforced loudly at
@@ -72,15 +76,50 @@ def merge_routes(
     epoch: int,
     query_prefix: str = "route",
     src_offsets: tuple[int, int] | None = None,
+    atomic: bool = False,
+    txn_dir: str | None = None,
 ) -> dict[str, MergeStats]:
     """Apply one micro-batch to every route, exactly-once per route.
 
     The batch is persisted once and each route's filter + mapping +
     merge runs against the cached plan — the source is scanned at most
     once per epoch regardless of route count. Routes whose epoch already
-    committed (crash replay) skip on their own markers."""
+    committed (crash replay) skip on their own markers.
+
+    `atomic=True` (requires `txn_dir`) upgrades the per-route contract to
+    a MULTI-TABLE TRANSACTION (lakette/txn.py): every route's merge
+    STAGES (publish=False), then one publish_transaction lands them all —
+    a reader can never observe epoch N on destination A but not B. Crash
+    recovery is built in: each call first sweeps txn_dir
+    (recover_transactions, grace 0 — this loop is the txn_dir's single
+    owner BY CONTRACT; give concurrent publishers their own dirs), so a
+    death after the commit point rolls the remainder FORWARD before the
+    epoch gate reads the stamps, and a death before it rolls the staged
+    members BACK and the replayed epoch re-stages fresh. Two routes
+    sharing one destination table are rejected loudly (their publishes
+    would conflict inside the transaction by construction)."""
     for name, r in routes.items():
         _validate_route(name, r)
+    if atomic:
+        if txn_dir is None:
+            raise ValueError("atomic=True requires txn_dir=")
+        seen: dict[str, str] = {}
+        for name, r in routes.items():
+            if r.table.root in seen:
+                raise ValueError(
+                    f"atomic fan-out routes {seen[r.table.root]!r} and "
+                    f"{name!r} share destination {r.table.root} — their "
+                    "publishes would conflict inside one transaction; give "
+                    "them separate tables or drop atomic"
+                )
+            seen[r.table.root] = name
+        from ..lakette.txn import publish_transaction, recover_transactions
+
+        recover_transactions(
+            txn_dir,
+            tables={r.table.root: r.table for r in routes.values()},
+            grace_seconds=0,
+        )
     cached = batch_df.persist()
     out: dict[str, MergeStats] = {}
     try:
@@ -100,9 +139,23 @@ def merge_routes(
                 salt_buckets=r.salt_buckets,
                 dedupe_strategy=r.dedupe_strategy,
                 src_offsets=src_offsets,
+                publish=not atomic,
             )
     finally:
         cached.unpersist()
+    if atomic:
+        members = [
+            (routes[name].table, s.stage_id)
+            for name, s in out.items()
+            if not s.skipped and s.stage_id
+        ]
+        if members:
+            rec = publish_transaction(members, txn_dir)
+            published = {m["root"]: m["published_version"] for m in rec["members"]}
+            for name, s in out.items():
+                v = published.get(routes[name].table.root)
+                if v is not None:
+                    s.version = v
     return out
 
 
@@ -118,18 +171,26 @@ def run_ingest_routed(
     timeout_sec: int | None = None,
     compact_every: int | None = None,
     on_epoch: Callable[[int, dict[str, MergeStats]], None] | None = None,
+    atomic: bool = False,
 ) -> RoutedIngestReport:
     """Streaming fan-out: rate-limited file tail -> foreachBatch ->
     merge_routes. availableNow drains the backlog and stops. Per-route
     incremental compaction keeps every destination's delta backlog
-    bounded (same policy as run_ingest)."""
+    bounded (same policy as run_ingest).
+
+    `atomic=True` publishes every epoch as one multi-table transaction
+    (merge_routes docstring): no reader ever sees a torn epoch across
+    the destinations, crash recovery included. Transaction records live
+    under `<checkpoint_dir>/txns` beside the stream's own state."""
     from .ingest import CHANGELOG_SCHEMA
 
     report = RoutedIngestReport()
+    txn_dir = f"{checkpoint_dir}/txns" if atomic else None
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         stats = merge_routes(
-            spark, routes, batch_df, epoch=epoch_id, query_prefix=query_id
+            spark, routes, batch_df, epoch=epoch_id, query_prefix=query_id,
+            atomic=atomic, txn_dir=txn_dir,
         )
         report.epochs.append(stats)
         if on_epoch is not None:

@@ -133,3 +133,91 @@ def test_mapping_missing_envelope_rejected(spark, tmp_path):
             spark.createDataFrame([], CHANGELOG_SCHEMA),
             epoch=0,
         )
+
+
+def test_atomic_fanout_converges_and_records_txns(spark, tmp_path, log_dir):
+    """atomic=True: the streaming fan-out lands every epoch as one
+    multi-table transaction — destinations converge identically to the
+    per-route mode, with a 'done' record per applied epoch."""
+    import json
+    import os
+
+    routes = _routes(tmp_path)
+    report = run_ingest_routed(
+        spark, log_dir, routes, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, atomic=True,
+    )
+    assert len(report.epochs) >= 2
+    _verify_split(spark, routes)
+    txn_dir = str(tmp_path / "ckpt" / "txns")
+    recs = [
+        json.loads(open(os.path.join(txn_dir, f)).read())
+        for f in sorted(os.listdir(txn_dir))
+        if f.endswith(".json")
+    ]
+    applied = sum(
+        1 for e in report.epochs if any(not s.skipped for s in e.values())
+    )
+    assert len(recs) == applied
+    assert all(r["state"] == "done" for r in recs)
+    # published versions reported back onto the per-route stats
+    last = report.epochs[-1]
+    assert all(s.version is not None for s in last.values() if not s.skipped)
+
+
+def test_atomic_fanout_crash_replay_heals_torn_epoch(spark, tmp_path, log_dir):
+    """Die after the commit point with only destination 'lo' published;
+    the REPLAYED epoch must roll 'hi' forward through recovery before the
+    epoch gate, then land subsequent epochs normally — no torn state, no
+    double-apply."""
+    import json
+    import os
+
+    from forklift_spark.lakette.table import LaketteTable as _LT
+
+    routes = _routes(tmp_path)
+    df = spark.read.schema(CHANGELOG_SCHEMA).parquet(f"{log_dir}/seg-*.parquet")
+    txn_dir = str(tmp_path / "txns")
+
+    class Boom(BaseException):
+        pass
+
+    real = _LT.publish_staged
+
+    def dying(self, stage_id):
+        if self.root == routes["hi"].table.root:
+            raise Boom("simulated death between member publishes")
+        return real(self, stage_id)
+
+    _LT.publish_staged = dying
+    try:
+        with pytest.raises(BaseException, match="simulated death"):
+            merge_routes(spark, routes, df, epoch=0, atomic=True,
+                         txn_dir=txn_dir)
+    finally:
+        _LT.publish_staged = real
+
+    # torn mid-crash: lo published, hi still staged+invisible
+    assert routes["lo"].table.snapshot(spark).count() > 0
+    assert routes["hi"].table.snapshot(spark).count() == 0
+    rec = [json.loads(open(os.path.join(txn_dir, f)).read())
+           for f in os.listdir(txn_dir) if f.endswith(".json")]
+    assert len(rec) == 1 and rec[0]["state"] == "committed"
+
+    # the replay: recovery rolls hi forward, both gates then skip
+    stats = merge_routes(spark, routes, df, epoch=0, atomic=True,
+                         txn_dir=txn_dir)
+    assert all(s.skipped for s in stats.values())
+    _verify_split(spark, routes)
+    rec = [json.loads(open(os.path.join(txn_dir, f)).read())
+           for f in os.listdir(txn_dir) if f.endswith(".json")]
+    assert rec[0]["state"] == "done"
+
+
+def test_atomic_fanout_rejects_shared_destination(spark, tmp_path):
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    routes = {"a": Route(table=t), "b": Route(table=t)}
+    df = spark.createDataFrame([], CHANGELOG_SCHEMA)
+    with pytest.raises(ValueError, match="share destination"):
+        merge_routes(spark, routes, df, epoch=0, atomic=True,
+                     txn_dir=str(tmp_path / "txns"))
