@@ -258,6 +258,29 @@ def main() -> None:
         "O(table).",
     )
 
+    # Z-order writer input (r5): Morton key over per-bucket rank windows
+    from forklift_spark.operators.merge import _zorder_expr
+
+    zsrc = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+        (F.col("id") % 11).cast("string").alias("grp"),
+        (F.col("id") % 8).cast("int").alias("_bucket"),
+    )
+    add(
+        "Z-order compaction writer input (r5)",
+        zsrc.repartition(8, "_bucket")
+        .withColumn("_z", _zorder_expr(["lang", "grp"]))
+        .sortWithinPartitions("_bucket", "_z", "id"),
+        "Expect: ONE exchange (the bucket repartition); both percent_rank "
+        "Window operators sit ABOVE it with local Sort children only — "
+        "ClusteredDistribution on _bucket is satisfied by the repartition, "
+        "so the Morton key costs CPU, never a second shuffle. This is the "
+        "plan-level proof behind tests/test_clustering.py's one-Exchange "
+        "assert; the layout's payoff is in BENCH/CLUSTERING.md (file-prune "
+        "counts, deterministic).",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
