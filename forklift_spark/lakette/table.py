@@ -565,7 +565,16 @@ class LaketteTable:
                 for _, rel in sorted(meta.get("manifests", {}).items())
             ]
             if not paths:
-                return spark.createDataFrame([], entry)
+                # same schema + view semantics as the populated path — a
+                # dashboard query must work identically on an empty table
+                df = spark.createDataFrame([], entry)
+                df = df.withColumn(
+                    "cstats_json",
+                    F.when(F.col("cstats").isNotNull(), F.to_json("cstats")),
+                ).drop("cstats")
+                if view:
+                    df.createOrReplaceTempView(view)
+                return df
             df = (
                 spark.read.schema(shard).json(paths)
                 .select(F.explode("files").alias("f"), F.col("nb").alias("_snb"))

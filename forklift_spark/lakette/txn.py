@@ -21,12 +21,21 @@ arbiter):
   5. state="done".
 
 Crash atomicity: recover_transactions() rolls a dead "pending" record
-BACK (abort the staged members — nothing was ever visible; gated behind
-a grace age so a LIVE publisher pre-flip is never raced) and rolls a
+BACK (abort the staged members — nothing was ever visible) and rolls a
 dead "committed" record FORWARD (publish the remaining members). Both
 directions are idempotent: a member whose publish landed but whose
 record update was lost is recognized by its WRITER STAMP in the version
-chain (bounded O(retained versions) metadata reads) and skipped.
+chain (bounded O(retained versions) metadata reads), skipped, and its
+epoch marker written (publication IS epoch completion — without the
+marker the exactly-once gate would rest on the current-writer stamp
+alone, which the table's next commit overwrites). Roll-back is gated
+behind a grace age; the grace must exceed the publisher's worst-case
+pre-flip stall (validation I/O included) — the flip re-checks the
+record state to shrink the race to one read-write window, and the
+txn_dir single-owner contract is what closes it. Terminal records are
+renamed {id}.{done|aborted}.json so the sweep skips them by FILENAME —
+O(live records) per call however many epochs have run; the terminal
+copies are the audit trail and can be deleted freely.
 
 Concurrency limits, stated honestly: atomicity across tables holds
 against crashes, not against arbitrary CONCURRENT writers — if an
@@ -71,8 +80,39 @@ def _record_path(txn_dir: str, txn_id: str) -> str:
     return os.path.join(txn_dir, f"{txn_id}.json")
 
 
+def _finalize(fs: Storage, txn_dir: str, record: dict) -> None:
+    """Move a terminal (done/aborted) record aside BY FILENAME
+    ({id}.json -> {id}.{state}.json) so the recovery sweep skips it
+    without a read — keeps the per-epoch sweep O(live records), not
+    O(all epochs ever). Terminal copies are the audit trail; delete them
+    freely. Crash between copy and remove leaves both files: recovery
+    re-processes the live one (idempotent) and finalizes again."""
+    fs.put_json(
+        os.path.join(txn_dir, f"{record['txn_id']}.{record['state']}.json"),
+        record,
+    )
+    try:
+        fs.remove(_record_path(txn_dir, record["txn_id"]))
+    except (OSError, FileNotFoundError):
+        pass
+
+
 def _publish_member(table: LaketteTable, m: dict) -> int:
-    """Publish one member idempotently. Returns the published version."""
+    """Publish one member idempotently; returns the published version and
+    writes the member's EPOCH MARKER — the staging merge could not (no
+    commit existed yet), and without it the exactly-once gate degrades to
+    the current-writer stamp alone, which the next commit on the table
+    (e.g. a same-epoch compaction) overwrites."""
+
+    def _mark(v: int) -> int:
+        w = m["writer"]
+        try:
+            snap = int(table._raw_metadata_at(int(v))["snapshot_id"])
+        except (ValueError, OSError, KeyError):
+            snap = -1  # version already vacuumed; marker existence is what gates
+        table.write_epoch_marker(w["query_id"], int(w["epoch"]), snap)
+        return int(v)
+
     try:
         table.staged_record(m["stage_id"])
     except (OSError, FileNotFoundError):
@@ -81,13 +121,13 @@ def _publish_member(table: LaketteTable, m: dict) -> int:
         # in the chain disambiguates
         v = _writer_published_version(table, m["writer"])
         if v is not None:
-            return v
+            return _mark(v)
         raise ValueError(
             f"member {m['root']} stage {m['stage_id']} vanished without a "
             "matching writer stamp in the chain — aborted by someone else?"
         )
     try:
-        return int(table.publish_staged(m["stage_id"]).version)
+        return _mark(table.publish_staged(m["stage_id"]).version)
     except CommitConflictError:
         v = _writer_published_version(table, m["writer"])
         if v is not None:
@@ -97,7 +137,7 @@ def _publish_member(table: LaketteTable, m: dict) -> int:
                 table.abort_staged(m["stage_id"], delete_files=False)
             except (OSError, FileNotFoundError):
                 pass
-            return v
+            return _mark(v)
         raise
 
 
@@ -113,6 +153,17 @@ def publish_transaction(
     fs = storage or PosixStorage()
     fs.makedirs(txn_dir)
     txn_id = txn_id or uuid.uuid4().hex[:16]
+    roots: dict[str, int] = {}
+    for i, (table, _) in enumerate(members):
+        if table.root in roots:
+            raise ValueError(
+                f"members {roots[table.root]} and {i} share table "
+                f"{table.root} — the second publish would conflict with the "
+                "first INSIDE the transaction by construction (one staged "
+                "commit per table per transaction; fold the changes into "
+                "one stage instead)"
+            )
+        roots[table.root] = i
     recs = []
     for table, stage_id in members:
         rec = table.staged_record(stage_id)  # raises if missing
@@ -167,14 +218,30 @@ def publish_transaction(
         except CommitConflictError as e:
             record["state"] = "aborted"
             record["abort_reason"] = f"{t.root}: {e}"
-            fs.put_json(path, record)
+            _finalize(fs, txn_dir, record)
             raise CommitConflictError(
                 f"txn {txn_id}: member {t.root} conflicts with a commit that "
                 "landed since staging — nothing was published; re-stage "
                 "against the current version (staged records left intact)"
             ) from e
 
-    record["state"] = "committed"  # THE commit point
+    # THE commit point — but check first that a recovery sweep did not
+    # roll this record back while validation ran (a slow pre-flip past the
+    # recovery grace). The read-then-write still has a syscall-wide
+    # window; the txn_dir ownership contract (one publisher, grace well
+    # above its worst-case stall) is what actually closes it — documented,
+    # not pretended away.
+    live = fs.read_json(path) if fs.exists(path) else None
+    if live is None or live.get("state") != "pending":
+        raise CommitConflictError(
+            f"txn {txn_id} was rolled back by a recovery sweep while "
+            "validating (record state: "
+            f"{live.get('state') if live else 'gone'}) — nothing was "
+            "published by THIS publisher; its staged members were aborted "
+            "by the sweep, so re-stage and retry (and raise the recovery "
+            "grace above this publisher's worst-case stall)"
+        )
+    record["state"] = "committed"
     fs.put_json(path, record)
 
     for (table, _), m in zip(recs, record["members"]):
@@ -191,7 +258,7 @@ def publish_transaction(
             ) from e
         fs.put_json(path, record)
     record["state"] = "done"
-    fs.put_json(path, record)
+    _finalize(fs, txn_dir, record)
     return record
 
 
@@ -211,35 +278,55 @@ def recover_transactions(
     fs = storage or PosixStorage()
     if not fs.isdir(txn_dir):
         return []
-    out = []
+    out: list[dict[str, Any]] = []
+    errors: list[str] = []
     for fn in sorted(fs.listdir(txn_dir)):
-        if not fn.endswith(".json"):
+        # terminal records were renamed to {id}.{done|aborted}.json by
+        # _finalize — skipped HERE BY FILENAME, no read, so the per-epoch
+        # sweep in streaming loops stays O(live records) however many
+        # epochs have ever run (the terminal copies are the audit trail)
+        if not fn.endswith(".json") or fn.endswith(
+            (".done.json", ".aborted.json")
+        ):
             continue
         path = os.path.join(txn_dir, fn)
-        record = fs.read_json(path)
-        state = record.get("state")
-        if state == "pending":
-            age = time.time() - record.get("created_at", 0)
-            if age <= grace_seconds:
-                continue  # possibly a live publisher pre-flip
-            for m in record["members"]:
-                t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
-                try:
-                    t.abort_staged(m["stage_id"])
-                except (OSError, FileNotFoundError):
-                    pass  # already gone
-            record["state"] = "aborted"
-            record["abort_reason"] = "publisher died before the commit point"
-            fs.put_json(path, record)
-            out.append(record)
-        elif state == "committed":
-            for m in record["members"]:
-                if m.get("published_version") is not None:
-                    continue
-                t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
-                m["published_version"] = _publish_member(t, m)
-                fs.put_json(path, record)
-            record["state"] = "done"
-            fs.put_json(path, record)
-            out.append(record)
+        try:
+            record = fs.read_json(path)
+            state = record.get("state")
+            if state == "pending":
+                age = time.time() - record.get("created_at", 0)
+                if age <= grace_seconds:
+                    continue  # possibly a live publisher pre-flip
+                for m in record["members"]:
+                    t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
+                    try:
+                        t.abort_staged(m["stage_id"])
+                    except (OSError, FileNotFoundError):
+                        pass  # already gone
+                record["state"] = "aborted"
+                record["abort_reason"] = "publisher died before the commit point"
+                _finalize(fs, txn_dir, record)
+                out.append(record)
+            elif state in ("committed", "done"):
+                # "done" in a LIVE file = crash between _finalize's copy
+                # and remove — re-finalizing is the whole repair
+                for m in record["members"]:
+                    if m.get("published_version") is not None:
+                        continue
+                    t = (tables or {}).get(m["root"]) or LaketteTable(m["root"])
+                    m["published_version"] = _publish_member(t, m)
+                    fs.put_json(path, record)
+                record["state"] = "done"
+                _finalize(fs, txn_dir, record)
+                out.append(record)
+        except Exception as e:  # noqa: BLE001 — isolate per record
+            # one poisoned record (persistent conflict, vanished stage)
+            # must not starve the records after it of their roll-forward;
+            # process everything, then raise the aggregate LOUDLY
+            errors.append(f"{fn}: {type(e).__name__}: {e}")
+    if errors:
+        raise RuntimeError(
+            f"recover_transactions: {len(errors)} record(s) could not be "
+            f"settled (all others were processed): {'; '.join(errors)}"
+        )
     return out

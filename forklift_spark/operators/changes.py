@@ -342,12 +342,15 @@ def expire_exported_spans(
     storage=None,
 ) -> dict:
     """Retention for an export drop: delete all but the newest `keep_last`
-    committed spans (span dir FIRST, marker LAST — the crash windows leave
-    either a fully valid span or an invisible orphan dir, never a marker
-    without data). Consumers past the cut are unaffected; a NEW consumer
-    can no longer bootstrap from the expired history — the same
-    time-travel-vs-retention trade vacuum() makes, so run it on the same
-    cadence contract (only expire spans every live consumer has passed)."""
+    committed spans — marker FIRST, span dir after (the export write
+    discipline inverted: a crash between the two leaves an invisible
+    orphan dir the next expire run can't even see but any cleanup can
+    delete freely — NEVER a live marker pointing at deleted data, which
+    would break every consumer until someone noticed). Consumers past the
+    cut are unaffected; a NEW consumer can no longer bootstrap from the
+    expired history — the same time-travel-vs-retention trade vacuum()
+    makes, so run it on the same cadence contract (only expire spans
+    every live consumer has passed)."""
     import json as _json
     import shutil as _shutil
 
@@ -365,9 +368,8 @@ def expire_exported_spans(
     report = {"expired": len(expired), "kept": len(marked) - len(expired)}
     for _, fn in expired:
         rec = _json.loads(fs.read_text(os.path.join(marker_dir, fn)))
-        span_dir = os.path.join(out_root, rec["path"])
-        _shutil.rmtree(span_dir, ignore_errors=True)
-        fs.remove(os.path.join(marker_dir, fn))
+        fs.remove(os.path.join(marker_dir, fn))  # invisible from here on
+        _shutil.rmtree(os.path.join(out_root, rec["path"]), ignore_errors=True)
     return report
 
 

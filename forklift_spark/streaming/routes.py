@@ -120,6 +120,17 @@ def merge_routes(
             tables={r.table.root: r.table for r in routes.values()},
             grace_seconds=0,
         )
+        # sweep THIS epoch's staged twins from crashed attempts that died
+        # before their txn record existed (or whose pre-flip abort left
+        # the stage intact): without it each crash-replay cycle leaks one
+        # staged record per route — and stage_commit documents that
+        # vacuum() protects staged files, so the leak would be permanent
+        for name, r in routes.items():
+            qid = f"{query_prefix}:{name}"
+            for srec in r.table.list_staged():
+                w = srec.get("writer") or {}
+                if w.get("query_id") == qid and w.get("epoch") == epoch:
+                    r.table.abort_staged(srec["stage_id"])
     cached = batch_df.persist()
     out: dict[str, MergeStats] = {}
     try:

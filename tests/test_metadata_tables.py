@@ -89,3 +89,14 @@ def test_history_df_tracks_the_version_chain(spark, tmp_path):
         "SELECT version FROM t_hist ORDER BY version DESC LIMIT 1"
     ).first()
     assert top.version == cur["version"]
+
+
+def test_files_df_empty_table_has_full_surface(spark, tmp_path):
+    """A freshly created table (zero manifests) must expose the SAME
+    schema and view semantics as a populated one — a dashboard query
+    written against cstats_json cannot break on an empty table."""
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    df = t.files_df(spark, view="empty_files")
+    assert df.count() == 0
+    assert "cstats_json" in df.columns and "cstats" not in df.columns
+    assert spark.sql("SELECT count(*) AS n FROM empty_files").first().n == 0

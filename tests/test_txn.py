@@ -238,3 +238,60 @@ def test_disjoint_interleaving_rebases_through(spark, tmp_path):
     assert a.snapshot(spark).filter("content = 'vA'").count() == 1
     assert a.snapshot(spark).filter("content = 'bg'").count() == 1  # both live
     assert b.snapshot(spark).filter("content = 'vB'").count() == 1
+
+
+def test_review_hardenings(spark, tmp_path):
+    """Round-5 self-review closures: (a) publish writes each member's
+    epoch marker directly (the gate must not rest on the healing of the
+    NEXT commit alone); (b) terminal records rename to
+    {id}.{state}.json so the sweep skips them by filename; (c) two
+    members on one table are rejected in the PRIMITIVE; (d) one poisoned
+    record doesn't starve later records of their roll-forward — all are
+    processed, then the aggregate raises loudly."""
+    a, b = _two_tables(spark, tmp_path)
+    sa = _stage(spark, a, [_ev("U", 2, "x", "vA")], 1)
+    sb = _stage(spark, b, [_ev("U", 2, "y", "vB")], 1)
+    txn_dir = str(tmp_path / "txn")
+    publish_transaction([(a, sa), (b, sb)], txn_dir)
+    # (a) markers written at publish, not deferred to the next commit
+    assert a.fs.exists(a._marker_path("q", 1))
+    assert b.fs.exists(b._marker_path("q", 1))
+    # (b) the record finalized by filename; the sweep reads nothing
+    fns = os.listdir(txn_dir)
+    assert len(fns) == 1 and fns[0].endswith(".done.json")
+
+    # (c) same-table members rejected by the primitive itself
+    s1 = _stage(spark, a, [_ev("U", 3, "x", "v1")], 2)
+    s2 = a.stage_commit(new_files=[], replaced_buckets=set(),
+                        writer={"query_id": "q2", "epoch": 0})
+    with pytest.raises(ValueError, match="share table"):
+        publish_transaction([(a, s1), (a, s2)], txn_dir)
+    a.abort_staged(s1), a.abort_staged(s2)
+
+    # (d) poisoned record (stage vanished, no stamp) + healthy committed
+    # record: the healthy one still rolls forward, then the sweep raises
+    sc = _stage(spark, b, [_ev("U", 4, "y", "v4")], 3)
+    healthy = {
+        "txn_id": "zz-good", "state": "committed", "created_at": 0,
+        "members": [{
+            "root": b.root, "stage_id": sc,
+            "writer": b.staged_record(sc)["writer"],
+            "base_version": b.staged_record(sc)["base_version"],
+            "published_version": None,
+        }],
+    }
+    poison = {
+        "txn_id": "aa-poison", "state": "committed", "created_at": 0,
+        "members": [{
+            "root": a.root, "stage_id": "deadbeef00000000",
+            "writer": {"query_id": "ghost", "epoch": 99},
+            "base_version": 1, "published_version": None,
+        }],
+    }
+    json.dump(poison, open(os.path.join(txn_dir, "aa-poison.json"), "w"))
+    json.dump(healthy, open(os.path.join(txn_dir, "zz-good.json"), "w"))
+    with pytest.raises(RuntimeError, match="aa-poison"):
+        recover_transactions(txn_dir, tables={a.root: a, b.root: b})
+    # the healthy record (sorted AFTER the poison) was still settled
+    assert b.snapshot(spark).filter("content = 'v4'").count() == 1
+    assert os.path.exists(os.path.join(txn_dir, "zz-good.done.json"))
