@@ -136,6 +136,39 @@ def cdc_changes(spark, sf):
     return snapshot_diff(spark, table, versions["I"], versions["D"])
 
 
+#: the metadata-table invariant an independent engine can check: after
+#: replaying the whole changelog COW-style, the lake holds exactly one
+#: physical row per key (winner or tombstone) — so the files_df row
+#: counters must sum to the key count DuckDB derives from the raw data
+_META_FILES_SQL = "SELECT count(*) AS total_rows FROM documents"
+
+
+@q("meta_files", _META_FILES_SQL, extra=True)
+def meta_files(spark, sf):
+    """Metadata tables end-to-end (table.files_df): replay the 3 epochs,
+    then aggregate the per-file row counters OF THE MANIFEST SHARDS
+    (parsed by executors via spark.read.json — no driver file-list
+    materialization) and check them against DuckDB's independent count of
+    the keys the changelog must leave behind. Proves the manifest
+    counters, the shard parsing, and the COW one-row-per-key invariant in
+    one query."""
+    from forklift_spark.streaming.ingest import create_entity_table as _cet
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_meta_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = _cet(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="meta",
+            epoch=i,
+        )
+    return table.files_df(spark).agg(F.sum("rows").alias("total_rows"))
+
+
 @q("export_scan", _CDC_CHANGES_SQL, extra=True)
 def export_scan(spark, sf):
     """CDC-out export sink end-to-end (operators/changes.py
