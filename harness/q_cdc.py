@@ -890,3 +890,48 @@ def scan_zorder(spark, sf):
         assert len(survivors("commit")) < n, "zorder pruned nothing on dim 2"
     snap = table.snapshot(spark, col_ranges=ranges)
     return snap.select("repo", "path", "seq", "commit", "lang")
+
+
+@q("catalog_scan", _CDC_LWW_SQL, extra=True)
+def catalog_scan(spark, sf):
+    """Catalog end-to-end (lakette/catalog.py): split the changelog by key
+    hash into TWO catalog tables, land every epoch as ONE transactional
+    catalog.publish (stage both halves -> publish_transaction -> a single
+    catalog CAS makes the pair visible together), then read the pair back
+    through catalog.sql_views at one catalog version and union them with
+    spark.sql. Split+union is an identity over the key-hash partition, so
+    the result must equal the one-table LWW oracle exactly — proving
+    registration, transactional publish, consistent version resolution,
+    and the SQL view surface in one query."""
+    from forklift_spark.lakette.catalog import Catalog
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_cat_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog.create(os.path.join(root, "cat"))
+    tabs = {}
+    for half in (0, 1):
+        tabs[half] = create_entity_table(
+            os.path.join(root, f"t{half}"), n_buckets=4
+        )
+        cat.register(f"half{half}", tabs[half].root)
+    log = _doc_changelog(spark, sf)
+    # split on the KEY columns so per-table LWW == global LWW per subset
+    split = F.crc32(F.concat_ws("\x00", "repo", "path")) % 2
+    for i, op in enumerate(["I", "U", "D"]):
+        ep = log.filter(F.col("op") == op).withColumn(
+            "event_ts", F.lit(None).cast("timestamp")
+        )
+        members = []
+        for half in (0, 1):
+            st = merge_into(
+                spark, tabs[half], ep.filter(split == half),
+                query_id="cat", epoch=i, publish=False,
+            )
+            members.append((f"half{half}", st.stage_id))
+        cat.publish(members)
+    cat.sql_views(spark, prefix="cat_")
+    return spark.sql(
+        "SELECT repo, path, seq, lang, content_sha FROM cat_half0 "
+        "UNION ALL "
+        "SELECT repo, path, seq, lang, content_sha FROM cat_half1"
+    )
