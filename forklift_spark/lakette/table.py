@@ -927,7 +927,12 @@ class LaketteTable:
         bloom-pruned (a dirty group's stale file could hide a key's true
         winner); dirty groups are read whole, resolved, then row-filtered.
         Files without a stored bloom are kept conservatively. NULL values
-        are rejected (use a filter — NULL never equals anything).
+        are rejected (use a filter — NULL never equals anything). A value
+        may also be a list/tuple/set — IN-set semantics: a file survives
+        if ANY member might be present (pruned only when every member is
+        provably absent), rows filter to membership. This is the
+        reverse-lookup shape derive_join's dimension-driven refresh uses
+        ("A rows whose fk is one of these N changed B keys").
 
         `columns` restricts the PAYLOAD columns read (key + engine columns
         always ride along; pass [] for keys-and-metadata only). This
@@ -1004,8 +1009,16 @@ class LaketteTable:
 
             clean_files = [f for f in clean_files if _hits(f)]
         if col_eq:
-            if any(v is None for v in col_eq.values()):
-                raise ValueError("col_eq values must be non-NULL")
+            for v in col_eq.values():
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
+                if len(vals) == 0:
+                    raise ValueError(
+                        "col_eq got an empty value list — an empty IN set "
+                        "matches nothing; filter driver-side instead of "
+                        "asking the scan to prove a vacuous truth"
+                    )
+                if any(x is None for x in vals):
+                    raise ValueError("col_eq values must be non-NULL")
             clean_files = self._bloom_prune(clean_files, col_eq)
 
         def _read(fs):
@@ -1052,7 +1065,10 @@ class LaketteTable:
             # the value (no false negatives), and dirty groups were read
             # whole — this row filter is what makes the result exact
             for c, v in col_eq.items():
-                df = df.filter(F.col(c) == F.lit(v))
+                if isinstance(v, (list, tuple, set)):
+                    df = df.filter(F.col(c).isin([x for x in v]))
+                else:
+                    df = df.filter(F.col(c) == F.lit(v))
         if min_seq is not None:
             # exactness under smax pruning: a pruned file only ever holds
             # rows with seq < min_seq, so any stale survivor the pruned
@@ -1084,8 +1100,13 @@ class LaketteTable:
         def _keep(f: dict) -> bool:
             blooms = f.get("bloom") or {}
             for c, v in col_eq.items():
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
                 spec = blooms.get(c)
-                if spec is not None and not might_contain(spec, v):
+                # IN-set semantics: prune only when EVERY value is
+                # provably absent (no false negatives by construction)
+                if spec is not None and not any(
+                    might_contain(spec, x) for x in vals
+                ):
                     return False
             return True
 

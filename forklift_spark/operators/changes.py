@@ -82,6 +82,22 @@ def diff_frames(
             )
             & F.col("o.content_sha").eqNullSafe(F.col("n.content_sha"))
         )
+        # content_sha only witnesses the CONTENT column; a table whose
+        # payload has no content (or diverged in a non-content column at
+        # the same seq — a spec-change resync does exactly this) needs the
+        # payload itself compared. Columns the caller's scans carry both
+        # sides join the comparison; a narrow keys-only scan keeps the
+        # historical (seq, deleted, sha) basis unchanged.
+        new_cols = set(new.columns)
+        for f in old.schema.fields:
+            if (
+                f.name in new_cols and f.name not in key_cols
+                and f.name not in ("seq", "deleted", "content_sha")
+                and not isinstance(f.dataType, T.MapType)
+            ):
+                same = same & F.col(f"o.{f.name}").eqNullSafe(
+                    F.col(f"n.{f.name}")
+                )
         change = F.when(
             n_exists & (~o_exists | ~same),
             F.when(n_tomb, F.lit("delete"))

@@ -362,15 +362,24 @@ def derive(
 
     def _resync() -> DeriveReport:
         # expected = transform of the current source snapshot; state-diff
-        # vs the destination (repair=True catches same-seq divergence via
-        # content_sha and emits deletes for extra dst keys), applied with
-        # overwrite=True through the COW path.
+        # vs the destination (repair=True catches same-seq divergence and
+        # emits deletes for extra dst keys), applied with overwrite=True
+        # through the COW path.
         report.resync = True
         expected = _expected_state(
             src.snapshot(spark, include_deleted=True, metadata=src_meta),
             mapping, key_cols, predicate,
         )
-        dst_snap = dst.snapshot(spark, include_deleted=True, columns=[])
+        payload_names = set(_payload_spec(mapping, key_cols))
+        # the repair diff compares every column BOTH scans carry: when
+        # content_sha witnesses the whole payload (payload == {content})
+        # a keys-only destination read suffices; any other payload must be
+        # read so same-seq divergence in it (a spec-change resync's whole
+        # point) is visible to the diff
+        dst_snap = dst.snapshot(
+            spark, include_deleted=True,
+            columns=[] if payload_names == {"content"} else None,
+        )
         payload_cols = [
             c for c in expected.columns
             if c not in key_cols and c not in ("seq", "deleted", "content_sha")

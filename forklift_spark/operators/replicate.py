@@ -219,8 +219,14 @@ def replicate(
         # requires the COW path regardless of the steady-state mode.
         report.resync = True
         src_snap = src.snapshot(spark, include_deleted=True, metadata=src_meta)
-        # replica side: keys + engine columns suffice to detect divergence
-        dst_snap = dst.snapshot(spark, include_deleted=True, columns=[])
+        # replica side: keys + engine columns suffice ONLY when content_sha
+        # witnesses the whole payload (payload == {content}); otherwise the
+        # payload itself must be read so the repair diff can see same-seq
+        # divergence in non-content columns (diff_frames repair basis)
+        dst_snap = dst.snapshot(
+            spark, include_deleted=True,
+            columns=[] if set(payload) == {"content"} else None,
+        )
         diff = diff_frames(
             dst_snap, src_snap, key_cols, payload,
             full_rows=True, repair=True,

@@ -935,3 +935,104 @@ def catalog_scan(spark, sf):
         "UNION ALL "
         "SELECT repo, path, seq, lang, content_sha FROM cat_half1"
     )
+
+
+#: final join state in pure SQL: LWW winners left-joined with the final
+#: dimension state (langs < 'm' were updated to family 'f1' mid-stream)
+_DERIVE_JOIN_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+final AS (
+  SELECT repo, path, seq, lang FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+dim AS (
+  SELECT DISTINCT lang,
+         CASE WHEN lang < 'm' THEN 'f1' ELSE 'f0' END AS family
+  FROM documents
+)
+SELECT f.repo, f.path, f.seq, f.lang, d.family
+FROM final f LEFT JOIN dim d ON f.lang = d.lang
+"""
+
+
+@q("derive_join_scan", _DERIVE_JOIN_SQL, extra=True)
+def derive_join_scan(spark, sf):
+    """Incremental join maintenance end-to-end (operators/derive_join.py):
+    replay the 3 changelog epochs into a FACT table with a per-lang
+    DIMENSION table updated mid-stream, refreshing the derived join after
+    EVERY source epoch — fact-driven spans, a dim-driven reverse-lookup
+    refresh, and a combined refresh all land incrementally (asserted: no
+    resync ever fires), and the final destination must equal the one-shot
+    SQL join of both sources' final states exactly."""
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.operators.derive_join import derive_join
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_dj_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    fact = create_entity_table(os.path.join(root, "fact"), n_buckets=8)
+    dim = LaketteTable.create(
+        os.path.join(root, "dim"),
+        T.StructType([
+            T.StructField("dlang", T.StringType()),
+            T.StructField("family", T.StringType()),
+        ]),
+        ["dlang"], n_buckets=2,
+    )
+    log = _doc_changelog(spark, sf)
+    langs = log.filter(F.col("op") == "I").select("lang").distinct()
+    merge_into(
+        spark, dim,
+        langs.select(F.lit("I").alias("op"), F.col("lang").alias("dlang"),
+                     F.lit("f0").alias("family"), F.lit(1).alias("seq").cast("long")),
+        query_id="dim", epoch=0,
+    )
+    on = {"lang": "dlang"}
+    mapping = {"lang": "lang", "family": "dim_family"}
+    dst_root = os.path.join(root, "dst")
+
+    def refresh():
+        r = derive_join(spark, fact, dim, dst_root, on, mapping)
+        assert not r.resync, "refresh must stay incremental"
+        return r
+
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark, fact,
+            log.filter(F.col("op") == op).withColumn(
+                "event_ts", F.lit(None).cast("timestamp")
+            ),
+            query_id="dj", epoch=i,
+        )
+        refresh()
+        if i == 0:
+            # mid-stream dimension update -> dim-driven reverse lookup
+            merge_into(
+                spark, dim,
+                langs.filter(F.col("lang") < "m").select(
+                    F.lit("U").alias("op"), F.col("lang").alias("dlang"),
+                    F.lit("f1").alias("family"),
+                    F.lit(2).alias("seq").cast("long"),
+                ),
+                query_id="dim", epoch=1,
+            )
+            r = refresh()
+            assert r.dim_refresh_path in ("pruned", "scan")
+    dst = LaketteTable(dst_root)
+    return dst.snapshot(spark).select("repo", "path", "seq", "lang", "family")

@@ -117,3 +117,37 @@ def test_tables_without_bloom_cols_unaffected(spark, tmp_path):
     assert all("bloom" not in f for f in plain.current_metadata()["files"])
     # col_eq still works — pure row filter, zero pruning
     assert plain.snapshot(spark, col_eq={"commit": "c1"}).count() == 1
+
+
+def test_col_eq_in_set_prunes_and_is_exact(spark, tmp_path):
+    """List values (IN-set semantics, derive_join's reverse-lookup shape):
+    a file survives if ANY member might be present; rows filter to
+    membership; empty lists and NULL members are loud."""
+    table = _table(str(tmp_path / "t"), target_file_rows=10)
+    rows = [_ev("I", i, f"p{i:03d}", commit=f"sha{i:03d}") for i in range(1, 81)]
+    _seed(spark, table, rows)
+    meta = table.current_metadata()
+    files = meta["files"]
+
+    # planning: an IN-set keeps the union of the members' files — strictly
+    # fewer than all, at least as many as each single member alone
+    want = ["sha007", "sha042", "sha077"]
+    kept = table._bloom_prune(files, {"commit": want})
+    assert 1 <= len(kept) < len(files)
+    for v in want:
+        single = table._bloom_prune(files, {"commit": v})
+        assert {f["path"] for f in single} <= {f["path"] for f in kept}
+
+    # end-to-end: equals the plain isin filter, misses included
+    got = sorted(
+        (r.path, r.commit)
+        for r in table.snapshot(
+            spark, col_eq={"commit": want + ["absent"]}
+        ).collect()
+    )
+    assert got == [("p007", "sha007"), ("p042", "sha042"), ("p077", "sha077")]
+
+    with pytest.raises(ValueError, match="empty"):
+        table.snapshot(spark, col_eq={"commit": []})
+    with pytest.raises(ValueError, match="non-NULL"):
+        table.snapshot(spark, col_eq={"commit": ["sha007", None]})
