@@ -520,3 +520,71 @@ def dq_split(spark, sf):
             F.array_join("dq_violations", ",").alias("dq_violations"),
         )
     )
+
+
+# ------------------------------------------------------ decontamination
+
+#: benchmark = every 97th doc; training corpus = documents (the benchmark
+#: docs themselves are self-leaks) + planted FULL leaks (verbatim benchmark
+#: text with a mutated tail -> coverage 10^6) + planted PARTIAL leaks
+#: (first 20 words only -> coverage strictly between 0 and 10^6)
+_DECON_SQL = r"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 13),
+train AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' ztail zmut zq' FROM bench
+  UNION ALL
+  SELECT doc_id + 6000000,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:20], ' ')
+           || ' znew zwords zhere'
+  FROM bench
+),
+tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM train),
+tg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+             FROM tw WHERE len(ws) >= 8)),
+bw AS (SELECT doc_id AS bid, regexp_split_to_array(trim(text), '\s+') AS ws
+       FROM bench),
+bg AS (SELECT DISTINCT bid, array_to_string(ws[i:i+7], ' ') AS g
+       FROM (SELECT bid, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+             FROM bw WHERE len(ws) >= 8)),
+bsz AS (SELECT bid, count(*) AS bn FROM bg GROUP BY bid),
+hits AS (SELECT tg.doc_id, bg.bid, bg.g FROM tg JOIN bg USING (g)),
+pair AS (SELECT doc_id, bid, count(*) AS shared FROM hits GROUP BY 1, 2),
+perdoc AS (SELECT doc_id, count(DISTINCT g) AS n_hit_grams FROM hits GROUP BY 1),
+agg AS (SELECT p.doc_id, count(*) AS n_bench_docs,
+               max(CAST(floor(p.shared * 1000000.0 / s.bn) AS BIGINT))
+                 AS max_bench_frac_e6
+        FROM pair p JOIN bsz s USING (bid) GROUP BY 1)
+SELECT a.doc_id, d.n_hit_grams, a.n_bench_docs, a.max_bench_frac_e6
+FROM agg a JOIN perdoc d USING (doc_id)
+"""
+
+
+@q("decontaminate", _DECON_SQL, extra=True)
+def decontaminate_q(spark, sf):
+    """Benchmark decontamination (operators/contamination.py): flag every
+    training doc sharing a word 8-gram with the held-out benchmark set —
+    self-leaks, planted verbatim leaks (coverage 10^6) and planted partial
+    leaks (20-word prefix; coverage strictly inside (0, 10^6)) must all
+    surface with exact distinct-gram counts and coverage fractions. The
+    benchmark gram set is broadcast; the corpus is never shuffled
+    (asserted in tests/test_contamination.py)."""
+    from forklift_spark.operators.contamination import contamination_report
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 13)
+    full = bench.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ztail zmut zq")).alias("text"),
+    )
+    part = bench.select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 20), " "),
+            F.lit(" znew zwords zhere"),
+        ).alias("text"),
+    )
+    train = d.unionByName(full).unionByName(part)
+    return contamination_report(train, bench, "text", "doc_id", n=8)
