@@ -7,6 +7,8 @@ to be independently recomputable in ANSI SQL for the DuckDB oracle.
   lang_id         n-gram/stopword-hit language heuristic
   fingerprint     document fingerprint: min-of-k-gram rolling hashes
                   (winnowing-style min selection over md5 of char 8-grams)
+  repetition_stats  Gopher/Dolma within-doc repetition filters (dup word /
+                  top word / repeated n-gram fractions) — zero-exchange HOFs
 """
 
 from __future__ import annotations
@@ -115,6 +117,85 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFr
         .groupBy("_id")
         .agg(F.min("h").alias("fingerprint"))
         .select(F.col("_id").alias(id_col), "fingerprint")
+    )
+
+
+def _word_grams(w: Column, n: int) -> Column:
+    """Word n-gram array from a word array (ANSI-safe: empty when the doc
+    has fewer than n words)."""
+    e = F.expr(
+        "transform(sequence(0, size(_w) - %d), i -> %s)"
+        % (n, " || ' ' || ".join(f"_w[i + {j}]" for j in range(n)))
+    )
+    return F.when(w.isNotNull() & (F.size(w) >= n), e).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_positions(g: Column) -> Column:
+    """Number of gram POSITIONS covered by grams occurring >= 2 times."""
+    counts = F.transform(
+        F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+    )
+    return F.aggregate(
+        counts, F.lit(0), lambda a, c: a + F.when(c >= 2, c).otherwise(F.lit(0))
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/Dolma repetition
+    filters (docs dominated by one phrase or by repeated n-gram runs are
+    boilerplate/spam and get dropped before training):
+
+      n_words             whitespace tokens
+      dup_word_frac_e6    fraction of word positions beyond the first
+                          occurrence of their word (1 - distinct/total)
+      top_word_frac_e6    occurrences of the most frequent word / total
+      dup_2gram_frac_e6   fraction of 2-gram positions covered by 2-grams
+                          occurring >= 2 times
+      dup_5gram_frac_e6   same for 5-grams (long verbatim run detector)
+
+    Scale shape: everything is a per-row higher-order-function expression —
+    ZERO exchanges (plan-asserted in tests), the correct 100 TB posture vs
+    exploding (doc, gram) pairs into a corpus-wide shuffle. Per-row cost is
+    O(distinct_grams x doc_len) inside one task: fine for real web docs
+    (10^3-10^4 words); a pathological single document costs quadratic time
+    in its own task but never destabilizes the stage. Ratios use the
+    floor(x * 10^6) discipline (see quality_score) so the DuckDB oracle is
+    bit-exact."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def frac_e6(num: Column, den: Column) -> Column:
+        return (
+            F.when(den > 0, F.floor(num * F.lit(1_000_000) / den))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    d = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        _word_grams(w, 2).alias("_g2"),
+        _word_grams(w, 5).alias("_g5"),
+    )
+    n = F.size("_w")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("_w"),
+            lambda x: F.size(F.filter(F.col("_w"), lambda y: y == x)),
+        )
+    )
+    return d.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        frac_e6(n - F.size(F.array_distinct("_w")), n).alias("dup_word_frac_e6"),
+        frac_e6(top, n).alias("top_word_frac_e6"),
+        frac_e6(_dup_positions(F.col("_g2")), F.size("_g2")).alias(
+            "dup_2gram_frac_e6"
+        ),
+        frac_e6(_dup_positions(F.col("_g5")), F.size("_g5")).alias(
+            "dup_5gram_frac_e6"
+        ),
     )
 
 

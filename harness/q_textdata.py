@@ -588,3 +588,75 @@ def decontaminate_q(spark, sf):
     )
     train = d.unionByName(full).unionByName(part)
     return contamination_report(train, bench, "text", "doc_id", n=8)
+
+
+# --------------------------------------------------- repetition filters
+
+#: corpus with planted repetition: every 13th doc's text is replaced by a
+#: 6-word phrase repeated 12 times (boilerplate shape) so all four signals
+#: fire; the rest keep their natural (low) repetition
+_REPETITION_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5
+              THEN trim(repeat('spam ham boiler plate row noise ', 12))
+              ELSE text END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+g AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws)-1),
+                                 i -> ws[i] || ' ' || ws[i+1])
+             ELSE [] END AS g2,
+        CASE WHEN len(ws) >= 5
+             THEN list_transform(generate_series(1, len(ws)-4),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4])
+             ELSE [] END AS g5
+      FROM w),
+c AS (SELECT doc_id,
+        len(ws) AS n,
+        len(list_distinct(ws)) AS nd,
+        list_max(list_transform(list_distinct(ws),
+                 x -> len(list_filter(ws, y -> y = x)))) AS top,
+        coalesce(list_sum(list_transform(
+          list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))),
+          c2 -> CASE WHEN c2 >= 2 THEN c2 ELSE 0 END)), 0) AS dup2,
+        len(g2) AS n2,
+        coalesce(list_sum(list_transform(
+          list_transform(list_distinct(g5), x -> len(list_filter(g5, y -> y = x))),
+          c5 -> CASE WHEN c5 >= 2 THEN c5 ELSE 0 END)), 0) AS dup5,
+        len(g5) AS n5
+      FROM g)
+SELECT doc_id,
+  n AS n_words,
+  CAST(floor((n - nd) * 1000000.0 / n) AS BIGINT) AS dup_word_frac_e6,
+  CAST(floor(top * 1000000.0 / n) AS BIGINT) AS top_word_frac_e6,
+  CASE WHEN n2 > 0 THEN CAST(floor(dup2 * 1000000.0 / n2) AS BIGINT) ELSE 0 END
+    AS dup_2gram_frac_e6,
+  CASE WHEN n5 > 0 THEN CAST(floor(dup5 * 1000000.0 / n5) AS BIGINT) ELSE 0 END
+    AS dup_5gram_frac_e6
+FROM c
+"""
+
+
+@q("text_repetition", _REPETITION_SQL, extra=True)
+def text_repetition(spark, sf):
+    """Gopher/Dolma repetition filters (operators/text.py repetition_stats)
+    over the corpus with planted boilerplate docs (a 6-word phrase repeated
+    12x on every 13th doc): dup/top word fractions and repeated 2/5-gram
+    position fractions, all zero-exchange HOF expressions, bit-exact vs the
+    DuckDB list-lambda recomputation."""
+    from forklift_spark.operators.text import repetition_stats
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.trim(F.repeat(F.lit("spam ham boiler plate row noise "), 12)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d, "text", "doc_id")
