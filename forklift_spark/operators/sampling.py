@@ -210,3 +210,116 @@ def pack_greedy(
         F.col(tokens_col).cast("long").alias("_tok"),
     )
     return prepared.groupBy("_grp").applyInPandas(_pack, PACK_GREEDY_SCHEMA)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    salt: int = 0,
+) -> DataFrame:
+    """Domain-mixture sampling to exact token budgets: for each domain d,
+    select documents in the deterministic order (sample_hash(id, salt),
+    id) until the cumulative token count first reaches budgets[d] — the
+    crossing document is INCLUDED, so every funded domain with enough
+    supply meets its budget. Domains absent from `budgets` are dropped.
+    The selected set is a deterministic function of (ids, budgets, salt):
+    identical across re-runs, partitionings, cluster sizes, and engines —
+    the property a reproducible data mixture needs.
+
+    Scale shape — exact budgets WITHOUT a per-domain global sort. The
+    naive formulation (window cumsum over each whole domain) funnels every
+    domain through one task; instead:
+
+      1. per-(domain, hash-bucket) token sums — ONE map-side-combining
+         aggregate whose output is at most |domains| x 10^4 tiny rows;
+      2. a window over those bucket sums (10^4 rows per domain partition)
+         finds each domain's BOUNDARY bucket b* = min h with
+         cum_tokens(<= h) >= budget, and the residual budget entering it;
+         reduced to ONE row per domain and broadcast;
+      3. docs with h < b* are selected by a broadcast-join filter
+         (map-only over the corpus); docs with h > b* are dropped the same
+         way; ONLY the boundary bucket's docs (a ~10^-4 fraction of the
+         domain) go through a per-doc ordered cumsum window.
+
+    So the sequential part of "exact" shrinks by the bucket fan-out and
+    the corpus itself never shuffles. The DuckDB oracle recomputes the
+    selection with the straightforward whole-domain window — the two
+    formulations are provably the same set (bucket prefix sums compose
+    with in-bucket prefix sums).
+
+    `tokens_col` must be non-NULL (token counts come from token_stats;
+    a NULL would order-dependently corrupt cumulative sums). Zero-token
+    docs are legal and ride along for free. A domain whose total supply is
+    under budget selects everything it has (b* = NULL => all-in).
+    """
+    if not budgets:
+        raise ValueError(
+            "sample_to_token_budget got an empty budget map — every domain "
+            "would be dropped; pass at least one {domain: token_budget}"
+        )
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"negative token budget for domain {k!r}: {v}")
+
+    spark = df.sparkSession
+    h = sample_hash(id_col, salt).alias("_h")
+    base = df.withColumn("_h", h)
+
+    bdg = F.create_map(
+        *[x for k, v in sorted(budgets.items())
+          for x in (F.lit(k), F.lit(int(v)))]
+    )
+    funded = base.filter(
+        F.col(domain_col).isin(list(budgets))
+    ).withColumn("_budget", bdg[F.col(domain_col)])
+
+    # (1) bucket token sums: the ONLY aggregate over the full corpus —
+    # map-side combine reduces each task to <= |domains| x 10^4 partials
+    bsum = funded.groupBy(domain_col, "_h").agg(
+        F.sum(tokens_col).alias("_btok"), F.first("_budget").alias("_budget")
+    )
+    # (2) boundary per domain: cum over 10^4 bucket rows, then one row
+    from pyspark.sql import Window
+
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bsum.withColumn("_cum", F.sum("_btok").over(wb))
+    boundary = (
+        cum.filter(F.col("_cum") >= F.col("_budget"))
+        .groupBy(domain_col)
+        .agg(
+            F.min("_h").alias("_bstar"),
+            # residual budget entering b*: budget - cum(< b*)
+            F.min(
+                F.struct("_h", (F.col("_budget") - F.col("_cum") + F.col("_btok"))
+                         .alias("_rem"))
+            )["_rem"].alias("_rem"),
+        )
+    )
+    # domains never reaching budget are absent from `boundary`: left join
+    # keeps them with _bstar NULL = everything-in
+    dec = F.broadcast(boundary)
+    tagged = funded.join(dec, domain_col, "left")
+
+    all_in = tagged.filter(
+        F.col("_bstar").isNull() | (F.col("_h") < F.col("_bstar"))
+    )
+    # (3) boundary bucket only: per-doc ordered cumsum over a 10^-4 slice
+    wd = (
+        Window.partitionBy(domain_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        tagged.filter(F.col("_h") == F.col("_bstar"))
+        .withColumn("_dcum", F.sum(tokens_col).over(wd))
+        .filter(F.col("_dcum") - F.col(tokens_col) < F.col("_rem"))
+        .drop("_dcum")
+    )
+    return all_in.unionByName(edge).select(*df.columns)

@@ -660,3 +660,48 @@ def text_repetition(spark, sf):
         .alias("text"),
     )
     return repetition_stats(d, "text", "doc_id")
+
+
+# --------------------------------------------- mixture sampling to budget
+
+#: src2 is funded far over its supply (all-in path), the others cross
+#: their budget mid-domain (boundary-bucket path); unnamed sources drop
+_BUDGET_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src4')
+),
+b(source, budget) AS (
+  VALUES ('src0', 700), ('src1', 400), ('src2', 5000), ('src4', 900)
+),
+sel AS (
+  SELECT t.*, b.budget,
+         sum(n_ws_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY ({sample_hash_sql('doc_id')}), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok t JOIN b USING (source)
+)
+SELECT doc_id, source, n_ws_tokens FROM sel WHERE cum - n_ws_tokens < budget
+"""
+
+
+@q("mixture_budget", _BUDGET_SQL, extra=True)
+def mixture_budget(spark, sf):
+    """Domain-mixture sampling to exact token budgets
+    (operators/sampling.py sample_to_token_budget): deterministic
+    hash-ordered selection per domain until the budget is crossed — the
+    engine's bucket-decomposed algorithm (boundary bucket resolved alone;
+    the corpus never globally sorts) must equal the oracle's
+    straightforward whole-domain window cumsum row-for-row."""
+    from forklift_spark.operators.sampling import sample_to_token_budget
+
+    d = t(spark, sf, "documents")
+    tok = token_stats(d, "text", "doc_id", keep_cols=["source"]).select(
+        "doc_id", "source", "n_ws_tokens"
+    )
+    return sample_to_token_budget(
+        tok, "source", "doc_id", "n_ws_tokens",
+        {"src0": 700, "src1": 400, "src2": 5000, "src4": 900},
+    )
