@@ -61,6 +61,48 @@ PATCH_COL = ("col_seqs", T.MapType(T.StringType(), T.LongType()))
 META_COL_NAMES = [c for c, _ in META_COLS] + [PATCH_COL[0]]
 
 
+def _colmap(meta: dict) -> dict[str, str]:
+    """LOGICAL -> PHYSICAL column names for user columns (Iceberg field-id /
+    Delta column-mapping analogue). Physical names are fixed at column
+    birth and written into every data file; renames move only the logical
+    side, so files written before and after a rename read consistently and
+    manifest stats/bloom entries (keyed physical) stay valid forever.
+    Tables that never renamed (and every pre-mapping table) map
+    identically; engine META columns are never mapped."""
+    cm = meta.get("colmap")
+    if cm:
+        return dict(cm)
+    return {
+        f["name"]: f["name"]
+        for f in meta["schema"]["fields"]
+        if f["name"] not in META_COL_NAMES
+    }
+
+
+def _extend_colmap(
+    old_cm: dict[str, str], retired: list[str], logicals: list[str]
+) -> dict[str, str]:
+    """Assign physical names for logical columns not yet mapped: a column's
+    own name when free, else the first `name__K` not colliding with any
+    live or RETIRED physical (so a re-added logical twin of a dropped
+    column can never read the dropped data). Deterministic in
+    (old_cm, retired, logicals) alone — schema-evolving writers compute the
+    mapping BEFORE writing files and commit_version re-derives the exact
+    same assignment, so the two can never disagree."""
+    cm = dict(old_cm)
+    used = set(cm.values()) | set(retired)
+    for name in logicals:
+        if name in META_COL_NAMES or name in cm:
+            continue
+        phys, k = name, 2
+        while phys in used:
+            phys = f"{name}__{k}"
+            k += 1
+        cm[name] = phys
+        used.add(phys)
+    return cm
+
+
 class CommitConflictError(RuntimeError):
     """Another writer's commit conflicts with this one — either it won the
     same-version CAS race, or it landed between this writer's snapshot read
@@ -222,6 +264,12 @@ class LaketteTable:
             # merges resolve column-by-column. COW-only in v1.
             "column_lww": bool(column_lww),
             "schema": json.loads(full.json()),
+            # column mapping (rename/drop without rewrite): logical ->
+            # physical names, identity at birth; physical names of dropped
+            # columns are RETIRED so a re-added logical twin gets a fresh
+            # physical id and old file data never resurrects
+            "colmap": {f.name: f.name for f in user_schema.fields},
+            "retired_cols": [],
             # online rescale support: the chain of bucket-counts live files
             # were written under (see _specs); rescale() appends, migration
             # (COW rewrites + compaction) drains, commit auto-collapses
@@ -761,12 +809,122 @@ class LaketteTable:
             new_files=[dict(f) for f in old["files"]],
             replaced_buckets=replaced,
             schema=T.StructType.fromJson(old["schema"]),
+            # the old COLUMN MAPPING travels with the old schema: restoring
+            # across a rename must read the restored files under their true
+            # physical names (auto-reconciliation would mint fresh ids and
+            # silently NULL the column); physicals current-only columns
+            # held get retired by the commit's reconciliation
+            colmap=_colmap(old),
             writer={
                 "query_id": "__restore__",
                 "epoch": int(version),
                 "nonce": uuid.uuid4().hex,
             },
             requires_dedup=bool(old.get("requires_dedup", False)),
+            base_version=int(cur["version"]),
+        )
+
+    def rename_column(self, old: str, new: str, *, writer: dict | None = None) -> TableCommit:
+        """Rename a user column WITHOUT rewriting any data (Delta
+        column-mapping / Iceberg field-id rename): a metadata-only commit
+        that moves the LOGICAL name while the physical name — fixed at the
+        column's birth and baked into every data file and manifest
+        stat/bloom key — stays put. Files written before and after the
+        rename read back consistently; time travel to a pre-rename version
+        serves the old name. Key columns may be renamed (bucket hashing is
+        on values, not names); declared layout lists (cluster_by,
+        stats_cols, bloom_cols) follow the rename atomically.
+
+        Rejected on column_lww tables: patch tables store per-column
+        writer seqs keyed by PHYSICAL column name inside row data
+        (`col_seqs`), and v1 keeps those tables at identity mapping rather
+        than translating map keys on every read.
+
+        Changefeed interplay: `changes_since`/`follow_changes` across a
+        span containing a rename raises loudly — a diff cannot align
+        payload columns whose logical names moved mid-span; consumers
+        resync (derive/replicate do so automatically)."""
+        cur = self._raw_current()
+        if cur.get("column_lww"):
+            raise ValueError(
+                "rename_column is not supported on column_lww tables: "
+                "per-column writer seqs (col_seqs) key on physical column "
+                "names inside row data"
+            )
+        user = [f["name"] for f in cur["schema"]["fields"]
+                if f["name"] not in META_COL_NAMES]
+        if old not in user:
+            raise ValueError(f"rename_column: no such user column {old!r}")
+        if new in [f["name"] for f in cur["schema"]["fields"]] or new in META_COL_NAMES:
+            raise ValueError(f"rename_column: target name {new!r} already in use")
+        schema = T.StructType([
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in T.StructType.fromJson(cur["schema"]).fields
+        ])
+        cm = _colmap(cur)
+        cm[new] = cm.pop(old)
+
+        def _ren(names: list[str]) -> list[str]:
+            return [new if c == old else c for c in names]
+
+        return self.commit_version(
+            new_files=[], replaced_buckets=set(), schema=schema, colmap=cm,
+            meta_updates={
+                k: _ren(list(cur.get(k) or []))
+                for k in ("key_cols", "cluster_by", "stats_cols", "bloom_cols")
+            },
+            writer=writer or {"query_id": "__rename__", "epoch": int(cur["version"]),
+                              "nonce": uuid.uuid4().hex},
+            base_version=int(cur["version"]),
+        )
+
+    def drop_column(self, name: str, *, writer: dict | None = None) -> TableCommit:
+        """Drop a user column WITHOUT rewriting any data: a metadata-only
+        commit removes the logical column and RETIRES its physical name.
+        Old files keep the bytes (time travel to a pre-drop version still
+        serves them; vacuum never needs to know), current reads simply stop
+        projecting the column, and future writes omit it. Re-adding the
+        same logical name later (additive schema evolution) mints a FRESH
+        physical id, so the dropped data can never resurrect under the new
+        column — the classic rename/drop correctness trap, tested in
+        tests/test_column_mapping.py.
+
+        Key columns cannot be dropped. Columns declared in cluster_by are
+        rejected (the clustered layout is a physical contract — re-cluster
+        first); stats_cols/bloom_cols membership is removed automatically
+        (pruning on the column just ends). column_lww tables are rejected
+        (see rename_column)."""
+        cur = self._raw_current()
+        if cur.get("column_lww"):
+            raise ValueError(
+                "drop_column is not supported on column_lww tables: "
+                "per-column writer seqs key on physical names in row data"
+            )
+        if name in (cur.get("key_cols") or []):
+            raise ValueError(f"drop_column: {name!r} is a key column")
+        if name in (cur.get("cluster_by") or []):
+            raise ValueError(
+                f"drop_column: {name!r} is a cluster_by column — re-cluster "
+                "(create a new declared layout) before dropping it"
+            )
+        user = [f["name"] for f in cur["schema"]["fields"]
+                if f["name"] not in META_COL_NAMES]
+        if name not in user:
+            raise ValueError(f"drop_column: no such user column {name!r}")
+        schema = T.StructType([
+            f for f in T.StructType.fromJson(cur["schema"]).fields
+            if f.name != name
+        ])
+        cm = _colmap(cur)
+        cm.pop(name)
+        return self.commit_version(
+            new_files=[], replaced_buckets=set(), schema=schema, colmap=cm,
+            meta_updates={
+                k: [c for c in (cur.get(k) or []) if c != name]
+                for k in ("stats_cols", "bloom_cols")
+            },
+            writer=writer or {"query_id": "__drop__", "epoch": int(cur["version"]),
+                              "nonce": uuid.uuid4().hex},
             base_version=int(cur["version"]),
         )
 
@@ -952,6 +1110,11 @@ class LaketteTable:
             metadata = self.metadata_at(version)
         meta = metadata if metadata is not None else self._raw_current()
         schema = T.StructType.fromJson(meta["schema"])
+        # column mapping: files and manifest stat/bloom keys live under
+        # PHYSICAL names; everything user-facing below is LOGICAL. The two
+        # differ only after a rename (identity otherwise — zero overhead).
+        cmap = _colmap(meta)
+        mapped = any(l != p for l, p in cmap.items())
         if columns is not None:
             keep = (
                 set(meta["key_cols"]) | set(columns) | set(META_COL_NAMES)
@@ -1000,7 +1163,7 @@ class LaketteTable:
             def _hits(f: dict) -> bool:
                 cs = f.get("cstats") or {}
                 for c, (lo, hi) in col_ranges.items():
-                    rng = cs.get(c)
+                    rng = cs.get(cmap.get(c, c))
                     if rng is not None and rng[0] is not None and (
                         rng[1] < lo or rng[0] > hi
                     ):
@@ -1019,12 +1182,31 @@ class LaketteTable:
                     )
                 if any(x is None for x in vals):
                     raise ValueError("col_eq values must be non-NULL")
-            clean_files = self._bloom_prune(clean_files, col_eq)
-
-        def _read(fs):
-            return spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, f["path"]) for f in fs]
+            clean_files = self._bloom_prune(
+                clean_files, {cmap.get(c, c): v for c, v in col_eq.items()}
             )
+
+        if mapped:
+            # read under physical names, then project back to logical —
+            # the rename itself never touches data, so files written
+            # before and after it read through the same two lines
+            phys_schema = T.StructType([
+                T.StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ])
+
+            def _read(fs):
+                return spark.read.schema(phys_schema).parquet(
+                    *[os.path.join(self.root, f["path"]) for f in fs]
+                ).select(*[
+                    F.col(cmap.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ])
+        else:
+            def _read(fs):
+                return spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, f["path"]) for f in fs]
+                )
 
         parts = []
         if clean_files:
@@ -1196,6 +1378,8 @@ class LaketteTable:
         base_version: int | None = None,
         max_rebase_attempts: int = 10,
         rescale_to: int | None = None,
+        colmap: dict[str, str] | None = None,
+        meta_updates: dict | None = None,
     ) -> TableCommit:
         """Write metadata v{N+1}: manifest refs of untouched buckets carry
         over verbatim, touched buckets get freshly written per-bucket
@@ -1385,14 +1569,56 @@ class LaketteTable:
             new_meta["n_buckets"] = out_nb
             new_meta["touched_buckets"] = sorted(my_touched_cur)
             new_meta["touched_nb"] = cur_nb
+            if colmap is not None and schema is None:
+                raise ValueError("colmap= requires schema= (they commit together)")
             if schema is not None:
                 new_meta["schema"] = json.loads(schema.json())
+                # reconcile the column mapping with the new schema: kept
+                # logicals keep their physical, NEW logicals get the first
+                # free physical (their own name unless a retired/live twin
+                # exists — then a versioned id, so dropped-column data never
+                # resurrects under a re-added name), and physicals that lose
+                # their logical are RETIRED. Callers that change the
+                # logical<->physical relation itself (rename_column, restore
+                # across a rename) pass `colmap` explicitly and are
+                # authoritative; retirement reconciliation still runs.
+                old_cm = _colmap(raw)
+                retired = list(raw.get("retired_cols") or [])
+                field_names = [
+                    f.name for f in schema.fields if f.name not in META_COL_NAMES
+                ]
+                if colmap is not None:
+                    new_cm = dict(colmap)
+                else:
+                    kept = {l: p for l, p in old_cm.items() if l in set(field_names)}
+                    # physicals being dropped by THIS commit are already
+                    # off-limits for the new columns it adds
+                    dropping = [
+                        p for l, p in old_cm.items() if l not in set(field_names)
+                    ]
+                    new_cm = _extend_colmap(kept, retired + dropping, field_names)
+                live_phys = set(new_cm.values())
+                for p in old_cm.values():
+                    if p not in live_phys and p not in retired:
+                        retired.append(p)
+                new_meta["colmap"] = new_cm
+                new_meta["retired_cols"] = retired
             # derived, not declared: true iff any live file is a MOR delta —
             # kept for observability; the scan itself uses per-file tags
             new_meta["requires_dedup"] = (
                 requires_dedup if requires_dedup is not None else total_delta > 0
             )
             new_meta["writer"] = writer
+            if meta_updates:
+                # declared-name lists (key_cols/cluster_by/stats_cols/
+                # bloom_cols) that must move with a rename/drop land in the
+                # SAME CAS — version files stay immutable, readers never
+                # see a torn name set
+                allowed = {"key_cols", "cluster_by", "stats_cols", "bloom_cols"}
+                bad = set(meta_updates) - allowed
+                if bad:
+                    raise ValueError(f"meta_updates keys not allowed: {sorted(bad)}")
+                new_meta.update(meta_updates)
             # wall-clock commit stamp (history_df / audit surface) —
             # informational only: ordering and correctness ride the version
             # chain, never this clock

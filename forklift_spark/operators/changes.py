@@ -408,11 +408,25 @@ def snapshot_diff(
     feed incremental aggregation (operators/derive_agg.py) subtracts; it
     widens the OLD side's scan from keys-only to full payload, so pay for
     it only when retractions are consumed."""
-    from ..lakette.table import _file_nb, _specs
+    from ..lakette.table import _colmap, _file_nb, _specs
 
     meta_old = table._raw_metadata_at(from_version)
     meta_new = table._raw_metadata_at(to_version)
+    # column-mapping guard: a RENAME inside the span moves a physical
+    # column's logical name, and a diff cannot align payload columns whose
+    # names changed mid-span — misaligning them would emit phantom updates
+    # (or silently compare nothing). Loud; consumers resync (derive/
+    # replicate handle vacuumed/unbridgeable spans the same way). Adds and
+    # drops stay fine: the diff compares the columns both sides carry.
+    inv_old = {p: l for l, p in _colmap(meta_old).items()}
+    inv_new = {p: l for l, p in _colmap(meta_new).items()}
+    moved = {
+        p: (inv_old[p], inv_new[p])
+        for p in inv_old.keys() & inv_new.keys()
+        if inv_old[p] != inv_new[p]
+    }
     buckets = None
+    no_data_change = False
     if changed_buckets_only and _specs(meta_old) == _specs(meta_new):
         # a bucket can only differ if its file set changed (files are
         # immutable) — and since manifest SHARDS are immutable too, a
@@ -440,7 +454,20 @@ def snapshot_diff(
             p for p in set(old_b) | set(new_b) if old_b.get(p) != new_b.get(p)
         ]
         buckets = sorted({b for nb, bk in changed for b in range(bk, n, nb)})
+        # identical ref maps = the span changed METADATA only (rename,
+        # layout/ref bookkeeping): zero row changes by construction — the
+        # diff below runs on limit(0) frames instead of self-comparing the
+        # whole table (a pure-rename span is thus consumable AND free)
+        no_data_change = not changed
 
+    if moved and not no_data_change:
+        raise ValueError(
+            f"snapshot_diff v{from_version}->v{to_version}: column(s) were "
+            f"RENAMED inside the span ({moved}); a change feed cannot "
+            "align payload columns across a rename mixed with data changes "
+            "— consume up to the rename's version first, then resume past "
+            "it (the rename commit itself diffs as an empty span)"
+        )
     key_cols = meta_new["key_cols"]
     payload_cols = [
         f["name"]
@@ -465,6 +492,15 @@ def snapshot_diff(
         buckets=buckets,
         columns=None if full_rows else [],
     )
+    if moved:
+        # reachable only on a no-data-change span: align the old side's
+        # logical names so the (empty) diff carries the NEW schema
+        ren = {inv_old[p]: inv_new[p] for p in moved}
+        old = old.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in old.columns]
+        )
+    if no_data_change:
+        old, new = old.limit(0), new.limit(0)
     return diff_frames(
         old, new, key_cols, payload_cols,
         full_rows=full_rows, old_rows=old_rows, old_seq=old_seq,

@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from ..lakette.table import LaketteTable
 from ..lakette.table import _specs as _meta_specs
-from .merge import _base_layout, _obs_count, _write_datafiles
+from .merge import _write_colmap, _base_layout, _obs_count, _write_datafiles
 
 #: engine-maintained physical columns a SET clause may never assign
 _ENGINE_COLS = {"seq", "content_sha", "deleted", "col_seqs"}
@@ -129,6 +129,7 @@ def _rewrite_buckets(
         max_rows_per_file=meta.get("target_file_rows"),
         stats_cols=_base_layout(meta)[1],
         bloom_cols=meta.get("bloom_cols"),
+        colmap=_write_colmap(meta, out),
     )
     replaced = {(nb, b % nb) for nb in _meta_specs(meta) for b in touched}
     commit = table.commit_version(

@@ -1036,3 +1036,59 @@ def derive_join_scan(spark, sf):
             assert r.dim_refresh_path in ("pruned", "scan")
     dst = LaketteTable(dst_root)
     return dst.snapshot(spark).select("repo", "path", "seq", "lang", "family")
+
+
+#: the LWW oracle with the renamed output column: physical data written
+#: before AND after the rename must resolve to the same final state
+_RENAMED_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, lang AS language, sha256(content) AS content_sha
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@q("scan_renamed", _RENAMED_SQL, extra=True)
+def scan_renamed(spark, sf):
+    """Column mapping end-to-end (lakette rename_column): replay the I
+    epoch, RENAME lang -> language (metadata-only — zero data files
+    touched), then replay the U and D epochs under the new name. The final
+    snapshot mixes files written before and after the rename (both store
+    the stable physical name) and must equal the plain LWW oracle with the
+    column served under its new logical name."""
+    root = os.path.join(tempfile.gettempdir(), f"fk_ren_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    merge_into(
+        spark, table,
+        log.filter(F.col("op") == "I").withColumn("event_ts", F.lit(None).cast("timestamp")),
+        query_id="ren", epoch=0,
+    )
+    table.rename_column("lang", "language")
+    for i, op in enumerate(["U", "D"], start=1):
+        merge_into(
+            spark, table,
+            log.filter(F.col("op") == op)
+               .withColumnRenamed("lang", "language")
+               .withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="ren", epoch=i,
+        )
+    return table.snapshot(spark).select(
+        "repo", "path", "seq", "language", "content_sha"
+    )
