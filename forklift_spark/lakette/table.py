@@ -308,6 +308,105 @@ class LaketteTable:
             os.path.join(root, "metadata", "CURRENT")
         )
 
+    def shallow_clone(
+        self,
+        dst_root: str,
+        *,
+        version: int | None = None,
+        storage: Storage | None = None,
+        pin: bool = True,
+    ) -> tuple["LaketteTable", str | None]:
+        """ZERO-COPY table clone (Delta SHALLOW CLONE analogue): the clone
+        is a fully independent lakette table whose initial manifests
+        reference the SOURCE's data files by absolute path — no data
+        moves. Returns (clone, pin_ref_name).
+
+        Independence after birth: writes to either table never touch the
+        other (the clone's COW rewrites and compactions land in its own
+        data/ dir and progressively replace source references — a full
+        compact() makes the clone physically self-contained). The clone's
+        vacuum() is structurally safe for source files: it only ever
+        deletes inside its OWN data/ directory.
+
+        The famous shallow-clone hazard — the SOURCE vacuuming files the
+        clone still references — is closed by default: `pin=True` creates
+        a tag ref `clone-<id>` on the source at the cloned version, which
+        vacuum() honors until dropped. Drop the pin
+        (src.drop_ref(pin_name)) only once the clone is compacted away
+        from source files or deleted. `pin=False` opts out and accepts
+        Delta's caveat verbatim.
+
+        Cost: O(metadata) — every manifest entry is rewritten with an
+        absolutized path (driver-side, proportional to live FILES, not
+        bytes; the same cost class as Iceberg/Delta clone). Cloning a
+        table mid-rescale is rejected (multi-spec manifests would need
+        spec surgery; finish the migration with compact() first).
+
+        The full schema surface travels: colmap/retired (a clone of a
+        renamed table reads correctly, and a dropped column can never
+        resurrect in the clone either), declared layout, counters,
+        column_lww flag, target sizes."""
+        meta = self.metadata_at(version) if version is not None else self.current_metadata()
+        if len(_specs(meta)) > 1:
+            raise ValueError(
+                "shallow_clone mid-rescale is not supported (multi-spec "
+                "manifests); compact() to finish the migration first"
+            )
+        pin_name = None
+        if pin:
+            pin_name = f"clone-{uuid.uuid4().hex[:8]}"
+            self.create_ref(pin_name, kind="tag", version=int(meta["version"]))
+        dst = LaketteTable(dst_root, storage=storage)
+        for d in (
+            dst.meta_dir, dst.manifests_dir, dst.data_dir,
+            dst.epochs_dir, dst.lineage_dir, dst.metrics_dir,
+        ):
+            dst.fs.makedirs(d)
+        by_pair: dict[tuple[int, int], list[dict]] = {}
+        n0 = _specs(meta)[0]
+        for f in meta["files"]:
+            e = dict(f)
+            e["path"] = os.path.join(self.root, e["path"])
+            by_pair.setdefault((_file_nb(e, n0), e["bucket"]), []).append(e)
+        refs = {
+            f"{nb}:{b}": dst._write_manifest((nb, b), fs)
+            for (nb, b), fs in sorted(by_pair.items())
+        }
+        carry = (
+            "format", "key_cols", "n_buckets", "target_file_rows",
+            "stats_cols", "bloom_cols", "cluster_by", "cluster_mode",
+            "column_lww", "schema", "colmap", "retired_cols", "bucket_specs",
+            "total_files", "total_rows", "total_delta_files", "spec_files",
+            "requires_dedup",
+        )
+        v1 = {k: meta[k] for k in carry if k in meta}
+        v1.update(
+            version=1,
+            snapshot_id=int(meta.get("snapshot_id", 0)),
+            manifests=refs,
+            touched_buckets=[],
+            touched_nb=int(meta["n_buckets"]),
+            writer={
+                "query_id": "__clone__",
+                "epoch": int(meta["version"]),
+                "nonce": uuid.uuid4().hex,
+            },
+            parent_version=None,
+            committed_at=time.time(),
+            clone_of={"root": self.root, "version": int(meta["version"]),
+                      "pin": pin_name},
+        )
+        try:
+            dst._put_exclusive(os.path.join(dst.meta_dir, "v1.json"), v1)
+        except CommitConflictError:
+            if pin_name:
+                self.drop_ref(pin_name)
+            raise CommitConflictError(
+                f"table already exists at {dst_root} — clone into a fresh root"
+            ) from None
+        dst._swap_current("v1.json")
+        return dst, pin_name
+
     # ------------------------------------------------------------ metadata io
 
     def _swap_current(self, meta_name: str) -> None:

@@ -1092,3 +1092,30 @@ def scan_renamed(spark, sf):
     return table.snapshot(spark).select(
         "repo", "path", "seq", "language", "content_sha"
     )
+
+
+@q("clone_scan", _CDC_LWW_SQL, extra=True)
+def clone_scan(spark, sf):
+    """Shallow clone end-to-end (LaketteTable.shallow_clone): replay the I
+    epoch into the SOURCE, zero-copy clone it, then replay U and D into
+    the CLONE only. The clone's final state must equal the full LWW oracle
+    (its scan mixes source-owned files it references by absolute path with
+    its own COW rewrites), while the source is left at the insert-only
+    state — divergence without interference."""
+    root = os.path.join(tempfile.gettempdir(), f"fk_clone_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = create_entity_table(os.path.join(root, "src"), n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    merge_into(
+        spark, src,
+        log.filter(F.col("op") == "I").withColumn("event_ts", F.lit(None).cast("timestamp")),
+        query_id="clone", epoch=0,
+    )
+    dst, _pin = src.shallow_clone(os.path.join(root, "dst"))
+    for i, op in enumerate(["U", "D"], start=1):
+        merge_into(
+            spark, dst,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="clone", epoch=i,
+        )
+    return dst.snapshot(spark).select("repo", "path", "seq", "lang", "content_sha")
