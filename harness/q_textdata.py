@@ -705,3 +705,125 @@ def mixture_budget(spark, sf):
         tok, "source", "doc_id", "n_ws_tokens",
         {"src0": 700, "src1": 400, "src2": 5000, "src4": 900},
     )
+
+
+# ------------------------------------------- full corpus-curation pipeline
+
+def _build_pipeline_corpus_sql() -> str:
+    """The whole curation pipeline in one DuckDB query, assembled from the
+    per-operator oracle fragments already proven above: quality +
+    repetition gates, language id, benchmark decontamination, then
+    token-budget mixture sampling."""
+    from forklift_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n".join(
+        f"    {_hits_sql(LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+WITH sig AS (
+  SELECT doc_id,
+    CAST(floor((
+      least(CAST(1.0 AS DOUBLE),
+            len(regexp_split_to_array(trim(text), '\s+')) / CAST(64.0 AS DOUBLE)) * 0.5
+      + least(CAST(1.0 AS DOUBLE), (
+          CAST(floor((length(' ' || text || ' ')
+                - length(replace(' ' || text || ' ', ' the ', ''))) / 5) AS BIGINT)
+          + CAST(floor((length(' ' || text || ' ')
+                - length(replace(' ' || text || ' ', ' a ', ''))) / 3) AS BIGINT)
+        ) / CAST(4.0 AS DOUBLE)) * 0.3
+      + (1 - least(CAST(1.0 AS DOUBLE),
+          ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+           / length(text)) * 10)) * 0.2
+    ) * 1000000) AS BIGINT) AS quality_e6,
+    CAST(floor(
+      (len(regexp_split_to_array(trim(text), '\s+'))
+       - len(list_distinct(regexp_split_to_array(trim(text), '\s+'))))
+      * 1000000.0 / len(regexp_split_to_array(trim(text), '\s+'))
+    ) AS BIGINT) AS dup_word_frac_e6,
+{scores}
+  FROM documents
+),
+gated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN sig USING (doc_id)
+  WHERE sig.quality_e6 >= 500000 AND sig.dup_word_frac_e6 <= 600000
+    AND ({case}) = 'en'
+),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 13),
+bw AS (SELECT doc_id AS bid, regexp_split_to_array(trim(text), '\s+') AS ws
+       FROM bench),
+bg AS (SELECT DISTINCT bid, array_to_string(ws[i:i+7], ' ') AS g
+       FROM (SELECT bid, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+             FROM bw WHERE len(ws) >= 8)),
+tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated),
+tg AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+             FROM tw WHERE len(ws) >= 8)),
+contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+clean AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+tok AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+  FROM clean WHERE source IN ('src0', 'src1', 'src2', 'src4')
+),
+b(source, budget) AS (
+  VALUES ('src0', 500), ('src1', 300), ('src2', 9999), ('src4', 400)
+),
+selw AS (
+  SELECT t.*, b.budget,
+         sum(n_ws_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY ({sample_hash_sql('doc_id')}), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok t JOIN b USING (source)
+)
+SELECT doc_id, source, n_ws_tokens FROM selw WHERE cum - n_ws_tokens < budget
+"""
+
+
+@q("pipeline_corpus", _build_pipeline_corpus_sql(), extra=True)
+def pipeline_corpus(spark, sf):
+    """The C4/Dolma-style curation pipeline END TO END as one Spark plan,
+    composing five oracle-checked operators: quality gate (quality_score)
+    + repetition gate (repetition_stats) + language id (lang_id) +
+    benchmark decontamination (contamination_report via decontaminate) +
+    token-budget mixture sampling (sample_to_token_budget). Every stage is
+    the operator the harness checks in isolation — this entry proves they
+    COMPOSE, with the whole pipeline matching one independent SQL
+    recomputation row-for-row. (A production pipeline would fuse the three
+    map-only signal computations into one projection; the composition here
+    deliberately goes through the public operator surface.)"""
+    from forklift_spark.operators.contamination import decontaminate
+    from forklift_spark.operators.sampling import sample_to_token_budget
+    from forklift_spark.operators.text import repetition_stats
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "text")
+    q_ok = quality_score(d, "text", "doc_id").filter(
+        F.col("quality_e6") >= 500_000
+    ).select("doc_id")
+    r_ok = repetition_stats(d, "text", "doc_id").filter(
+        F.col("dup_word_frac_e6") <= 600_000
+    ).select("doc_id")
+    l_ok = lang_id(d, "text", "doc_id").filter(
+        F.col("pred_lang") == "en"
+    ).select("doc_id")
+    gated = d.join(q_ok, "doc_id").join(r_ok, "doc_id").join(l_ok, "doc_id")
+
+    bench = d.filter(F.col("doc_id") % 97 == 13).select("doc_id", "text")
+    clean = decontaminate(gated, bench, "text", "doc_id", n=8)
+
+    tok = token_stats(clean, "text", "doc_id", keep_cols=["source"]).select(
+        "doc_id", "source", "n_ws_tokens"
+    )
+    return sample_to_token_budget(
+        tok, "source", "doc_id", "n_ws_tokens",
+        {"src0": 500, "src1": 300, "src2": 9999, "src4": 400},
+    )
