@@ -827,3 +827,44 @@ def pipeline_corpus(spark, sf):
         tok, "source", "doc_id", "n_ws_tokens",
         {"src0": 500, "src1": 300, "src2": 9999, "src4": 400},
     )
+
+
+# ------------------------------------------------- stream-stream interval
+
+#: view -> click funnel per user within 2 hours, both sides' payloads
+_STREAM_JOIN_SQL = """
+SELECT v.user_id, v.event_id, v.ts, c.event_id AS r_event_id, c.ts AS r_ts,
+       CAST(floor(c.value * 1000000) AS BIGINT) AS r_value_e6
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
+@q("stream_join_batch", _STREAM_JOIN_SQL, extra=True)
+def stream_join_batch(spark, sf):
+    """Stream-stream interval join semantics (streaming/joins.py
+    stream_interval_join) proven on batch frames — by design the operator
+    computes the identical relation on batch and streaming inputs (the
+    stream==batch equivalence tests in tests/test_stream_joins.py run the
+    real streaming engine); the oracle is the plain SQL interval join.
+    View -> click funnel per user within 2 hours."""
+    from forklift_spark.streaming.joins import stream_interval_join
+
+    ev = t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").alias("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    j = stream_interval_join(
+        views, clicks, ["user_id"],
+        left_ts="ts", right_ts="ts", within="2 hours", how="inner",
+    )
+    return j.select(
+        "user_id", "event_id", "ts",
+        F.col("r_event_id"), F.col("r_ts"),
+        F.floor(F.col("r_value") * 1_000_000).cast("long").alias("r_value_e6"),
+    )
