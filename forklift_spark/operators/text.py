@@ -199,6 +199,57 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def oov_rate(
+    df: DataFrame, text_col: str, id_col: str, *, top_v: int = 100
+) -> DataFrame:
+    """Out-of-vocabulary rate against the CORPUS's own top-`top_v`
+    vocabulary — the integer-exact cousin of perplexity-based quality
+    filtering (a doc mostly made of words the corpus has never seen is
+    noise/garble; published pipelines threshold an LM score, whose float
+    log-sums don't replay bit-identically across engines — OOV counting
+    does).
+
+    Two passes, both scale-shaped:
+      1. vocabulary: explode words -> count — ONE aggregate whose partial
+         (map-side) combine reduces each task to its distinct words; the
+         top-V cut is a TakeOrdered (count desc, word asc — total order,
+         deterministic ties), V rows on the driver, broadcast back.
+      2. scoring: explode + broadcast LEFT join + per-doc aggregate. Each
+         input doc's words live in one partition, so the partial aggregate
+         collapses them to one row BEFORE the exchange — the shuffle is
+         O(docs), never O(tokens).
+
+    Returns (id, n_words, n_oov, oov_rate_e6)."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+    )
+    vocab = (
+        words.groupBy("_w").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_w"))
+        .limit(int(top_v))
+        .select("_w", F.lit(True).alias("_in_vocab"))
+    )
+    scored = words.join(F.broadcast(vocab), "_w", "left")
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_oov",
+            F.floor(F.col("n_oov") * F.lit(1_000_000) / F.col("n_words"))
+            .cast("long")
+            .alias("oov_rate_e6"),
+        )
+    )
+
+
 #: PII patterns — deliberately restricted to syntax with IDENTICAL semantics
 #: in Java regex (Spark) and RE2 (DuckDB), so the oracle can replay the
 #: redaction: character classes, bounded repetition, \b word boundaries.

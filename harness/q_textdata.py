@@ -868,3 +868,52 @@ def stream_join_batch(spark, sf):
         F.col("r_event_id"), F.col("r_ts"),
         F.floor(F.col("r_value") * 1_000_000).cast("long").alias("r_value_e6"),
     )
+
+
+# ------------------------------------------------------------- OOV rate
+
+#: garbled mutants (3 junk words appended to every 17th doc) against the
+#: corpus's own top-16 vocabulary: junk + tail words fall out of vocab
+_OOV_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 3 THEN text || ' qq7x zx9y vv3z'
+              ELSE text END AS text
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS wd
+      FROM corpus),
+vocab AS (
+  SELECT wd FROM (
+    SELECT wd, count(*) AS n FROM w GROUP BY 1
+    ORDER BY n DESC, wd LIMIT 16
+  )
+)
+SELECT w.doc_id,
+       count(*) AS n_words,
+       CAST(sum(CASE WHEN v.wd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(floor(sum(CASE WHEN v.wd IS NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS oov_rate_e6
+FROM w LEFT JOIN vocab v USING (wd)
+GROUP BY w.doc_id
+"""
+
+
+@q("text_oov", _OOV_SQL, extra=True)
+def text_oov(spark, sf):
+    """OOV-rate quality signal (operators/text.py oov_rate): score every
+    doc against the corpus's own top-16 vocabulary (deterministic
+    count-desc/word-asc cut), with planted garble docs scoring strictly
+    higher. The vocabulary pass is one map-side-combining aggregate + a
+    V-row TakeOrdered; scoring is a broadcast left join whose per-doc
+    aggregate collapses map-side — the shuffle is O(docs), not O(tokens)."""
+    from forklift_spark.operators.text import oov_rate
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 3,
+            F.concat(F.col("text"), F.lit(" qq7x zx9y vv3z")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return oov_rate(d, "text", "doc_id", top_v=16)
