@@ -29,7 +29,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _cached, word_shingles
+from .dedup import _cached
+
+
+def _distinct_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(_id, shingle) with per-doc distinct word n-grams, deduped MAP-SIDE
+    (array_distinct before the explode) — dedup.word_shingles' explode +
+    .distinct() would shuffle every gram of the corpus, which is exactly
+    the exchange this operator exists to avoid (its grams feed joins, so
+    the shuffle is paid anyway there; here the corpus side must stay
+    map-side)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_expr = F.expr(
+        "transform(sequence(0, size(_w) - %d), i -> %s)"
+        % (n, " || ' ' || ".join(f"_w[i + {j}]" for j in range(n)))
+    )
+    gram = F.when(F.size(F.col("_w")) >= n, gram_expr).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .select("_id", F.explode(F.array_distinct(gram)).alias("shingle"))
+    )
 
 
 def contamination_report(
@@ -69,8 +92,8 @@ def contamination_report(
     bt = bench_text_col or text_col
     bi = bench_id_col or id_col
 
-    tg = word_shingles(train, text_col, id_col, n)  # (_id, shingle) distinct
-    bg = word_shingles(bench, bt, bi, n).withColumnRenamed("_id", "_bid")
+    tg = _distinct_grams(train, text_col, id_col, n)  # map-side distinct
+    bg = _distinct_grams(bench, bt, bi, n).withColumnRenamed("_id", "_bid")
     if broadcast_bench:
         bg = F.broadcast(bg)
 
@@ -105,7 +128,10 @@ def contamination_report(
                 .cast("long")
             ).alias("max_bench_frac_e6"),
         )
-        .join(per_doc, "_id")
+        # leak-sized on both sides, but static size estimates derive from
+        # the corpus: force the broadcast so the plan never degrades to a
+        # sort-merge join on a big cluster's estimates
+        .join(F.broadcast(per_doc), "_id")
         .select(
             F.col("_id").alias(id_col),
             "n_hit_grams",

@@ -281,6 +281,68 @@ def main() -> None:
         "counts, deterministic).",
     )
 
+
+    # 16. decontamination gram join (r5): corpus never shuffled
+    from forklift_spark.operators.contamination import contamination_report
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 13)
+    add(
+        "Benchmark decontamination (r5)",
+        contamination_report(docs, bench, "text", "doc_id", n=8),
+        "Expect: every join a BroadcastHashJoin (benchmark gram set + "
+        "leak-sized aggregates broadcast), ZERO SortMergeJoin — the "
+        "training corpus's shingle explosion stays map-side inside the "
+        "scan's codegen stage; only leak witnesses reach an exchange. At "
+        "100 TB the corpus is read once and never shuffled.",
+    )
+
+    # 17. mixture sampling to token budgets (r5): boundary-bucket algorithm
+    from forklift_spark.operators.sampling import sample_to_token_budget
+    from forklift_spark.operators.text import token_stats
+
+    tok = token_stats(
+        spark.read.parquet(f"{sf}/documents.parquet"), "text", "doc_id",
+        keep_cols=["source"],
+    ).select("doc_id", "source", "n_ws_tokens")
+    add(
+        "Token-budget mixture sampling (r5)",
+        sample_to_token_budget(
+            tok, "source", "doc_id", "n_ws_tokens",
+            {"src0": 700, "src1": 400},
+        ),
+        "Expect: the per-domain decision set (one row per domain) joins "
+        "back as BroadcastHashJoin; the only wide aggregate is the "
+        "(domain, hash-bucket) token-sum partial-combine; Window operators "
+        "run over bucket-sum rows and the single boundary bucket only — "
+        "the corpus itself is filtered map-side, no per-domain global "
+        "sort anywhere.",
+    )
+
+    # 18. repetition signals (r5): pure per-row HOFs
+    from forklift_spark.operators.text import repetition_stats
+
+    add(
+        "Repetition quality signals (r5)",
+        repetition_stats(docs, "text", "doc_id"),
+        "Expect: ZERO exchanges — the Gopher-style dup-word/top-word/"
+        "repeated-n-gram fractions are higher-order-function column "
+        "expressions riding the scan's own map stage; the filter family "
+        "costs no shuffle at any scale.",
+    )
+
+    # 19. OOV rate (r5): vocabulary broadcast, O(docs) exchange
+    from forklift_spark.operators.text import oov_rate
+
+    add(
+        "OOV-rate scoring (r5)",
+        oov_rate(docs, "text", "doc_id", top_v=16),
+        "Expect: the top-V vocabulary returns via TakeOrderedAndProject "
+        "and re-enters as a BroadcastHashJoin; the per-doc aggregate "
+        "partial-combines map-side above the explode, so the final "
+        "exchange carries one row per DOCUMENT, never per token.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
