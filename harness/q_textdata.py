@@ -917,3 +917,44 @@ def text_oov(spark, sf):
         ).otherwise(F.col("text")).alias("text"),
     )
     return oov_rate(d, "text", "doc_id", top_v=16)
+
+
+# -------------------------------------------------------- column profile
+
+_PROFILE_SQL = """
+SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
+@q("profile_columns", _PROFILE_SQL, extra=True)
+def profile_columns(spark, sf):
+    """Column profiling (operators/profile.py column_profile): per-column
+    nulls / exact distincts / min-max over documents in ONE aggregate job
+    (stack-melted to long form), equal to four independent SQL profiles."""
+    from forklift_spark.operators.profile import column_profile
+
+    return column_profile(
+        t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
