@@ -958,3 +958,110 @@ def profile_columns(spark, sf):
     return column_profile(
         t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+# ------------------------------------------------- dedup cluster closure
+
+#: three mutation generations => clusters of size 3 whose base<->m2 edge is
+#: MISSING for shorter docs at threshold 0.8 (jaccard (W-2)/(W+3) < 0.8 for
+#: word counts W < 22 while both chain links clear it for W >= 13), so the
+#: oracle genuinely exercises transitive closure, not just pair grouping
+_CLUSTER_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz aaa qqq' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zzz aaa qqq rrr sss' FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+#: shingle pairs (identical to _SHINGLE_IDX_SQL's machinery) + recursive-CTE
+#: transitive closure: component = min reachable id (DuckDB's UNION-dedup
+#: recursion terminates; clusters here are <= 3 nodes)
+_CLUSTER_BODY_SQL = r""",
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i
+             FROM w)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jp AS (SELECT id_a, id_b
+       FROM ip JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+       WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+gnodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, node) AS (
+  SELECT id, id FROM gnodes
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+asg AS (SELECT id AS doc_id, min(node) AS component FROM reach GROUP BY id)
+"""
+
+_CLUSTER_SQL = (
+    "WITH RECURSIVE " + _CLUSTER_CORPUS_SQL + _CLUSTER_BODY_SQL
+    + """
+SELECT a.doc_id, a.component, s.cluster_size
+FROM asg a JOIN (SELECT component, count(*) AS cluster_size
+                 FROM asg GROUP BY component) s
+  ON s.component = a.component
+"""
+)
+
+_CANONICAL_SQL = (
+    "WITH RECURSIVE " + _CLUSTER_CORPUS_SQL + _CLUSTER_BODY_SQL
+    + """
+SELECT c.doc_id FROM corpus c LEFT JOIN asg ON asg.doc_id = c.doc_id
+WHERE asg.component IS NULL OR asg.component = c.doc_id
+"""
+)
+
+
+def _cluster_corpus(spark, sf):
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    m = d.filter(F.col("doc_id") % 7 == 0)
+    m1 = m.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz aaa qqq")).alias("text"),
+    )
+    m2 = m.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz aaa qqq rrr sss")).alias("text"),
+    )
+    return d.unionByName(m1).unionByName(m2)
+
+
+@q("dedup_clusters", _CLUSTER_SQL, extra=True)
+def dedup_clusters(spark, sf):
+    """Transitive closure of near-dup pairs (operators/cluster.py
+    connected_components, alternating large-star/small-star): component
+    label = min doc_id per cluster, vs a DuckDB recursive-CTE closure."""
+    from forklift_spark.operators.cluster import connected_components
+
+    pairs = dd.shingle_jaccard_pairs(
+        _cluster_corpus(spark, sf), "text", "doc_id",
+        threshold=0.8, shingle_kind="word", ngram_n=3,
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+@q("dedup_canonical", _CANONICAL_SQL, extra=True)
+def dedup_canonical(spark, sf):
+    """Corpus after cluster-dedup (operators/cluster.py
+    dedup_keep_canonical): one min-id survivor per near-dup cluster,
+    singletons untouched."""
+    from forklift_spark.operators.cluster import dedup_keep_canonical
+
+    corpus = _cluster_corpus(spark, sf)
+    pairs = dd.shingle_jaccard_pairs(
+        corpus, "text", "doc_id",
+        threshold=0.8, shingle_kind="word", ngram_n=3,
+    )
+    return dedup_keep_canonical(corpus, pairs, "doc_id").select("doc_id")
