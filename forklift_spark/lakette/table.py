@@ -33,6 +33,7 @@ import re
 import time
 import uuid
 from dataclasses import dataclass
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -558,6 +559,51 @@ class LaketteTable:
             meta = cand
         return meta
 
+    def version_as_of(self, ts) -> int:
+        """Resolve a wall-clock timestamp to a version number — the Iceberg
+        `FOR TIMESTAMP AS OF` analogue over the `committed_at` stamp every
+        commit records (see _commit): the NEWEST reachable version whose
+        stamp is <= ts. Accepts epoch seconds (float/int) or a datetime
+        (naive = UTC, matching the time.time() stamps).
+
+        Chain walk is newest-first and purely driver-side metadata
+        (O(versions-newer-than-ts) small JSON reads, zero manifest loads —
+        same discipline as metadata_at). Stamps are assigned under the
+        serialized commit CAS, so they are monotone per table up to writer
+        clock skew; resolution is deterministic either way (first match on
+        the walk). Raises if ts predates the oldest reachable commit, if
+        the walk crosses into pre-stamp-era versions (committed_at absent —
+        those are addressable by version=, not by time), or if vacuum
+        already expired the metadata needed to reach ts."""
+        if isinstance(ts, datetime):
+            ts = ts.timestamp() if ts.tzinfo else ts.replace(
+                tzinfo=timezone.utc).timestamp()
+        ts = float(ts)
+        meta = self._raw_current()
+        while True:
+            stamp = meta.get("committed_at")
+            if stamp is None:
+                raise ValueError(
+                    f"version {meta['version']} has no committed_at stamp "
+                    "(pre-stamp metadata) — time travel by timestamp only "
+                    "covers stamped commits; use version= instead"
+                )
+            if stamp <= ts:
+                return int(meta["version"])
+            parent = meta.get("parent_version")
+            if parent is None:
+                raise ValueError(
+                    f"timestamp {ts} predates the oldest reachable commit "
+                    f"(v{meta['version']} at {stamp})"
+                )
+            ppath = os.path.join(self.meta_dir, f"v{parent}.json")
+            if not self.fs.exists(ppath):
+                raise ValueError(
+                    f"timestamp {ts} resolves past v{meta['version']} but "
+                    "older metadata was pruned by vacuum"
+                )
+            meta = self.fs.read_json(ppath)
+
     def history(self) -> list[dict[str, Any]]:
         """Commit log, newest first: one row per reachable version (the
         chain ends early where vacuum() already expired old metadata)."""
@@ -577,6 +623,7 @@ class LaketteTable:
                         "total_rows", sum(f["rows"] for f in meta.get("files", []))
                     ),
                     "n_buckets": meta["n_buckets"],
+                    "committed_at": meta.get("committed_at"),
                 }
             )
             parent = meta.get("parent_version")
@@ -1141,9 +1188,14 @@ class LaketteTable:
         col_ranges: dict[str, tuple] | None = None,
         col_eq: dict[str, Any] | None = None,
         ref: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Read the current committed snapshot (or, with `version`, a past
         one — time travel; fails if vacuum() already collected its files).
+        `as_of=` (epoch seconds or datetime) time-travels by wall clock
+        instead: the newest commit stamped at or before that instant
+        (version_as_of). `ref=` resolves a named tag/branch. The three
+        addressing modes are mutually exclusive.
 
         `buckets` prunes to the given hash buckets, `key_range=(lo, hi)`
         prunes files by min/max stats of the first key column AND filters
@@ -1198,6 +1250,12 @@ class LaketteTable:
         `max_by(struct(...))`, which Catalyst cannot prune INTO — a narrow
         query over a wide dirty table would otherwise scan and shuffle the
         full content bodies. Pruning here reaches the parquet scan."""
+        if as_of is not None:
+            if version is not None or ref is not None:
+                raise ValueError(
+                    "pass at most one of as_of=, version=, ref="
+                )
+            version = self.version_as_of(as_of)
         if ref is not None:
             # named time travel: `ref=` resolves a tag/branch pointer
             # (create_ref) to its pinned version — vacuum-safe, because
@@ -2129,7 +2187,8 @@ class LaketteTable:
     # ---------------------------------------------------------------- vacuum
 
     def vacuum(
-        self, *, keep_versions: int = 1, grace_seconds: float = 86400.0
+        self, *, keep_versions: int = 1, grace_seconds: float = 86400.0,
+        keep_since: float | None = None,
     ) -> dict[str, int]:
         """Garbage-collect data files not referenced by the newest
         `keep_versions` reachable versions, plus metadata files of pruned
@@ -2149,6 +2208,15 @@ class LaketteTable:
         (or 0) only when no writer can be live — e.g. the single-writer
         ingest loop vacuuming synchronously between its own epochs.
 
+        `keep_since` (epoch seconds) adds WALL-CLOCK retention on top of
+        the version count — every version stamped committed_at >= the
+        instant survives, so `vacuum(keep_since=now - 7*86400)` is
+        Iceberg's `expire_snapshots(older_than=)`: time travel
+        (`snapshot(as_of=)`/`version_as_of`) keeps working across the whole
+        retained window regardless of commit frequency. Pre-stamp-era
+        versions have no committed_at and are never retained by this rule
+        (only by keep_versions / refs).
+
         Driver-side file ops only. At object-store scale this would be a
         manifest diff + batched deletes; the referenced-set computation is
         identical. Time travel beyond `keep_versions` stops working — same
@@ -2165,6 +2233,18 @@ class LaketteTable:
                 return True  # vanished mid-scan: leave it alone
         history = self.history()
         kept_meta = history[:keep_versions]
+        if keep_since is not None:
+            # wall-clock retention: every stamped version inside the window
+            # survives in addition to the newest keep_versions (history is
+            # newest-first, so this extends the kept prefix; unstamped
+            # pre-stamp-era versions never match this rule)
+            head = {h["version"] for h in kept_meta}
+            kept_meta = kept_meta + [
+                h for h in history
+                if h["version"] not in head
+                and h.get("committed_at") is not None
+                and h["committed_at"] >= keep_since
+            ]
         kept_versions = {h["version"] for h in kept_meta}
         reachable = {h["version"] for h in history}
         # refs (tags/branches) PIN their versions: a tagged snapshot is a

@@ -286,6 +286,58 @@ def scan_incremental(spark, sf):
     return snap.select("repo", "path", "seq", "lang", "content_sha")
 
 
+#: the LWW state right after the I+U epochs, before any delete landed —
+#: what a wall-clock time travel to that instant must read
+_ASOF_LWW_SQL = """
+WITH changelog AS (
+  SELECT doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT repo, path, seq, lang, sha256(content) AS content_sha
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("scan_asof", _ASOF_LWW_SQL, extra=True)
+def scan_asof(spark, sf):
+    """Time travel by WALL CLOCK (table.snapshot(as_of=), the Iceberg
+    `FOR TIMESTAMP AS OF` analogue): replay the 3 epochs capturing a
+    timestamp between the update and delete waves, then read the table as
+    of that instant — version_as_of resolves the stamp chain driver-side
+    (zero manifest loads) and the result must equal the pure-SQL LWW
+    state of the I+U events exactly (no delete visible)."""
+    import time as _time
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_asof_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    t_mid = None
+    for i, op in enumerate(["I", "U", "D"]):
+        if op == "D":
+            _time.sleep(0.02)
+            t_mid = _time.time()
+            _time.sleep(0.02)
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="harness",
+            epoch=i,
+        )
+    snap = table.snapshot(spark, as_of=t_mid)
+    return snap.select("repo", "path", "seq", "lang", "content_sha")
+
+
 @q("replicate_scan", _CDC_LWW_SQL, extra=True)
 def replicate_scan(spark, sf):
     """Lake-to-lake replication end-to-end: replay the derived changelog

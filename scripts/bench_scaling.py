@@ -41,7 +41,8 @@ def make_pyfiles_zip() -> str:
 def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: str,
                  epochs: int, zip_path: str, verify: str, batch_dedupe: bool,
                  dedupe_strategy: str = "agg",
-                 expected_dir: str | None = None) -> dict:
+                 expected_dir: str | None = None,
+                 no_compact: bool = False) -> dict:
     spark_submit_bin = shutil.which("spark-submit") or os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
     )
@@ -67,6 +68,8 @@ def spark_submit(cores: int, log_dir: str, workdir: str, n_events: int, mode: st
     ]
     if not batch_dedupe:
         cmd.append("--no-batch-dedupe")
+    if no_compact:
+        cmd.append("--no-compact")
     print("+", " ".join(cmd), flush=True)
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     for line in proc.stdout.splitlines():
@@ -225,6 +228,12 @@ def main() -> None:
                          "trial (host-steal on this shared VM only ever slows a "
                          "run, so max-over-trials is the least-biased estimate; "
                          "every trial is disclosed in the report)")
+    ap.add_argument("--no-compact", action="store_true",
+                    help="skip the post-replay fold-compact in each trial "
+                         "(replay_job.py --no-compact): the sustained basis "
+                         "is computed from per-epoch ingest metrics either "
+                         "way; this flag keeps both legs' whole-wall figure "
+                         "on the same basis (used by the r5 addendum runs)")
     ap.add_argument("--batch-dedupe", action="store_true",
                     help="keep the in-batch dedupe shuffle (default: MOR fast path skips it)")
     ap.add_argument("--dedupe-strategy", default="agg", choices=["agg", "prefilter"])
@@ -271,7 +280,8 @@ def main() -> None:
             run = spark_submit(cores, log_dir, run_dir, args.n_events, args.mode,
                                args.epochs, zip_path, args.verify, args.batch_dedupe,
                                dedupe_strategy=args.dedupe_strategy,
-                               expected_dir=expected_dir)
+                               expected_dir=expected_dir,
+                               no_compact=args.no_compact)
             if expected_dir:
                 run.update(_verify_cached(run_dir, expected_dir))
                 print(f"  local[{cores}] t{t}: "
