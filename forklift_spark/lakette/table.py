@@ -917,7 +917,8 @@ class LaketteTable:
         self.fs.put_json(self._ref_path(name), rec)
         return rec
 
-    def restore(self, version: int | None = None, *, ref: str | None = None) -> TableCommit:
+    def restore(self, version: int | None = None, *, ref: str | None = None,
+                as_of=None) -> TableCommit:
         """ROLL BACK the table head to a past version's state (Delta
         RESTORE / Iceberg rollback analogue) — as a NEW commit, never by
         rewinding the chain: history stays intact, the audit trail shows
@@ -933,9 +934,18 @@ class LaketteTable:
 
         Restoring across an online bucket rescale is rejected: old-spec
         file entries under a replaced spec set would corrupt pruning.
-        Finish the migration (compact) first."""
-        if (version is None) == (ref is None):
-            raise ValueError("restore: pass exactly one of version= or ref=")
+        Finish the migration (compact) first.
+
+        Address the target by exactly one of `version=`, `ref=` (named
+        tag/branch), or `as_of=` (wall-clock instant, resolved through
+        version_as_of — "roll back to how the table was at 3pm")."""
+        n_addr = sum(x is not None for x in (version, ref, as_of))
+        if n_addr != 1:
+            raise ValueError(
+                "restore: pass exactly one of version=, ref=, as_of="
+            )
+        if as_of is not None:
+            version = self.version_as_of(as_of)
         if ref is not None:
             version = self.ref_version(ref)
         old = self.metadata_at(int(version))

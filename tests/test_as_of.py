@@ -109,6 +109,25 @@ def test_as_of_prestamp_metadata_is_loud(spark, tmp_path):
         table.version_as_of(t_after_v1)
 
 
+def test_restore_as_of_rolls_back_by_wall_clock(spark, tmp_path):
+    """restore(as_of=) = 'roll back to how the table was at <instant>':
+    the target resolves through version_as_of and the restore lands as a
+    NEW commit (history intact, ordinary CAS)."""
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, table, [_ev("I", 1, "a", "good")], 0)
+    time.sleep(0.02)
+    t_good = time.time()
+    time.sleep(0.02)
+    _seed(spark, table, [_ev("U", 2, "a", "bad")], 1)
+
+    v_before = table.history()[0]["version"]
+    table.restore(as_of=t_good)
+    assert [r.content for r in table.snapshot(spark).collect()] == ["good"]
+    assert table.history()[0]["version"] == v_before + 1  # new commit, no rewind
+    with pytest.raises(ValueError, match="exactly one"):
+        table.restore(0, as_of=t_good)
+
+
 def test_vacuum_keep_since_wall_clock_retention(spark, tmp_path):
     """vacuum(keep_since=) is expire_snapshots(older_than=): every commit
     stamped inside the window survives regardless of keep_versions, so
