@@ -18,6 +18,7 @@ sha2(content, 256) equality per row, both directions (anti-joins empty).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -215,6 +216,7 @@ def run_ingest(
     vacuum_every: int | None = None,
     vacuum_keep_versions: int = 4,
     vacuum_grace_seconds: float = 3600.0,
+    vacuum_keep_hours: float | None = None,
     expire_epochs_keep: int | None = None,
     derived: "list | None" = None,
     derived_every: int = 1,
@@ -253,7 +255,10 @@ def run_ingest(
     applied epochs the table vacuums expired versions' data/metadata/
     manifest files (keeping `vacuum_keep_versions` versions, respecting
     `vacuum_grace_seconds` — lower it to 0 only when this loop is the sole
-    writer), and, with `expire_epochs_keep=K`, prunes epoch markers +
+    writer; `vacuum_keep_hours=H` additionally keeps every commit of the
+    last H wall-clock hours so `snapshot(as_of=)` time travel stays valid
+    across the whole window regardless of epoch cadence), and, with
+    `expire_epochs_keep=K`, prunes epoch markers +
     lineage + metrics below (max epoch - K). Together these bound every
     file population a continuous 10^10-event ingest grows — data files,
     version files, manifest shards, markers — at O(retained), not
@@ -426,6 +431,8 @@ def run_ingest(
                 table.vacuum(
                     keep_versions=vacuum_keep_versions,
                     grace_seconds=vacuum_grace_seconds,
+                    keep_since=(time.time() - vacuum_keep_hours * 3600.0)
+                    if vacuum_keep_hours is not None else None,
                 )
                 if expire_epochs_keep is not None:
                     table.expire_epochs(keep_last=expire_epochs_keep)

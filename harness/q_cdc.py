@@ -338,6 +338,35 @@ def scan_asof(spark, sf):
     return snap.select("repo", "path", "seq", "lang", "content_sha")
 
 
+@q("manifest_scan", _CDC_LWW_SQL, extra=True)
+def manifest_scan(spark, sf):
+    """Engine-free interop export end-to-end (operators/interop.py): replay
+    the 3 epochs, export the snapshot as a plain parquet manifest (the
+    Delta symlink_format_manifest analogue — files.txt + a ready-to-run
+    DuckDB view.sql, marker-last), then read it back through read_manifest,
+    which plans from files.txt alone (no lakette metadata layer). The
+    external reader's view must equal the same LWW oracle scan_snapshot
+    checks — proving any parquet-capable engine can consume the table."""
+    from forklift_spark.operators.interop import export_manifest, read_manifest
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_mfst_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(os.path.join(root, "t"), n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="harness",
+            epoch=i,
+        )
+    out = os.path.join(root, "drop")
+    export_manifest(table, out)
+    ext = read_manifest(spark, out)
+    return ext.select("repo", "path", "seq", "lang", "content_sha")
+
+
 @q("replicate_scan", _CDC_LWW_SQL, extra=True)
 def replicate_scan(spark, sf):
     """Lake-to-lake replication end-to-end: replay the derived changelog

@@ -152,6 +152,37 @@ def test_vacuum_keep_since_wall_clock_retention(spark, tmp_path):
         table.version_as_of(stamps[0])
 
 
+def test_ingest_loop_wall_clock_retention(spark, tmp_path):
+    """run_ingest(vacuum_keep_hours=H): the in-loop vacuum keeps every
+    commit of the last H hours even at vacuum_keep_versions=1, so
+    snapshot(as_of=) time travel works across the whole streamed window."""
+    from forklift_spark.changelog import ChangelogSpec, generate_changelog
+    from forklift_spark.streaming.ingest import run_ingest
+
+    spec = ChangelogSpec(
+        n_events=600, n_repos=4, paths_per_repo=10, seed=7, segment_rows=100
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(spec, log_dir)
+    table = create_entity_table(str(tmp_path / "tbl"), n_buckets=4)
+    report = run_ingest(
+        spark, log_dir, table, str(tmp_path / "ckpt"),
+        query_id="wret", max_files_per_trigger=1,
+        vacuum_every=2, vacuum_keep_versions=1,
+        vacuum_grace_seconds=0.0,  # sole writer
+        vacuum_keep_hours=1.0,     # the whole run is inside the window
+    )
+    applied = sum(1 for e in report.epochs if not e.skipped)
+    assert applied >= 5
+    hist = table.history()
+    # nothing inside the wall-clock window was pruned, despite keep_versions=1
+    assert len(hist) >= applied
+    # time travel to the very first stamped commit still resolves and reads
+    t_first = hist[-1]["committed_at"]
+    assert table.version_as_of(t_first) == hist[-1]["version"]
+    table.snapshot(spark, as_of=t_first).count()  # files intact too
+
+
 def test_as_of_vacuum_expired_is_loud(spark, tmp_path):
     table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
     _seed(spark, table, [_ev("I", 1, "a", "v1")], 0)
