@@ -183,6 +183,39 @@ def test_ingest_loop_wall_clock_retention(spark, tmp_path):
     table.snapshot(spark, as_of=t_first).count()  # files intact too
 
 
+def test_as_of_resolution_property(spark, tmp_path):
+    """Property: for ANY timestamp inside the stamped range,
+    version_as_of(ts) equals the independently-computed
+    max(version whose stamp <= ts) — including exact stamp boundaries,
+    midpoints, and timestamps beyond the head. Pure driver-side metadata,
+    so the sweep costs no Spark jobs."""
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    for e in range(6):
+        _seed(spark, table, [_ev("I" if e == 0 else "U", e + 1, "a", f"v{e}")], e)
+        time.sleep(0.015)
+    hist = {h["version"]: h["committed_at"] for h in table.history()}
+    stamps = sorted(hist.items())  # (version, stamp) ascending
+
+    def oracle(ts):
+        ok = [v for v, s in stamps if s <= ts]
+        return max(ok) if ok else None
+
+    probes = []
+    for v, s in stamps:
+        probes += [s, s + 1e-4, s - 1e-4]  # boundary, just-after, just-before
+    for (_, a), (_, b) in zip(stamps, stamps[1:]):
+        probes.append((a + b) / 2)  # midpoints
+    probes.append(stamps[-1][1] + 3600)  # far future -> head
+
+    for ts in probes:
+        want = oracle(ts)
+        if want is None:
+            with pytest.raises(ValueError, match="predates"):
+                table.version_as_of(ts)
+        else:
+            assert table.version_as_of(ts) == want, ts
+
+
 def test_as_of_vacuum_expired_is_loud(spark, tmp_path):
     table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
     _seed(spark, table, [_ev("I", 1, "a", "v1")], 0)
