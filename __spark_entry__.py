@@ -33,10 +33,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each SQL-expressible query. Only 4 keys
-    are omitted (rows-only by design): dedup_minhash_lsh / dedup_simhash /
-    ann_lsh (probabilistic hash families) and mm_features (stubbed media
-    decode — no codec libs in this image)."""
+    """DuckDB-equivalent SQL for each SQL-expressible query. The 8 keys
+    omitted are rows-only BY DESIGN: dedup_minhash_lsh / dedup_simhash /
+    ann_lsh / embedding_dup_pairs_lsh / ann_ivf (probabilistic hash or
+    trained-index families — recall is measured against exact baselines in
+    tests instead), pack_greedy (sequential first-fit is not
+    SQL-expressible; property-tested), and mm_features / mm_frames
+    (stubbed media decode — no codec libs in this image)."""
     from harness import ORACLES
 
     return dict(ORACLES)
