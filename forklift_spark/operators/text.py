@@ -9,6 +9,8 @@ to be independently recomputable in ANSI SQL for the DuckDB oracle.
                   (winnowing-style min selection over md5 of char 8-grams)
   repetition_stats  Gopher/Dolma within-doc repetition filters (dup word /
                   top word / repeated n-gram fractions) — zero-exchange HOFs
+  text_chunks     fixed-size overlapping token windows (training/RAG
+                  chunking) — split+sequence+slice+explode, zero exchanges
 """
 
 from __future__ import annotations
@@ -43,6 +45,62 @@ def token_stats(
             "n_alnum_tokens"
         ),
         F.length(text_col).alias("len_chars"),
+    )
+
+
+def text_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    training/RAG chunking step: chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; the last chunk is the first one containing the final token
+    (so every token is covered exactly once past the overlap, and a doc
+    shorter than chunk_tokens yields exactly one chunk). Whitespace-only
+    docs yield zero chunks. Output: (id, chunk_id, n_tokens, chunk_text)
+    plus keep_cols carried through.
+
+    100 TB posture: pure column expressions — split + sequence + slice +
+    explode inside the scan's codegen stage, ZERO exchanges (the fan-out
+    is bounded by ~n_tokens/stride per row and stays in the row's own
+    task); no Python on the data path. The identical arithmetic is
+    ANSI-SQL-expressible (string_split_regex + generate_series + list
+    slicing), so the op is full-oracle-checkable."""
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens, got "
+            f"chunk_tokens={chunk_tokens} overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of chunks: 1 while n <= chunk_tokens, else 1 + ceil((n-CT)/ST)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long") + 1
+    )
+    base = df.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        toks.alias("__toks"),
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+        ).alias("chunk_id", "__start_i"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__start_i").cast("int") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -319,6 +319,48 @@ def text_tokens(spark, sf):
     return token_stats(t(spark, sf, "documents"), "text", "doc_id")
 
 
+#: chunking at chunk_tokens=24 / overlap=6 (stride 18): chunk i covers
+#: tokens [i*18+1, i*18+24] (1-based inclusive slices in both engines);
+#: the last chunk is the first containing the final token
+_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+meta AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 24 THEN 1
+              ELSE CAST(ceil((len(t) - 24) * 1.0 / 18) AS BIGINT) + 1 END AS nc
+  FROM toks
+)
+SELECT m.doc_id,
+       g.i AS chunk_id,
+       len(m.t[g.i*18 + 1 : g.i*18 + 24]) AS n_tokens,
+       array_to_string(m.t[g.i*18 + 1 : g.i*18 + 24], ' ') AS chunk_text
+FROM meta m, UNNEST(generate_series(0, m.nc - 1)) AS g(i)"""
+
+
+@q("text_chunk", _CHUNK_SQL, extra=True)
+def text_chunk(spark, sf):
+    """Training/RAG chunking (operators/text.py text_chunks): fixed 24-token
+    windows with 6-token overlap over every document — split + sequence +
+    slice + explode entirely inside the scan's codegen stage (zero
+    exchanges), matching DuckDB's generate_series + list-slicing
+    recomputation token-for-token including the short-doc single-chunk and
+    final-partial-chunk boundaries."""
+    from forklift_spark.operators.text import text_chunks
+
+    out = text_chunks(
+        t(spark, sf, "documents"), "text", "doc_id", chunk_tokens=24, overlap=6
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
 _QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id,
