@@ -242,6 +242,62 @@ def pipeline_pack(spark, sf):
     )
 
 
+#: chunking -> packing composed: 24/6 token windows per doc, then the
+#: chunk stream packed into 256-token training sequences per source shard
+_PIPELINE_CHUNK_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+meta AS (
+  SELECT doc_id, source, t,
+         CASE WHEN len(t) <= 24 THEN 1
+              ELSE CAST(ceil((len(t) - 24) * 1.0 / 18) AS BIGINT) + 1 END AS nc
+  FROM toks
+),
+chunks AS (
+  SELECT m.doc_id * 100000 + g.i AS chunk_uid,
+         m.source,
+         CAST(len(m.t[g.i*18 + 1 : g.i*18 + 24]) AS BIGINT) AS n_tokens
+  FROM meta m, UNNEST(generate_series(0, m.nc - 1)) AS g(i)
+),
+cum AS (
+  SELECT source AS pack_group, chunk_uid, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY chunk_uid
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM chunks
+)
+SELECT pack_group, chunk_uid, n_tokens,
+       CAST(floor(s / 256) AS BIGINT) AS chunk_id,
+       CAST(s % 256 AS BIGINT) AS chunk_offset
+FROM cum"""
+
+
+@q("pipeline_chunk_pack", _PIPELINE_CHUNK_PACK_SQL, extra=True)
+def pipeline_chunk_pack(spark, sf):
+    """Chunk -> pack composed as ONE plan: every document split into 24/6
+    overlapping token windows (text_chunks, zero-exchange explode in the
+    scan stage), each chunk given a deterministic uid, then the chunk
+    stream packed into 256-token training sequences per source shard
+    (pack_concat_chunks, ONE exchange total — the packing window's group
+    key). The oracle replays both stages' exact expressions in SQL."""
+    from forklift_spark.operators import sampling as sp
+    from forklift_spark.operators.text import text_chunks
+
+    chunks = text_chunks(
+        t(spark, sf, "documents"), "text", "doc_id",
+        chunk_tokens=24, overlap=6, keep_cols=["source"],
+    )
+    stream = chunks.select(
+        (F.col("doc_id").cast("long") * 100000 + F.col("chunk_id")).alias("chunk_uid"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tok"),
+    )
+    return sp.pack_concat_chunks(
+        stream, "chunk_uid", "n_tok", max_tokens=256, group_col="source"
+    )
+
+
 @q("pack_greedy", extra=True)  # rows-only: first-fit is not SQL-expressible
 def pack_greedy(spark, sf):
     """No-split packing: whole documents first-fit into 2048-token bins

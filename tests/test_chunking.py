@@ -77,3 +77,32 @@ def test_zero_exchange_plan(spark):
     out = text_chunks(df, "text", "doc_id", chunk_tokens=8, overlap=2)
     assert count_exchanges(out) == 0
     assert_no_row_python_udf(out, "text_chunks")
+
+
+def test_chunk_pack_composition_one_exchange(spark):
+    """chunk -> pack as one plan pays exactly ONE exchange (the packing
+    window's group key); the chunk fan-out stays in the scan stage."""
+    from pyspark.sql import functions as F
+
+    from forklift_spark.operators import sampling as sp
+
+    df = spark.range(20).selectExpr(
+        "id AS doc_id", "repeat('tok ', 40) AS text",
+        "concat('s', id % 3) AS source",
+    )
+    chunks = text_chunks(
+        df, "text", "doc_id", chunk_tokens=8, overlap=2, keep_cols=["source"]
+    )
+    stream = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("chunk_uid"),
+        "source",
+        F.col("n_tokens").alias("n_tok"),
+    )
+    out = sp.pack_concat_chunks(
+        stream, "chunk_uid", "n_tok", max_tokens=16, group_col="source"
+    )
+    assert count_exchanges(out) == 1
+    assert_no_row_python_udf(out, "chunk_pack")
+    rows = out.collect()
+    assert len(rows) == chunks.count()  # one packed row per chunk
+    assert all(0 <= r.chunk_offset < 16 for r in rows)
