@@ -123,11 +123,23 @@ def bench_replay(spark, n_events: int, n_epochs: int, workdir: str, mode: str = 
 
     exp = spark.createDataFrame(expected_final_state(spec))
     ver = verify_state(spark, table, exp)
+    # steady-state attribution (disclosure only — the headline value stays
+    # the whole replay wall, like-for-like with every prior round): epoch 0
+    # carries the one-time JVM/codegen/Python-worker warmup, so the
+    # merge-path steady rate is the post-warmup epochs' rows over their
+    # merge walls. At the 10^10-event posture warmup amortizes to zero and
+    # the steady rate is the one that extrapolates.
+    applied = [s for s in report.epochs if not s.skipped]
+    steady = applied[1:] if len(applied) > 1 else applied
+    s_rows = sum(s.batch_rows for s in steady)
+    s_wall = sum(s.wall_sec for s in steady)
     return {
         "replay_wall_sec": round(wall, 3),
         "events": spec.n_events,
         "events_per_sec": round(spec.n_events / wall, 1),
         "epochs": len(report.epochs),
+        "epoch0_wall_sec": round(applied[0].wall_sec, 3) if applied else None,
+        "merge_steady_events_per_sec": round(s_rows / s_wall, 1) if s_wall else None,
         "sha_exact": ver["ok"],
         "final_rows": ver["total"],
         "mode": mode,
@@ -195,6 +207,11 @@ def main() -> None:
         "sf": sf,
         "events": replay["events"],
         "events_per_sec": replay["events_per_sec"],
+        # disclosure: epoch 0 carries one-time JVM/codegen/Python-worker
+        # warmup; the merge-path steady rate is what extrapolates to a
+        # long-running ingest (headline stays whole-wall, like-for-like)
+        "epoch0_wall_sec": replay["epoch0_wall_sec"],
+        "merge_steady_events_per_sec": replay["merge_steady_events_per_sec"],
         "epochs": replay["epochs"],
         "sha_exact": replay["sha_exact"],
         "final_rows": replay["final_rows"],

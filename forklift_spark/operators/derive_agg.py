@@ -33,6 +33,14 @@ non-self-maintainable classes):
           harness oracle use the same definition. Aggregates needing bare
           SQL NULL semantics belong in the groups strategy.
 
+          Floating-point caveat: retraction arithmetic on FLOAT/DOUBLE
+          sums drifts (a + x - x need not equal a in IEEE float, and the
+          error accumulates over epochs) — delta-maintained sums should
+          use integer or DECIMAL operands; for float sums pick
+          strategy="groups" (recompute is drift-free by construction) or
+          accept approximate convergence. sum(count)-shaped integer
+          pipelines — the common gold shape — are exact.
+
   groups  for ARBITRARY aggregates (min/max, count(distinct ...), avg,
           any SQL aggregate expression): the span only identifies the set
           of AFFECTED groups (old and new side); those groups are then

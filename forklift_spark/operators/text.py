@@ -11,6 +11,10 @@ to be independently recomputable in ANSI SQL for the DuckDB oracle.
                   top word / repeated n-gram fractions) — zero-exchange HOFs
   text_chunks     fixed-size overlapping token windows (training/RAG
                   chunking) — split+sequence+slice+explode, zero exchanges
+  normalize_expr / text_normalized  CCNet/Dolma-style normalization for
+                  dedup keys (lowercase, digits->0, punctuation runs->one
+                  space) — the step that makes exact dedup catch the
+                  case/punctuation/number near-copies raw hashing misses
 """
 
 from __future__ import annotations
@@ -175,6 +179,43 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFr
         .groupBy("_id")
         .agg(F.min("h").alias("fingerprint"))
         .select(F.col("_id").alias(id_col), "fingerprint")
+    )
+
+
+def normalize_expr(col: Column) -> Column:
+    """CCNet/Dolma-style text normalization for DEDUP KEYS: lowercase,
+    every digit folded to ``0``, every non-alphanumeric run collapsed to
+    one space, trimmed. Raw exact dedup misses the most common web
+    near-copies — the same article re-encoded with different casing,
+    punctuation, timestamps or counters; hashing the NORMALIZED text
+    collapses those while leaving genuinely different words distinct.
+
+    Three codegen regex steps, zero exchanges, and deliberately
+    engine-portable: lower / regexp_replace / trim evaluate byte-identically
+    in Spark and the DuckDB oracle (non-ASCII letters fall outside
+    ``[a-z0-9]`` in both and become separators — the folding is
+    ASCII-faithful, which is the CCNet recipe's behavior too).
+    Idempotent: normalize(normalize(x)) == normalize(x)."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[0-9]", "0")
+    x = F.regexp_replace(x, "[^a-z0-9]+", " ")
+    return F.trim(x)
+
+
+def text_normalized(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document normalized text + its sha256 — the dedup-key view:
+    (id, norm_text, norm_sha). Feed `norm_text` to exact_dedup (digest-only
+    exchange) or the shingle/minhash family to make any of them
+    normalization-aware; `norm_sha` alone is the join-free exact key.
+    Pure codegen — zero exchanges (plan-asserted in tests)."""
+    nt = normalize_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        nt.alias("norm_text"),
+        F.sha2(nt, 256).alias("norm_sha"),
     )
 
 

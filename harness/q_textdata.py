@@ -77,6 +77,62 @@ def dedup_exact(spark, sf):
     return dd.exact_dedup(d.unionByName(dups), "text", "doc_id")
 
 
+#: normalization -> exact dedup: the planted variants differ ONLY by case+
+#: punctuation (collapse with their base doc) or by trailing numbers
+#: (collapse with each other under digits->0), so every normalization rule
+#: is what makes its group form — raw hashing would see 4 distinct texts
+_NORM_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, upper(text) || '!!' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' 42' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text || ' 97,' FROM documents WHERE doc_id % 5 = 0
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                             '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM corpus
+)
+SELECT md5(nt) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM norm GROUP BY nt"""
+
+
+@q("dedup_exact_norm", _NORM_DEDUP_SQL, extra=True)
+def dedup_exact_norm(spark, sf):
+    """CCNet-style normalized exact dedup: normalize_expr (lowercase,
+    digits->0, punct runs->space — zero exchanges) feeds exact_dedup's
+    digest-only aggregate. The planted case/punct variants collapse with
+    their base docs and the two number variants collapse with each other;
+    the DuckDB oracle replays the identical three regex steps."""
+    from forklift_spark.operators.text import text_normalized
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    f = d.filter(F.col("doc_id") % 5 == 0)
+    variants = [
+        f.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+        ),
+        f.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" 42")).alias("text"),
+        ),
+        f.select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" 97,")).alias("text"),
+        ),
+    ]
+    corpus = d
+    for v in variants:
+        corpus = corpus.unionByName(v)
+    n = text_normalized(corpus, "text", "doc_id")
+    return dd.exact_dedup(n, "norm_text", "doc_id")
+
+
 @q("dedup_ngram_jaccard", _SHINGLE_IDX_SQL)
 def dedup_ngram_jaccard(spark, sf):
     """Exact word-trigram Jaccard near-dup pairs via shingle inverted index
