@@ -21,6 +21,12 @@ documents" and "training batches":
                       applyInPandas (Arrow-batched; groups are the
                       distribution unit, so the quadratic/sequential part
                       never exceeds one group).
+  shuffle_shards      deterministic corpus shuffle + sharding: every doc
+                      gets a pseudo-random but engine/partitioning/
+                      cluster-size-invariant (shard, pos), so the global
+                      training order reproduces exactly anywhere; epoch
+                      reshuffles are a salt change. One exchange (the
+                      per-shard rank window).
 
 100 TB posture: sampling is a map-only filter (predicate-pushdown
 friendly, no exchange). Packing shuffles once on the group key; groups
@@ -46,9 +52,10 @@ _MOD = 2**32
 _SCALE = 10_000  # rates quantized to basis points
 
 
-def sample_hash(id_col, salt: int = 0):
-    """Deterministic uniform bucket in [0, 10000) from an integer id —
-    mathematically `(id + salt) * 2654435761 mod 2^32 mod 10^4`.
+def _mix32(id_col, salt: int = 0):
+    """The shared 32-bit multiplicative mix — `(id + salt) * 2654435761
+    mod 2^32` — that every deterministic sampling/shuffling decision in
+    this module reduces from.
 
     The multiply is performed MODULARLY, in two 16-bit pieces, so every
     int64 intermediate stays far below 2^63 (ADVICE r4 #2): the naive
@@ -57,28 +64,39 @@ def sample_hash(id_col, salt: int = 0):
     raising ArithmeticException under spark.sql.ansi.enabled=true. Here
     x = (id + salt) mod 2^32 is split as hi*2^16 + lo; then
     x*K mod 2^32 = ((hi*K mod 2^16)*2^16 + lo*K) mod 2^32, whose largest
-    intermediate is < 2^48. Identical bucket values to the naive formula
-    at every id (same math, no wrap), valid over the full non-negative
+    intermediate is < 2^48. Identical values to the naive formula at
+    every id (same math, no wrap), valid over the full non-negative
     int64 id domain, still pure codegen."""
     x = F.pmod(F.col(id_col).cast("long") + F.lit(int(salt)), F.lit(_MOD))
     hi = F.floor(x / F.lit(65536)).cast("long")
     lo = F.pmod(x, F.lit(65536))
-    h = F.pmod(
+    return F.pmod(
         F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536) + lo * F.lit(_KNUTH),
         F.lit(_MOD),
     )
-    return F.pmod(h, F.lit(_SCALE))
 
 
-def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
-    """The EXACT oracle-SQL twin of `sample_hash` (ANSI; DuckDB/Spark SQL
-    both evaluate it without overflow) — kept next to the Column version so
-    the two can never drift apart."""
+def _mix32_sql(id_expr: str, salt: int = 0) -> str:
+    """The EXACT oracle-SQL twin of `_mix32` (ANSI; DuckDB/Spark SQL both
+    evaluate it without overflow) — kept next to the Column version so the
+    two can never drift apart."""
     x = f"(({id_expr}) + {int(salt)}) % 4294967296"
     return (
         f"((((({x}) // 65536) * {_KNUTH}) % 65536) * 65536"
-        f" + (({x}) % 65536) * {_KNUTH}) % 4294967296 % {_SCALE}"
+        f" + (({x}) % 65536) * {_KNUTH}) % 4294967296"
     )
+
+
+def sample_hash(id_col, salt: int = 0):
+    """Deterministic uniform bucket in [0, 10000) from an integer id —
+    `_mix32(id, salt) mod 10^4` (see _mix32 for the overflow-safe modular
+    multiply and its full-int64-domain validity)."""
+    return F.pmod(_mix32(id_col, salt), F.lit(_SCALE))
+
+
+def sample_hash_sql(id_expr: str, salt: int = 0) -> str:
+    """The EXACT oracle-SQL twin of `sample_hash`."""
+    return f"{_mix32_sql(id_expr, salt)} % {_SCALE}"
 
 
 def sample_stratified(
@@ -99,6 +117,63 @@ def sample_stratified(
         expr = F.when(F.col(strata_col) == F.lit(k),
                       F.lit(int(round(r * _SCALE)))).otherwise(expr)
     return df.filter(sample_hash(id_col, salt) < expr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: int = 0,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the reproducibility step
+    before training: every document gets a pseudo-random but fully
+    deterministic (shard, pos) so any engine, partitioning, or cluster
+    size materializes the IDENTICAL global training order (shard-major,
+    pos-minor). Epoch reshuffles = new salt.
+
+    shard    = _mix32(id, salt) mod n_shards   (which output shard)
+    sort_key = _mix32(id, salt)                (order within the shard)
+    pos      = dense 0-based rank within the shard by (sort_key, id) —
+               the id tie-break makes the order total even where the
+               32-bit keys collide (birthday ties are order-noise, not
+               bias, so the tie-break costs nothing statistically)
+
+    ONE exchange (the per-shard window); shards sort in parallel. Scale
+    contract: a shard is one window partition, so pick n_shards large
+    enough that corpus/n_shards rows fit a task comfortably — at 10^10
+    docs, n_shards=10^5 keeps shards at ~10^5 rows. Writing the result
+    partitioned by shard, sorted by pos, IS the shuffled corpus layout
+    a sequential trainer streams."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    h = _mix32(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in (keep_cols or [])],
+            F.pmod(h, F.lit(int(n_shards))).alias("shard"),
+            h.alias("sort_key"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+
+
+def shuffle_shards_sql(
+    id_expr: str, n_shards: int, salt: int = 0
+) -> tuple[str, str, str]:
+    """Oracle-SQL twins of shuffle_shards' three derived columns:
+    (shard_sql, sort_key_sql, pos_sql_over) — pos_sql_over is the window
+    body to wrap as `row_number() OVER (...) - 1`."""
+    mix = _mix32_sql(id_expr, salt)
+    return (
+        f"({mix}) % {int(n_shards)}",
+        mix,
+        f"PARTITION BY ({mix}) % {int(n_shards)} ORDER BY {mix}, {id_expr}",
+    )
 
 
 def pack_concat_chunks(

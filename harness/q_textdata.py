@@ -192,7 +192,7 @@ def embedding_dup_pairs_lsh(spark, sf):
 
 # ------------------------------------------ sampling / packing (extras)
 
-from forklift_spark.operators.sampling import sample_hash_sql
+from forklift_spark.operators.sampling import sample_hash_sql, shuffle_shards_sql
 
 #: the oracle runs the engine's EXACT overflow-safe modular-multiply hash
 #: (sample_hash_sql is the Column expression's SQL twin — ADVICE r4 #2)
@@ -216,6 +216,30 @@ def sample_stratified(spark, sf):
         t(spark, sf, "documents"), "lang", "doc_id",
         rates={"en": 0.5, "zh": 0.25}, default_rate=0.1,
     ).select("doc_id", "lang")
+
+
+#: the oracle replays the identical mix/shard/rank expressions — any
+#: engine reproduces the SAME global training order
+_SHUF_SHARD, _SHUF_KEY, _SHUF_OVER = shuffle_shards_sql("doc_id", 8, salt=7)
+_SHUFFLE_SQL = f"""
+SELECT doc_id, {_SHUF_SHARD} AS shard, {_SHUF_KEY} AS sort_key,
+       row_number() OVER ({_SHUF_OVER}) - 1 AS pos
+FROM documents
+"""
+
+
+@q("corpus_shuffle", _SHUFFLE_SQL, extra=True)
+def corpus_shuffle(spark, sf):
+    """Deterministic corpus shuffle + sharding (training reproducibility):
+    every doc gets an engine/partitioning/cluster-size-invariant
+    (shard, pos) — shard-major, pos-minor IS the shuffled training order,
+    and a salt change is an epoch reshuffle. One exchange (the per-shard
+    rank window); the DuckDB oracle replays the same expressions."""
+    from forklift_spark.operators import sampling as sp
+
+    return sp.shuffle_shards(
+        t(spark, sf, "documents").select("doc_id"), "doc_id", n_shards=8, salt=7
+    )
 
 
 _PACK_SQL = r"""
