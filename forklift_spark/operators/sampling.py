@@ -27,6 +27,10 @@ documents" and "training batches":
                       training order reproduces exactly anywhere; epoch
                       reshuffles are a salt change. One exchange (the
                       per-shard rank window).
+  cap_per_group       deterministic per-group cap (anti-spam / domain
+                      balance): at most k rows per group, survivors a
+                      pure function of (ids, group, k, salt). One
+                      exchange (the per-group rank window).
 
 100 TB posture: sampling is a map-only filter (predicate-pushdown
 friendly, no exchange). Packing shuffles once on the group key; groups
@@ -159,6 +163,45 @@ def shuffle_shards(
             h.alias("sort_key"),
         )
         .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-group cap — the anti-spam / domain-balance
+    curation step (C4/RefinedWeb cap the documents any one host may
+    contribute): keep at most `k` rows per group, chosen by the SAME
+    deterministic hash order the sampler and shuffler use (`_mix32`,
+    id tie-break), so the survivors are a pure function of
+    (ids, group, k, salt) — identical on any engine, partitioning, or
+    cluster size, and a re-crawl re-selects the same rows. All input
+    columns pass through. ONE exchange (the per-group rank window);
+    groups rank in parallel, per-task state is one group's rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(_mix32(id_col, salt), id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def cap_per_group_sql(
+    group_expr: str, id_expr: str, k: int, salt: int = 0
+) -> str:
+    """Oracle-SQL twin of cap_per_group's keep decision: a QUALIFY /
+    filtered-window body — `row_number() OVER (...) <= k`."""
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {_mix32_sql(id_expr, salt)}, {id_expr}) <= {int(k)}"
     )
 
 

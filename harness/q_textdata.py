@@ -192,7 +192,11 @@ def embedding_dup_pairs_lsh(spark, sf):
 
 # ------------------------------------------ sampling / packing (extras)
 
-from forklift_spark.operators.sampling import sample_hash_sql, shuffle_shards_sql
+from forklift_spark.operators.sampling import (
+    cap_per_group_sql,
+    sample_hash_sql,
+    shuffle_shards_sql,
+)
 
 #: the oracle runs the engine's EXACT overflow-safe modular-multiply hash
 #: (sample_hash_sql is the Column expression's SQL twin — ADVICE r4 #2)
@@ -226,6 +230,85 @@ SELECT doc_id, {_SHUF_SHARD} AS shard, {_SHUF_KEY} AS sort_key,
        row_number() OVER ({_SHUF_OVER}) - 1 AS pos
 FROM documents
 """
+
+
+#: the oracle replays the identical hash-ranked keep decision via QUALIFY
+#: (k=10 BINDS at sf0.01's 25 docs/source: 500 docs -> 200 survivors)
+_CAP_SQL = f"""
+SELECT doc_id, source FROM documents
+QUALIFY {cap_per_group_sql('source', 'doc_id', 10, salt=3)}
+"""
+
+
+@q("cap_per_domain", _CAP_SQL, extra=True)
+def cap_per_domain(spark, sf):
+    """Deterministic per-domain cap (anti-spam / domain balance, the
+    C4/RefinedWeb host-cap step): at most 10 docs per source, survivors a
+    pure function of (ids, source, k, salt) — the DuckDB oracle replays
+    the same hash-ranked QUALIFY and must keep the same rows."""
+    from forklift_spark.operators import sampling as sp
+
+    return sp.cap_per_group(
+        t(spark, sf, "documents").select("doc_id", "source"),
+        "source", "doc_id", k=10, salt=3,
+    )
+
+
+#: length-bucketed packing: docs classed by integer token-length classes
+#: (<16 / <64 / <256 / rest — integer thresholds, never float log2, so
+#: every engine agrees exactly), then packed per (source, class)
+_LENBUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), classed AS (
+  SELECT doc_id, n_tokens,
+         source || '#' || CASE WHEN n_tokens < 16 THEN 0
+                               WHEN n_tokens < 64 THEN 1
+                               WHEN n_tokens < 256 THEN 2
+                               ELSE 3 END AS pack_group
+  FROM toks
+), cum AS (
+  SELECT pack_group, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM classed
+)
+SELECT pack_group, doc_id, n_tokens,
+       CAST(floor(s / 256) AS BIGINT) AS chunk_id,
+       CAST(s % 256 AS BIGINT) AS chunk_offset
+FROM cum"""
+
+
+@q("pipeline_lenbucket_pack", _LENBUCKET_SQL, extra=True)
+def pipeline_lenbucket_pack(spark, sf):
+    """Sequence-length-bucketed packing — the padding-efficiency step:
+    docs are classed into integer token-length classes (comparisons on
+    exact integers, never float log2, so any engine reproduces the same
+    classes), then packed into 256-token sequences per (source, class);
+    same-length-class sequences batch with minimal padding waste. One
+    exchange (the packing window's composed group key)."""
+    from forklift_spark.operators import sampling as sp
+    from forklift_spark.operators.text import token_stats
+
+    toks = token_stats(
+        t(spark, sf, "documents"), "text", "doc_id", keep_cols=["source"]
+    )
+    cls = (
+        F.when(F.col("n_ws_tokens") < 16, F.lit(0))
+        .when(F.col("n_ws_tokens") < 64, F.lit(1))
+        .when(F.col("n_ws_tokens") < 256, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    classed = toks.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_tokens"),
+        F.concat(F.col("source"), F.lit("#"), cls.cast("string")).alias("pack_group"),
+    )
+    return sp.pack_concat_chunks(
+        classed, "doc_id", "n_tokens", max_tokens=256, group_col="pack_group"
+    )
 
 
 @q("corpus_shuffle", _SHUFFLE_SQL, extra=True)

@@ -76,6 +76,59 @@ def test_keep_cols_guard_and_plan(spark):
         shuffle_shards(_corpus(spark), "doc_id", 0)
 
 
+def test_cap_per_group(spark):
+    from forklift_spark.operators.sampling import cap_per_group, cap_per_group_sql
+
+    df = _corpus(spark)
+    out = cap_per_group(df, "source", "doc_id", k=50, salt=3)
+    assert out.columns == df.columns  # pass-through columns
+    # plan contract BEFORE any action (a finalized AQE plan prints the
+    # initial plan too, double-counting): one exchange (the rank window),
+    # no Python on the data path
+    assert count_exchanges(out) == 1
+    assert_no_row_python_udf(out, "cap_per_group")
+    # Catalyst compiles the rank filter to WindowGroupLimit with a PARTIAL
+    # pass BEFORE the exchange: only <=k rows per group per input partition
+    # cross the shuffle — the property that makes the cap map-side at 100 TB
+    from forklift_spark.plans.guards import executed_plan
+
+    plan = executed_plan(out)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
+    rows = out.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.source, set()).add(r.doc_id)
+    # every group capped at exactly k (each source has ~133 > 50 docs)
+    assert set(by_g) == {"s0", "s1", "s2"}
+    assert all(len(v) == 50 for v in by_g.values())
+    # deterministic + partitioning-invariant survivors
+    again = {
+        (r.source, r.doc_id)
+        for r in cap_per_group(_corpus(spark, parts=11), "source", "doc_id", 50, 3).collect()
+    }
+    assert again == {(r.source, r.doc_id) for r in rows}
+    # k above the group size keeps everything
+    assert cap_per_group(df, "source", "doc_id", k=10_000).count() == N
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_group(df, "source", "doc_id", k=0)
+    # the SQL twin keeps the identical rows in the oracle engine
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE t AS SELECT range AS doc_id, "
+        f"'s' || CAST(range % 3 AS VARCHAR) AS source FROM range({N})"
+    )
+    duck = {
+        (r[1], r[0])
+        for r in con.execute(
+            "SELECT doc_id, source FROM t QUALIFY "
+            + cap_per_group_sql("source", "doc_id", 50, salt=3)
+        ).fetchall()
+    }
+    assert duck == {(r.source, r.doc_id) for r in rows}
+
+
 def test_sql_twin_matches_duckdb(spark):
     """The oracle-SQL twin, run in the ORACLE ENGINE (DuckDB), computes
     the identical (shard, sort_key, pos) for every id — the exact
