@@ -343,6 +343,52 @@ def main() -> None:
         "exchange carries one row per DOCUMENT, never per token.",
     )
 
+    # 20. document chunking (r5): zero-exchange explode in the scan stage
+    from forklift_spark.operators.text import text_chunks
+
+    add(
+        "Document chunking (r5)",
+        text_chunks(docs, "text", "doc_id", chunk_tokens=24, overlap=6),
+        "Expect: ZERO exchanges — split + sequence + slice + explode all "
+        "inside the scan's codegen stage; chunk fan-out is bounded per "
+        "row and never shuffles the corpus.",
+    )
+
+    # 21. dedup-key normalization (r5): three codegen regex steps
+    from forklift_spark.operators.text import text_normalized
+
+    add(
+        "Dedup-key normalization (r5)",
+        text_normalized(docs, "text", "doc_id"),
+        "Expect: ZERO exchanges — lower/regexp_replace/trim + sha2 ride "
+        "the scan's map stage; exact dedup over norm_text then pays only "
+        "the digest-group exchange exact_dedup always pays.",
+    )
+
+    # 22. deterministic corpus shuffle (r5): one exchange, per-shard rank
+    from forklift_spark.operators.sampling import cap_per_group, shuffle_shards
+
+    add(
+        "Deterministic corpus shuffle/sharding (r5)",
+        shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=8, salt=7),
+        "Expect: exactly ONE Exchange (hashpartitioning on shard) feeding "
+        "a Window row_number — shards rank in parallel, the mix/shard "
+        "expressions stay in the scan stage.",
+    )
+
+    # 23. per-domain cap (r5): partial WindowGroupLimit BEFORE the exchange
+    docs_src = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    add(
+        "Per-domain cap (r5)",
+        cap_per_group(docs_src, "source", "doc_id", k=10, salt=3),
+        "Expect: WindowGroupLimit [Partial] ABOVE the scan and BELOW the "
+        "single Exchange — Catalyst caps each group map-side, so at most "
+        "k rows per group per input partition ever cross the shuffle; "
+        "then the Final WindowGroupLimit + Window + Filter.",
+    )
+
     body = (
         "# PLANS — physical plans of the hot paths\n\n"
         "Generated by `python scripts/dump_plans.py` (PySpark "
