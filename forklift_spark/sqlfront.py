@@ -1,0 +1,617 @@
+"""SQL statement front-end over lakette tables — the Delta-/Iceberg-SQL
+parity surface (closes VERDICT r4 "What's missing" #3 beyond views: not
+just `SELECT` over a registered snapshot, but the DML and utility
+STATEMENTS an analyst types, compiled onto the engine's existing
+operators; SURVEY.md §2.10 lakehouse parity).
+
+    fe = SqlFrontend(spark, {"repos": table})        # or a Catalog
+    fe.sql("SELECT lang, count(*) AS n FROM repos GROUP BY lang")
+    fe.sql("SELECT * FROM repos VERSION AS OF 3")
+    fe.sql("UPDATE repos SET lang = 'py' WHERE path LIKE '%.py'")
+    fe.sql("DELETE FROM repos WHERE lang = 'de'")
+    fe.sql("MERGE INTO repos t USING staged s ON t.repo = s.repo "
+           "AND t.path = s.path WHEN MATCHED THEN UPDATE SET * "
+           "WHEN NOT MATCHED THEN INSERT *")
+    fe.sql("INSERT INTO repos SELECT ... ")
+    fe.sql("OPTIMIZE repos")
+    fe.sql("VACUUM repos RETAIN 168 HOURS")
+    fe.sql("RESTORE TABLE repos TO VERSION AS OF 2")
+    fe.sql("DESCRIBE HISTORY repos")
+    fe.sql("ALTER TABLE repos RENAME COLUMN lang TO language")
+    fe.sql("ALTER TABLE repos CREATE TAG trained VERSION AS OF 5")
+
+Every statement returns a DataFrame (queries: the result; DML/utility: a
+one-row report), so `fe.sql` composes like `spark.sql`.
+
+Design rules, in the engine's established discipline:
+
+  * COMPILE, don't re-implement. Each statement lowers onto the existing
+    operator with its tested semantics: UPDATE/DELETE -> operators/dml.py
+    (tombstone + old-row-SET contracts), MERGE/INSERT ->
+    operators/merge.py `merge_into` (seq-LWW, confluent), OPTIMIZE ->
+    `compact`, VACUUM/RESTORE/HISTORY/ALTER -> lakette/table.py. SELECT
+    registers (time-travelled) snapshots as temp views and delegates the
+    untouched statement text to Catalyst — the front-end never interprets
+    relational SQL itself.
+  * LOUD GATES over silent approximation. Unsupported shapes raise
+    SqlFrontendError naming the supported form and the operator to use
+    instead (column-level `MERGE ... UPDATE SET c = e` -> `UPDATE` /
+    patch tables; target-column references in MERGE conditions -> not
+    expressible without the old row, use WHEN MATCHED THEN DELETE +
+    predicate DML; key assignment -> delete+insert events).
+  * SEQ MINTING (INSERT/MERGE): out-of-band statements enter the table's
+    single arbitration order by taking seq = (live max seq) + 1, read
+    from per-file `smax` manifest stats (driver-side metadata,
+    O(live files) — fine for a human-initiated statement, documented).
+    The LWW interplay contract is dml.py's: a later change event with a
+    higher seq still wins over the statement's rows.
+
+Divergence from Delta, stated rather than hidden: lakette tables are
+KEYED CDC tables, so `INSERT` of an existing key is an upsert (the merge
+arbitration makes append-duplicates meaningless), and `MERGE` supports
+whole-row actions only (`UPDATE SET *`, `INSERT *`, `DELETE`) — column
+granularity belongs to `UPDATE ... SET` (predicate DML) or column-LWW
+patch tables (operators/patch.py).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .lakette.table import LaketteTable
+from .operators.dml import delete_where, update_where
+from .operators.merge import compact, merge_into
+
+
+class SqlFrontendError(ValueError):
+    """Statement shape the front-end does not compile — the message names
+    the supported grammar and the operator to use instead."""
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _mask_strings(stmt: str) -> str:
+    """Same-length copy of `stmt` with every character inside a
+    single-quoted SQL string (including '' escapes) replaced by \\x00, so
+    keyword/identifier regexes can run without misfiring on string
+    contents while every match index maps back into the original text."""
+    out = list(stmt)
+    i, n = 0, len(stmt)
+    while i < n:
+        if stmt[i] == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x00"
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _strip_comments(stmt: str) -> str:
+    masked = _mask_strings(stmt)
+    keep: list[str] = []
+    for line, mline in zip(stmt.split("\n"), masked.split("\n")):
+        cut = mline.find("--")
+        keep.append(line[:cut] if cut >= 0 else line)
+    return "\n".join(keep)
+
+
+def _split_top(text: str, masked: str, sep: str = ",") -> list[str]:
+    """Split `text` on `sep` at paren depth 0 (using the string-masked
+    twin for depth/sep detection)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+class SqlFrontend:
+    """Statement executor over a set of named lakette tables.
+
+    `tables` is a name -> LaketteTable mapping or a lakette Catalog
+    (anything with .names() and .table(name)). Names resolve
+    case-insensitively, SQL-style. Identifiers that do not resolve are
+    left for Spark (temp views, functions), so lakette tables and
+    ordinary Spark relations mix freely in one SELECT."""
+
+    def __init__(self, spark: SparkSession, tables) -> None:
+        self.spark = spark
+        self._catalog = tables
+
+    # ------------------------------------------------------------ resolve
+
+    def _names(self) -> dict[str, str]:
+        if isinstance(self._catalog, Mapping):
+            names = self._catalog.keys()
+        else:
+            names = self._catalog.names()
+        return {n.lower(): n for n in names}
+
+    def _table(self, ident: str) -> LaketteTable:
+        canon = self._names().get(ident.lower())
+        if canon is None:
+            raise SqlFrontendError(
+                f"unknown table {ident!r}; registered: {sorted(self._names().values())}"
+            )
+        if isinstance(self._catalog, Mapping):
+            return self._catalog[canon]
+        return self._catalog.table(canon)
+
+    def _is_table(self, ident: str) -> bool:
+        return ident.lower() in self._names()
+
+    # ------------------------------------------------------------ dispatch
+
+    def sql(self, statement: str) -> DataFrame:
+        stmt = _strip_comments(statement).strip().rstrip(";").strip()
+        masked = _mask_strings(stmt)
+        head = re.match(rf"({_IDENT})(?:\s+({_IDENT}))?", masked)
+        if not head:
+            raise SqlFrontendError(f"cannot parse statement: {statement!r}")
+        k1 = head.group(1).upper()
+        k2 = (head.group(2) or "").upper()
+        if k1 in ("SELECT", "WITH"):
+            return self._select(stmt, masked)
+        if k1 == "INSERT":
+            return self._insert(stmt, masked)
+        if k1 == "UPDATE":
+            return self._update(stmt, masked)
+        if k1 == "DELETE":
+            return self._delete(stmt, masked)
+        if k1 == "MERGE":
+            return self._merge(stmt, masked)
+        if k1 == "OPTIMIZE":
+            return self._optimize(stmt, masked)
+        if k1 == "VACUUM":
+            return self._vacuum(stmt, masked)
+        if k1 == "RESTORE":
+            return self._restore(stmt, masked)
+        if k1 == "DESCRIBE" and k2 == "HISTORY":
+            return self._table(self._one_ident(stmt, masked, "DESCRIBE HISTORY")).history_df(self.spark)
+        if k1 == "DESCRIBE" and k2 == "DETAIL":
+            return self._detail(self._one_ident(stmt, masked, "DESCRIBE DETAIL"))
+        if k1 == "ALTER" and k2 == "TABLE":
+            return self._alter(stmt, masked)
+        raise SqlFrontendError(
+            f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
+            "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
+            "OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE"
+        )
+
+    # ------------------------------------------------------------- reports
+
+    def _report(self, op: str, table: str, fields: dict[str, Any]) -> DataFrame:
+        rows = [(op, table) + tuple(str(v) for v in fields.values())]
+        schema = T.StructType(
+            [T.StructField("statement", T.StringType()), T.StructField("table", T.StringType())]
+            + [T.StructField(k, T.StringType()) for k in fields]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # -------------------------------------------------------------- SELECT
+
+    #: FROM/JOIN <ident> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+    _REF = re.compile(
+        rf"\b(FROM|JOIN)\s+({_IDENT})"
+        r"(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        re.IGNORECASE,
+    )
+
+    def _select(self, stmt: str, masked: str) -> DataFrame:
+        """Register each referenced lakette table (at its requested
+        version) as a uniquely-named temp view, splice the view name into
+        the statement, and hand the result to Catalyst. The snapshot is a
+        lazy plan — filter/column pushdown into the parquet scan happens
+        exactly as on the DataFrame path."""
+        out, views, last = [], {}, 0
+        for m in self._REF.finditer(masked):
+            ident = stmt[m.start(2):m.end(2)]
+            if not self._is_table(ident):
+                continue
+            version = int(m.group(4)) if m.group(4) else None
+            as_of = _unquote(stmt[m.start(5):m.end(5)]) if m.group(5) else None
+            key = (ident.lower(), version, as_of)
+            if key not in views:
+                view = f"__lakette_{ident.lower().replace('.', '_')}_{uuid.uuid4().hex[:8]}"
+                table = self._table(ident)
+                if as_of is not None:
+                    version = table.version_as_of(as_of)
+                table.create_or_replace_view(self.spark, view, version=version)
+                views[key] = view
+            out.append(stmt[last:m.start(2)])
+            out.append(views[key])
+            last = m.end(0)
+        out.append(stmt[last:])
+        return self.spark.sql("".join(out))
+
+    # -------------------------------------------------------------- INSERT
+
+    def _next_seq(self, table: LaketteTable) -> int:
+        files = table.plan_files()
+        return (max((f.get("smax") or 0) for f in files) + 1) if files else 1
+
+    def _events_from(self, table: LaketteTable, df: DataFrame, op: str, seq: int,
+                     *, strict: bool = True) -> DataFrame:
+        """Shape an arbitrary relation into the table's event envelope:
+        key cols required, payload cols by name, absent payload -> typed
+        NULL. `strict` rejects unknown columns (INSERT); MERGE passes
+        strict=False because its source legitimately carries
+        condition-only columns, which are simply not written."""
+        user = table.user_schema()
+        allowed = {f.name: f.dataType for f in user.fields}
+        unknown = [c for c in df.columns if c not in allowed]
+        if unknown and strict:
+            raise SqlFrontendError(
+                f"columns {unknown} not in table schema {sorted(allowed)}"
+            )
+        missing_keys = [k for k in table.key_cols() if k not in df.columns]
+        if missing_keys:
+            raise SqlFrontendError(f"statement must supply key columns {missing_keys}")
+        cols = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in user.fields
+        ]
+        return df.select(
+            F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"), *cols
+        )
+
+    def _insert(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\b|SELECT\b|WITH\b)",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: INSERT INTO <t> [(cols)] SELECT ... | "
+                "INSERT INTO <t> (cols) VALUES (...), (...)"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        tail = stmt[m.start(4):]
+        kw = m.group(4).upper()
+        if kw == "VALUES":
+            collist = stmt[m.start(3):m.end(3)] if m.group(3) else None
+            if not collist:
+                raise SqlFrontendError(
+                    "INSERT ... VALUES requires an explicit column list: "
+                    "INSERT INTO t (c1, c2) VALUES (...)"
+                )
+            src = self.spark.sql(f"SELECT * FROM {tail} AS __v({collist})")
+        else:
+            if m.group(3):
+                raise SqlFrontendError(
+                    "column list is only supported with VALUES; alias the "
+                    "SELECT's output columns instead"
+                )
+            src = self._select(tail, _mask_strings(tail))
+        seq = self._next_seq(table)
+        events = self._events_from(table, src, "U", seq)
+        stats = merge_into(self.spark, table, events,
+                           query_id=f"sql_insert_{uuid.uuid4().hex[:8]}")
+        return self._report("INSERT", table.root, {
+            "version": stats.version, "rows": stats.batch_rows, "seq": seq,
+        })
+
+    # ------------------------------------------------------- UPDATE/DELETE
+
+    def _update(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+", masked, re.IGNORECASE
+        )
+        if not m:
+            raise SqlFrontendError("supported: UPDATE <t> SET c = expr, ... [WHERE pred]")
+        table = self._table(stmt[m.start(1):m.end(1)])
+        rest, mrest = stmt[m.end(0):], masked[m.end(0):]
+        w = re.search(r"\bWHERE\b", mrest, re.IGNORECASE)
+        set_part = rest[: w.start()] if w else rest
+        pred = rest[w.end():].strip() if w else "true"
+        sets: dict[str, str] = {}
+        for piece in _split_top(set_part, _mask_strings(set_part)):
+            pm = re.match(rf"({_IDENT})\s*=\s*(.+)$", piece, re.DOTALL)
+            if not pm:
+                raise SqlFrontendError(f"cannot parse SET assignment {piece!r}")
+            sets[pm.group(1)] = pm.group(2).strip()
+        report = update_where(self.spark, table, sets, pred)
+        return self._report("UPDATE", table.root, report)
+
+    def _delete(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(rf"DELETE\s+FROM\s+({_IDENT})\s*(?:\bWHERE\b)?", masked, re.IGNORECASE)
+        if not m:
+            raise SqlFrontendError("supported: DELETE FROM <t> [WHERE pred]")
+        table = self._table(stmt[m.start(1):m.end(1)])
+        w = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
+        pred = stmt[w.end():].strip() if w else "true"
+        report = delete_where(self.spark, table, pred)
+        return self._report("DELETE", table.root, report)
+
+    # --------------------------------------------------------------- MERGE
+
+    _WHEN = re.compile(
+        r"\bWHEN\s+(NOT\s+)?MATCHED\b(?:\s+AND\b)?", re.IGNORECASE
+    )
+    _ACTION = re.compile(
+        r"\bTHEN\s+(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*|UPDATE\s+SET\b|INSERT\b)",
+        re.IGNORECASE,
+    )
+
+    def _merge(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?\s+USING\s+",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: MERGE INTO <t> [alias] USING <src|(subquery)> [alias] "
+                "ON <key equalities> WHEN [NOT] MATCHED [AND cond] THEN "
+                "UPDATE SET * | DELETE | INSERT *"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        t_alias = stmt[m.start(2):m.end(2)] if m.group(2) else stmt[m.start(1):m.end(1)]
+        pos = m.end(0)
+        # source: parenthesized subquery or identifier
+        if masked[pos] == "(":
+            depth, j = 0, pos
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            sub = stmt[pos + 1:j]
+            src = self._select(sub, _mask_strings(sub))
+            pos = j + 1
+        else:
+            sm = re.match(rf"({_IDENT})", masked[pos:])
+            src_ident = stmt[pos + sm.start(1):pos + sm.end(1)]
+            if self._is_table(src_ident):
+                src = self._table(src_ident).snapshot(self.spark)
+            else:
+                src = self.spark.table(src_ident)
+            pos += sm.end(1)
+        am = re.match(rf"\s*(?:AS\s+)?({_IDENT})?\s*\bON\b", masked[pos:], re.IGNORECASE)
+        if not am:
+            raise SqlFrontendError("MERGE: expected [alias] ON <condition> after USING source")
+        s_alias = (stmt[pos + am.start(1):pos + am.end(1)]
+                   if am.group(1) and am.group(1).upper() != "ON" else "__src")
+        pos += am.end(0)
+        first_when = self._WHEN.search(masked, pos)
+        if not first_when:
+            raise SqlFrontendError("MERGE: at least one WHEN clause is required")
+        on_sql = stmt[pos:first_when.start()].strip()
+        self._check_on(on_sql, _mask_strings(on_sql), table, t_alias, s_alias)
+        clauses = self._parse_when(stmt, masked, first_when.start())
+
+        src = src.alias(s_alias)
+        key_cols = table.key_cols()
+        seq = self._next_seq(table)
+
+        plain_upsert = (
+            len(clauses) == 2
+            and {(c["matched"], c["action"]) for c in clauses}
+            == {(True, "update"), (False, "insert")}
+            and all(c["cond"] is None for c in clauses)
+        )
+        if plain_upsert:
+            # canonical upsert: matched-ness is irrelevant (merge_into's
+            # own key join decides insert-vs-update) — ZERO extra joins
+            events = self._events_from(table, src, "U", seq, strict=False)
+        else:
+            for c in clauses:
+                if c["cond"] and re.search(
+                    rf"\b{re.escape(t_alias)}\s*\.", _mask_strings(c["cond"]), re.IGNORECASE
+                ):
+                    raise SqlFrontendError(
+                        "MERGE conditions may reference the SOURCE row only "
+                        f"(found target alias {t_alias!r}); conditions on the "
+                        "stored row need predicate DML (UPDATE/DELETE ... WHERE)"
+                    )
+            # classify matched-ness with ONE semi-join against the
+            # snapshot's key columns (bucket co-partitioned, key-only scan)
+            tgt_keys = table.snapshot(self.spark).select(*key_cols)
+            matched_src = src.join(tgt_keys, on=key_cols, how="left_semi").alias(s_alias)
+            unmatched_src = src.join(tgt_keys, on=key_cols, how="left_anti").alias(s_alias)
+            parts: list[DataFrame] = []
+            for branch, branch_df in ((True, matched_src), (False, unmatched_src)):
+                remaining = branch_df
+                for c in clauses:
+                    if c["matched"] is not branch:
+                        continue
+                    hit = remaining.filter(F.expr(c["cond"])) if c["cond"] else remaining
+                    if c["cond"]:
+                        remaining = remaining.filter(~F.expr(c["cond"]))
+                    else:
+                        remaining = remaining.limit(0)
+                    op = "D" if c["action"] == "delete" else "U"
+                    parts.append(self._events_from(table, hit.select(src.columns), op, seq, strict=False))
+                # rows matching no clause: no-op (dropped)
+            if not parts:
+                raise SqlFrontendError("MERGE: no WHEN clause produced any action")
+            events = parts[0]
+            for p in parts[1:]:
+                events = events.unionByName(p)
+        stats = merge_into(self.spark, table, events,
+                           query_id=f"sql_merge_{uuid.uuid4().hex[:8]}")
+        return self._report("MERGE", table.root, {
+            "version": stats.version, "rows": stats.batch_rows, "seq": seq,
+        })
+
+    def _check_on(self, on_sql: str, on_masked: str, table: LaketteTable,
+                  t_alias: str, s_alias: str) -> None:
+        """The ON condition must be the conjunction of `t.k = s.k` over
+        exactly the table's key columns — anything else is not a keyed
+        upsert and the engine refuses to guess."""
+        covered: set[str] = set()
+        for part in _split_top(
+            re.sub(r"\bAND\b", "\x01", on_masked, flags=re.IGNORECASE),
+            re.sub(r"\bAND\b", "\x01", on_masked, flags=re.IGNORECASE),
+            sep="\x01",
+        ):
+            pm = re.match(
+                rf"\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$",
+                part,
+            )
+            ok = False
+            if pm:
+                a1, c1, a2, c2 = pm.groups()
+                pair = {a1.lower(): c1, a2.lower(): c2}
+                if (set(pair) == {t_alias.lower(), s_alias.lower()}
+                        and pair[t_alias.lower()] == pair[s_alias.lower()]):
+                    covered.add(pair[t_alias.lower()])
+                    ok = True
+            if not ok:
+                raise SqlFrontendError(
+                    f"MERGE ON must be key equalities `{t_alias}.k = {s_alias}.k` "
+                    f"ANDed over the key columns {table.key_cols()}; got {part.strip()!r}"
+                )
+        if set(covered) != set(table.key_cols()):
+            raise SqlFrontendError(
+                f"MERGE ON must cover exactly the key columns {table.key_cols()}; "
+                f"got {sorted(covered)}"
+            )
+
+    def _parse_when(self, stmt: str, masked: str, start: int) -> list[dict]:
+        clauses = []
+        whens = list(self._WHEN.finditer(masked, start))
+        for i, w in enumerate(whens):
+            end = whens[i + 1].start() if i + 1 < len(whens) else len(stmt)
+            body = stmt[w.end():end]
+            mbody = masked[w.end():end]
+            act = self._ACTION.search(mbody)
+            if not act:
+                raise SqlFrontendError(f"MERGE: WHEN clause without THEN action: {body.strip()!r}")
+            action_kw = re.sub(r"\s+", " ", act.group(1).upper())
+            if action_kw in ("UPDATE SET", "INSERT"):
+                raise SqlFrontendError(
+                    "MERGE supports whole-row actions only (UPDATE SET *, INSERT *, "
+                    "DELETE) — column-level assignment is UPDATE ... SET (predicate "
+                    "DML) or a column-LWW patch table (operators/patch.py)"
+                )
+            cond = body[: act.start()].strip() or None
+            has_and = bool(re.search(r"\bAND\b\s*$",
+                                     masked[w.start():w.end()], re.IGNORECASE))
+            if cond and not has_and:
+                raise SqlFrontendError(f"MERGE: unparsed text before THEN: {cond!r}")
+            matched = w.group(1) is None
+            action = {"UPDATE SET *": "update", "DELETE": "delete",
+                      "INSERT *": "insert"}[action_kw]
+            if not matched and action != "insert":
+                raise SqlFrontendError("WHEN NOT MATCHED supports INSERT * only")
+            if matched and action == "insert":
+                raise SqlFrontendError("WHEN MATCHED cannot INSERT")
+            clauses.append({"matched": matched, "cond": cond, "action": action})
+        return clauses
+
+    # ----------------------------------------------------------- utilities
+
+    def _one_ident(self, stmt: str, masked: str, prefix: str) -> str:
+        pat = prefix.replace(" ", r"\s+")
+        m = re.match(rf"{pat}\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+        if not m:
+            raise SqlFrontendError(f"supported: {prefix} <table>")
+        return stmt[m.start(1):m.end(1)]
+
+    def _optimize(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(rf"OPTIMIZE\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+        if not m:
+            raise SqlFrontendError("supported: OPTIMIZE <table>")
+        table = self._table(stmt[m.start(1):m.end(1)])
+        report = compact(self.spark, table)
+        return self._report("OPTIMIZE", table.root, report)
+
+    def _vacuum(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError("supported: VACUUM <table> [RETAIN <n> HOURS]")
+        table = self._table(stmt[m.start(1):m.end(1)])
+        kw = {"grace_seconds": int(m.group(2)) * 3600.0} if m.group(2) else {}
+        report = table.vacuum(**kw)
+        return self._report("VACUUM", table.root, report)
+
+    def _restore(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']*'))\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: RESTORE [TABLE] <t> TO VERSION AS OF <n> | "
+                "TO TIMESTAMP AS OF '<ts>'"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        if m.group(2):
+            commit = table.restore(int(m.group(2)))
+        else:
+            commit = table.restore(as_of=_unquote(stmt[m.start(3):m.end(3)]))
+        return self._report("RESTORE", table.root, {"version": commit.version})
+
+    def _detail(self, ident: str) -> DataFrame:
+        table = self._table(ident)
+        meta = table.current_metadata()
+        s = table.stats()
+        return self._report("DESCRIBE DETAIL", table.root, {
+            "version": meta["version"], "n_buckets": meta["n_buckets"],
+            "key_cols": ",".join(meta["key_cols"]),
+            "rows": s.get("total_rows", ""), "files": s.get("total_files", ""),
+        })
+
+    def _alter(self, stmt: str, masked: str) -> DataFrame:
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+"
+            rf"(?:RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})"
+            rf"|DROP\s+COLUMN\s+({_IDENT})"
+            rf"|CREATE\s+(TAG|BRANCH)\s+({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            rf"|DROP\s+(?:TAG|BRANCH)\s+({_IDENT}))\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN a | "
+                "CREATE TAG|BRANCH <name> [VERSION AS OF n] | DROP TAG <name>"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        if m.group(2):
+            c = table.rename_column(stmt[m.start(2):m.end(2)], stmt[m.start(3):m.end(3)])
+            return self._report("ALTER RENAME COLUMN", table.root, {"version": c.version})
+        if m.group(4):
+            c = table.drop_column(stmt[m.start(4):m.end(4)])
+            return self._report("ALTER DROP COLUMN", table.root, {"version": c.version})
+        if m.group(6):
+            rec = table.create_ref(
+                stmt[m.start(6):m.end(6)], kind=m.group(5).lower(),
+                version=int(m.group(7)) if m.group(7) else None,
+            )
+            return self._report("ALTER CREATE REF", table.root, rec)
+        table.drop_ref(stmt[m.start(8):m.end(8)])
+        return self._report("ALTER DROP REF", table.root, {"dropped": stmt[m.start(8):m.end(8)]})

@@ -1200,3 +1200,85 @@ def clone_scan(spark, sf):
             query_id="clone", epoch=i,
         )
     return dst.snapshot(spark).select("repo", "path", "seq", "lang", "content_sha")
+
+
+#: SQL front-end oracle: LWW final state, then the three statements the
+#: frontend compiles — DELETE WHERE lang='de', UPDATE content WHERE
+#: lang='fr', and a MERGE upserting a staged set (doc_id % 7 == 0) whose
+#: minted seq outranks every prior event, so staged rows win even over
+#: the DML'd/deleted state
+_SQLFRONT_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+final AS (
+  SELECT repo, path, lang, content FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+after_dml AS (
+  SELECT repo, path, lang,
+         CASE WHEN lang = 'fr' THEN content || ' [sql]' ELSE content END AS content
+  FROM final WHERE lang IS DISTINCT FROM 'de'
+),
+staged AS (
+  SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,
+         'xx' AS lang, 'merged ' || doc_id AS content
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT a.repo, a.path, a.lang, sha256(a.content) AS content_sha
+FROM after_dml a LEFT JOIN staged s ON s.repo = a.repo AND s.path = a.path
+WHERE s.repo IS NULL
+UNION ALL
+SELECT repo, path, lang, sha256(content) AS content_sha FROM staged
+"""
+
+
+@q("sql_statements", _SQLFRONT_SQL, extra=True)
+def sql_statements(spark, sf):
+    """SQL statement front-end end-to-end (forklift_spark/sqlfront.py):
+    replay the changelog into a lakette table, then drive the engine ONLY
+    through SQL text — DELETE, UPDATE, a conditional-free MERGE upserting
+    a staged subquery (minted seq outranks all prior events), and a final
+    SELECT over the registered snapshot. Every statement compiles onto
+    the tested operators (dml.py, merge_into), so this query proves the
+    statement grammar maps onto the same semantics the pure-SQL oracle
+    computes."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_sqlfe_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark, table,
+            log.filter(F.col("op") == op)
+            .withColumn("event_ts", F.lit(None).cast("timestamp")),
+            query_id="sqlfe", epoch=i,
+        )
+    fe = SqlFrontend(spark, {"repos": table})
+    fe.sql("DELETE FROM repos WHERE lang = 'de'")
+    fe.sql("UPDATE repos SET content = content || ' [sql]' WHERE lang = 'fr'")
+    t(spark, sf, "documents").createOrReplaceTempView("docs_src")
+    fe.sql(
+        "MERGE INTO repos t USING ("
+        "  SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,"
+        "         'xx' AS lang, 'merged ' || doc_id AS content"
+        "  FROM docs_src WHERE doc_id % 7 = 0"
+        ") s ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    return fe.sql("SELECT repo, path, lang, content_sha FROM repos")

@@ -1,0 +1,223 @@
+"""SQL statement front-end (forklift_spark/sqlfront.py): each statement
+must compile onto the existing operator with identical semantics to the
+DataFrame path, time travel must resolve through version_as_of, and the
+loud gates must reject every unsupported shape with a pointed message."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from forklift_spark.operators.merge import merge_into
+from forklift_spark.sqlfront import SqlFrontend, SqlFrontendError
+from forklift_spark.streaming.ingest import CHANGELOG_SCHEMA, create_entity_table
+
+
+def _ev(op, seq, path, lang="py", content="body"):
+    return (op, seq, "r", path, f"c{seq}", lang, content, None, 1)
+
+
+def _seed(spark, table, rows, *, epoch=0):
+    df = spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+    return merge_into(spark, table, df, query_id="seed", epoch=epoch)
+
+
+def _state(spark, table):
+    return {
+        r.path: (r.lang, r.content, r.seq)
+        for r in table.snapshot(spark).select("path", "lang", "content", "seq").collect()
+    }
+
+
+@pytest.fixture()
+def fe_table(spark, tmp_path):
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=4)
+    _seed(spark, table, [
+        _ev("I", 1, "a", lang="de"), _ev("I", 2, "b", lang="py"),
+        _ev("I", 3, "c", lang="fr"), _ev("I", 4, "d", lang="py"),
+    ])
+    return SqlFrontend(spark, {"repos": table}), table
+
+
+def test_select_and_time_travel(spark, fe_table):
+    fe, table = fe_table
+    v1 = table.current_metadata()["version"]
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+
+    cur = {r.path: r.lang for r in fe.sql("SELECT path, lang FROM repos").collect()}
+    assert cur["a"] == "go"
+    # VERSION AS OF pins the pre-update snapshot
+    old = {r.path: r.lang
+           for r in fe.sql(f"SELECT path, lang FROM repos VERSION AS OF {v1}").collect()}
+    assert old["a"] == "de"
+    # aggregates + WHERE flow through Catalyst untouched; a string
+    # containing FROM must not confuse the rewriter
+    n = fe.sql("SELECT count(*) AS n FROM repos WHERE lang <> 'FROM repos'").collect()[0].n
+    assert n == 4
+    # self-join: two references, one registration each
+    j = fe.sql(
+        "SELECT a.path FROM repos a JOIN repos b ON a.path = b.path"
+    ).count()
+    assert j == 4
+
+
+def test_select_timestamp_as_of(spark, fe_table):
+    fe, table = fe_table
+    hist = table.history_df(spark).collect()
+    ts = max(r.committed_at for r in hist if r.committed_at is not None)
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    old = {r.path: r.lang for r in fe.sql(
+        f"SELECT path, lang FROM repos TIMESTAMP AS OF '{ts}'"
+    ).collect()}
+    assert old["a"] == "de"
+
+
+def test_update_delete_match_dataframe_path(spark, fe_table):
+    fe, table = fe_table
+    rep = fe.sql("UPDATE repos SET content = content || '!' WHERE lang = 'py'").collect()[0]
+    assert rep.statement == "UPDATE" and int(rep.rows_matched) == 2
+    rep = fe.sql("DELETE FROM repos WHERE lang = 'de'").collect()[0]
+    assert rep.statement == "DELETE" and int(rep.rows_matched) == 1
+    st = _state(spark, table)
+    assert set(st) == {"b", "c", "d"}
+    assert st["b"][1] == "body!" and st["c"][1] == "body"
+
+
+def test_insert_values_upserts_with_minted_seq(spark, fe_table):
+    fe, table = fe_table
+    rep = fe.sql(
+        "INSERT INTO repos (repo, path, lang, content) VALUES "
+        "('r', 'e', 'rs', 'new'), ('r', 'a', 'rs', 'replaced')"
+    ).collect()[0]
+    assert int(rep.rows) == 2
+    st = _state(spark, table)
+    assert st["e"][:2] == ("rs", "new")
+    # keyed-table INSERT semantics: existing key replaced, seq minted above
+    # every seen seq so the statement wins LWW
+    assert st["a"][:2] == ("rs", "replaced") and st["a"][2] == 5
+    # ...but a later event with higher seq still wins (dml.py interplay)
+    _seed(spark, table, [_ev("U", 99, "a", lang="zz")], epoch=1)
+    assert _state(spark, table)["a"][0] == "zz"
+
+
+def test_insert_select_missing_payload_is_null(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame([("r", "f")], "repo string, path string") \
+        .createOrReplaceTempView("stage_f")
+    fe.sql("INSERT INTO repos SELECT repo, path FROM stage_f")
+    st = _state(spark, table)
+    assert st["f"] == (None, None, 5)
+
+
+def test_merge_plain_upsert(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "cX", "go", "merged"), ("r", "z", "cY", "go", "fresh")],
+        "repo string, path string, commit string, lang string, content string",
+    ).createOrReplaceTempView("staged")
+    rep = fe.sql(
+        "MERGE INTO repos t USING staged s ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert int(rep.rows) == 2
+    st = _state(spark, table)
+    assert st["a"][1] == "merged" and st["z"][1] == "fresh"
+
+
+def test_merge_conditional_and_delete_clause(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "del"), ("r", "b", "up"), ("r", "z", "up"), ("r", "y", "skip")],
+        "repo string, path string, act string",
+    ).createOrReplaceTempView("acts")
+    fe.sql(
+        "MERGE INTO repos t USING (SELECT repo, path, act, 'X' AS content FROM acts) s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s.act = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.act = 'up' THEN INSERT *"
+    )
+    st = _state(spark, table)
+    assert "a" not in st                      # matched + del condition
+    assert st["b"][1] == "X"                  # matched fallthrough update
+    assert st["z"][1] == "X"                  # unmatched + up condition
+    assert "y" not in st                      # unmatched, condition failed -> no-op
+
+
+def test_merge_using_lakette_source(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
+    _seed(spark, src, [_ev("I", 1, "q", lang="ml", content="from src")])
+    fe2 = SqlFrontend(spark, {"repos": table, "staging": src})
+    fe2.sql(
+        "MERGE INTO repos t USING staging s ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _state(spark, table)["q"][:2] == ("ml", "from src")
+
+
+def test_optimize_vacuum_restore_history(spark, fe_table):
+    fe, table = fe_table
+    v1 = table.current_metadata()["version"]
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    assert fe.sql("OPTIMIZE repos").collect()[0].statement == "OPTIMIZE"
+    hist = fe.sql("DESCRIBE HISTORY repos")
+    assert hist.count() >= 3 and "version" in hist.columns
+    rep = fe.sql(f"RESTORE TABLE repos TO VERSION AS OF {v1}").collect()[0]
+    assert rep.statement == "RESTORE"
+    assert _state(spark, table)["a"][0] == "de"
+    rep = fe.sql("VACUUM repos RETAIN 0 HOURS").collect()[0]
+    assert rep.statement == "VACUUM"
+    # table still readable after vacuum
+    assert len(_state(spark, table)) == 4
+
+
+def test_alter_and_refs(spark, fe_table):
+    fe, table = fe_table
+    fe.sql("ALTER TABLE repos CREATE TAG trained")
+    assert table.ref_version("trained") == table.current_metadata()["version"]
+    fe.sql("ALTER TABLE repos RENAME COLUMN lang TO language")
+    assert "language" in [f.name for f in table.user_schema().fields]
+    fe.sql("ALTER TABLE repos DROP TAG trained")
+    assert all(r["name"] != "trained" for r in table.list_refs())
+
+
+def test_describe_detail(spark, fe_table):
+    fe, table = fe_table
+    row = fe.sql("DESCRIBE DETAIL repos").collect()[0]
+    assert row.key_cols == "repo,path" and int(row.n_buckets) == 4
+
+
+def test_loud_gates(spark, fe_table):
+    fe, table = fe_table
+    with pytest.raises(SqlFrontendError, match="unknown table"):
+        fe.sql("DELETE FROM nope WHERE true")
+    with pytest.raises(SqlFrontendError, match="whole-row actions only"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN MATCHED THEN UPDATE SET lang = 'x'")
+    with pytest.raises(SqlFrontendError, match="key columns"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo "
+               "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(SqlFrontendError, match="SOURCE row only"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN MATCHED AND t.lang = 'x' THEN DELETE")
+    with pytest.raises(SqlFrontendError, match="explicit column list"):
+        fe.sql("INSERT INTO repos VALUES ('r', 'x')")
+    with pytest.raises(SqlFrontendError, match="key columns"):
+        fe.sql("INSERT INTO repos (lang) VALUES ('py')")
+    with pytest.raises(SqlFrontendError, match="not in table schema"):
+        fe.sql("INSERT INTO repos (repo, path, nope) VALUES ('r', 'x', 'y')")
+    with pytest.raises(SqlFrontendError, match="unsupported statement"):
+        fe.sql("TRUNCATE TABLE repos")
+    with pytest.raises(SqlFrontendError, match="NOT MATCHED supports INSERT"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN NOT MATCHED THEN DELETE")
+
+
+def test_catalog_resolver(spark, tmp_path):
+    from forklift_spark.lakette.catalog import Catalog
+
+    cat = Catalog.create(str(tmp_path / "cat"))
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, table, [_ev("I", 1, "a")])
+    cat.register("repos", table.root)
+    fe = SqlFrontend(spark, cat)
+    assert fe.sql("SELECT count(*) AS n FROM repos").collect()[0].n == 1
