@@ -1282,3 +1282,104 @@ def sql_statements(spark, sf):
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
     return fe.sql("SELECT repo, path, lang, content_sha FROM repos")
+
+
+#: dedup-silver oracle: the normalized exact-dedup GROUP BY applied to
+#: the changelog's final LWW state — fp is the sha256 of the identical
+#: three-step normalization both engines replay byte-identically
+#: (q_textdata.py's dedup_exact_norm proved the twins agree)
+_DERIVE_DEDUP_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) || '!!'
+              ELSE text END AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+final AS (
+  SELECT repo, path, content FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT sha256(trim(regexp_replace(regexp_replace(lower(coalesce(content, '')),
+                                                 '[0-9]', '0', 'g'),
+                                  '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       min(repo || '|' || path) AS survivor,
+       count(*) AS n_rows
+FROM final GROUP BY 1
+"""
+
+
+@q("derive_dedup_scan", _DERIVE_DEDUP_SQL, extra=True)
+def derive_dedup_scan(spark, sf):
+    """Incrementally-maintained dedup silver (operators/derive_dedup.py):
+    replay the insert epoch (every doc_id % 5 == 0 planted as a CASE/punct
+    variant of itself so normalization has real work), initial-sync the
+    dedup gold, then land the update+delete epochs and derive AGAIN — one
+    incremental span through the groups strategy (the span identifies
+    affected fp groups; only those are recomputed, including survivor
+    re-promotion where a delete removed the min member). The gold snapshot
+    must equal the normalized GROUP BY of the final LWW state in pure
+    SQL."""
+    from forklift_spark.lakette import LaketteTable
+    from forklift_spark.operators.derive_dedup import derive_dedup
+
+    base = os.path.basename(sf)
+    src_root = os.path.join(tempfile.gettempdir(), f"fk_ddup_src_{base}")
+    dst_root = os.path.join(tempfile.gettempdir(), f"fk_ddup_dst_{base}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    table = create_entity_table(src_root, n_buckets=8)
+    d = t(spark, sf, "documents")
+    inserts = d.select(
+        F.lit("I").alias("op"),
+        F.col("doc_id").cast("long").alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.upper("text"), F.lit("!!")))
+        .otherwise(F.col("text")).alias("content"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+        F.lit(1).alias("schema_ver"),
+    )
+    updates = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("U").alias("op"),
+        (F.col("doc_id") + 10000000).cast("long").alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+        F.lit(1).alias("schema_ver"),
+    )
+    deletes = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 20000000).cast("long").alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+        F.lit(1).alias("schema_ver"),
+    )
+    merge_into(spark, table, inserts, query_id="ddup", epoch=0)
+    r = derive_dedup(spark, table, dst_root)
+    assert r.initial_sync and r.strategy == "groups"
+    merge_into(spark, table, updates, query_id="ddup", epoch=1)
+    merge_into(spark, table, deletes, query_id="ddup", epoch=2)
+    r = derive_dedup(spark, table, dst_root)
+    assert not r.initial_sync and not r.resync, "span chain should be intact"
+    return LaketteTable(dst_root).snapshot(spark).select("fp", "survivor", "n_rows")
