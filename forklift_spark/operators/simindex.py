@@ -1,0 +1,179 @@
+"""Incrementally-maintained NEAR-DUP similarity index — MinHash
+signatures as derived STATE over the changefeed.
+
+`dedup_minhash_lsh` (operators/dedup.py) answers "which documents are
+near-copies" by shingling and signing the WHOLE corpus per run —
+explode to (doc, shingle) pairs, one groupBy for the signatures. At the
+CDC posture the corpus changes by a trickle per epoch, and re-signing
+100 TB per question is the wrong cost class. The observation that fixes
+it: a document's MinHash signature is a PURE FUNCTION of its own
+content — min over its shingles of xxhash64(shingle, j) — so it needs
+no explode and no groupBy at all. Spark's higher-order functions
+express it as ONE scalar projection:
+
+    sig[j] = array_min(transform(<shingle array>, s -> xxhash64(s, j)))
+
+which makes signature maintenance a KEY-PRESERVING row transform:
+exactly the shape `derive()` (operators/derive.py) maintains
+incrementally. `derive_simindex` keeps a silver table
+(key cols..., sig: array<bigint>) fresh at O(changed rows) per epoch —
+one codegen projection over each span, no corpus rescans, with
+derive()'s exactly-once offsets, spec-drift guard, and vacuum resync
+for free.
+
+Signature parity is EXACT, not approximate: min over the multiset of
+shingle hashes equals min over the distinct set, so the maintained
+signatures are byte-identical to the batch `minhash_signatures ∘
+char_shingles` pipeline on the same (normalized) text — asserted in
+tests, which is what lets the batch path's measured recall numbers
+(BENCH/DEDUPE_STRATEGY.md) carry over to the incremental index.
+
+Query side, `near_dup_pairs`: banded LSH over the SILVER — slice each
+stored signature into bands, hash each band to a bucket (a map-side
+projection of the index, the corpus' content is never touched), and
+self-join on (band, bucket) so candidates only meet inside buckets —
+never all-pairs. Estimated Jaccard = matching fraction of the two full
+signatures (zip_with + filter), computed on the candidate set only.
+The same structure as the batch LSH, but over a table that was already
+paid for by the changefeed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakette.table import LaketteTable
+from .derive import DeriveReport, derive
+from .derive_dedup import NORMALIZE_SQL
+
+
+def shingles_sql(content_col: str, *, k: int = 5, normalize: bool = True) -> str:
+    """Char k-gram shingle array as a SQL expression — the higher-order
+    twin of dedup.char_shingles' explode (same windows over the same
+    text; duplicates retained, which MinHash's min() ignores)."""
+    src = (
+        NORMALIZE_SQL.format(col=content_col)
+        if normalize
+        else f"coalesce({content_col}, '')"
+    )
+    return (
+        f"transform(sequence(1, greatest(1, length({src}) - {k - 1})), "
+        f"i -> substring({src}, i, {k}))"
+    )
+
+
+def signature_sql(
+    content_col: str, *, n_hashes: int = 32, k: int = 5, normalize: bool = True
+) -> str:
+    """The whole MinHash signature as ONE scalar expression:
+    array<bigint> of length n_hashes. xxhash64(s, j) hashes the PAIR
+    (shingle, hash-index) exactly like minhash_signatures' per-seed
+    columns, so signatures agree bit-for-bit with the batch path."""
+    sh = shingles_sql(content_col, k=k, normalize=normalize)
+    return (
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"j -> array_min(transform({sh}, s -> xxhash64(s, j))))"
+    )
+
+
+def derive_simindex(
+    spark: SparkSession,
+    src: LaketteTable,
+    dst_root: str,
+    *,
+    content_col: str = "content",
+    n_hashes: int = 32,
+    k: int = 5,
+    normalize: bool = True,
+    predicate: Column | str | None = None,
+    derive_id: str = "simindex",
+    mode: str = "cow",
+) -> DeriveReport:
+    """Bring the signature silver at `dst_root` up to the source's
+    current version — safe after every ingest epoch (a run_ingest
+    `derived=` hook), exactly-once under `derive_id`. The silver's rows
+    are (key cols..., sig) and inherit the source's tombstones: a
+    deleted document leaves the index in the same span that removed
+    it."""
+    return derive(
+        spark,
+        src,
+        dst_root,
+        {"sig": signature_sql(content_col, n_hashes=n_hashes, k=k, normalize=normalize)},
+        predicate=predicate,
+        derive_id=derive_id,
+        mode=mode,
+    )
+
+
+def near_dup_pairs(
+    spark: SparkSession,
+    index: LaketteTable,
+    *,
+    bands: int = 8,
+    threshold: float = 0.5,
+    version: int | None = None,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates from a signature silver, verified
+    by full-signature agreement. Returns one row per unordered pair
+    (key_a..., key_b..., est_jaccard >= threshold); pairs colliding in
+    several bands are emitted once. Never all-pairs: candidates only
+    meet inside a (band, bucket) equi-join, the batch LSH's shuffle
+    shape over a pre-paid index."""
+    snap = index.snapshot(spark, version=version)
+    n_hashes = None  # resolved from the data: len(sig) is fixed by the spec
+    keys = index.key_cols()
+    sig_len_row = snap.select(F.size("sig").alias("n")).limit(1).collect()
+    if not sig_len_row:
+        empty = ", ".join(
+            [f"CAST(NULL AS STRING) {c}_a" for c in keys]
+            + [f"CAST(NULL AS STRING) {c}_b" for c in keys]
+            + ["CAST(NULL AS DOUBLE) est_jaccard"]
+        )
+        return spark.sql(f"SELECT {empty}").limit(0)
+    n_hashes = sig_len_row[0].n
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature length (got n_hashes={n_hashes}, "
+            f"bands={bands}) — a non-divisor silently drops trailing hashes "
+            "and changes the recall curve (same guard as minhash_lsh_pairs)"
+        )
+    rows_per_band = n_hashes // bands
+    doc = snap.select(
+        F.concat_ws("\x1f", *[F.col(c) for c in keys]).alias("_id"), *keys, "sig"
+    )
+    banded = doc.select(
+        "_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})), b))"
+            )
+        ).alias("band", "bsig"),
+    )
+    a = banded.select(
+        F.col("_id").alias("_id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
+    )
+    b = banded.select(
+        F.col("_id").alias("_id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
+    )
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_a", "_id_b", "sig_a", "sig_b")
+        .dropDuplicates(["_id_a", "_id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+        / F.lit(n_hashes),
+    ).filter(F.col("est_jaccard") >= threshold)
+    out_cols = []
+    for side in ("a", "b"):
+        split = F.split(F.col(f"_id_{side}"), "\x1f")
+        for i, c in enumerate(keys):
+            out_cols.append(split.getItem(i).alias(f"{c}_{side}"))
+    return est.select(*out_cols, F.round("est_jaccard", 4).alias("est_jaccard"))

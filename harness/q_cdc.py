@@ -1383,3 +1383,122 @@ def derive_dedup_scan(spark, sf):
     r = derive_dedup(spark, table, dst_root)
     assert not r.initial_sync and not r.resync, "span chain should be intact"
     return LaketteTable(dst_root).snapshot(spark).select("fp", "survivor", "n_rows")
+
+
+#: similarity-index oracle: the EXACT-normalized-duplicate pairs of the
+#: changelog's final LWW state. Identical normalized text => identical
+#: MinHash signatures => collision in every LSH band => candidate with
+#: est_jaccard == 1.0, and the exact-verify join makes the output
+#: deterministic, so the probabilistic index admits a full oracle on
+#: this subset (near-miss recall stays a measured number in
+#: tests/test_simindex.py and BENCH/DEDUPE_STRATEGY.md).
+_SIMINDEX_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'I', doc_id + 5000000, source, 'twin/doc_' || doc_id || '.txt',
+         upper(text) || '!!'
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt', NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+norm AS (
+  SELECT repo, path,
+         trim(regexp_replace(regexp_replace(lower(coalesce(content, '')),
+                                            '[0-9]', '0', 'g'),
+                             '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT a.repo AS repo_a, a.path AS path_a, b.repo AS repo_b, b.path AS path_b
+FROM norm a JOIN norm b
+  ON a.nt = b.nt
+ AND (a.repo || chr(31) || a.path) < (b.repo || chr(31) || b.path)
+"""
+
+
+@q("simindex_pairs", _SIMINDEX_SQL, extra=True)
+def simindex_pairs(spark, sf):
+    """Incremental similarity index end-to-end (operators/simindex.py):
+    replay inserts (every doc_id % 5 == 0 planted with a case/punct twin
+    under twin/), initial-sync the signature silver, land update+delete
+    epochs, derive AGAIN (one incremental span — only changed rows are
+    re-signed), then LSH-query the index at threshold 1.0 and exact-verify
+    candidates against the normalized content. Must equal the pure-SQL
+    normalized-duplicate self-join of the final LWW state."""
+    from forklift_spark.lakette import LaketteTable
+    from forklift_spark.operators.simindex import derive_simindex, near_dup_pairs
+    from forklift_spark.operators.text import normalize_expr
+
+    base = os.path.basename(sf)
+    src_root = os.path.join(tempfile.gettempdir(), f"fk_simx_src_{base}")
+    dst_root = os.path.join(tempfile.gettempdir(), f"fk_simx_dst_{base}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    table = create_entity_table(src_root, n_buckets=8)
+    d = t(spark, sf, "documents")
+
+    def _env(df):
+        return df.select(
+            "op", F.col("seq").cast("long").alias("seq"), "repo", "path",
+            F.lit(None).cast("string").alias("commit"),
+            F.lit(None).cast("string").alias("lang"),
+            "content",
+            F.lit(None).cast("timestamp").alias("event_ts"),
+            F.lit(1).alias("schema_ver"),
+        )
+
+    inserts = _env(d.select(
+        F.lit("I").alias("op"), F.col("doc_id").alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.col("text").alias("content"),
+    ).unionByName(d.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("I").alias("op"), (F.col("doc_id") + 5000000).alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("twin/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("content"),
+    )))
+    updates = _env(d.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("U").alias("op"), (F.col("doc_id") + 10000000).alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    ))
+    deletes = _env(d.filter(F.col("doc_id") % 10 == 7).select(
+        F.lit("D").alias("op"), (F.col("doc_id") + 20000000).alias("seq"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.lit(None).cast("string").alias("content"),
+    ))
+    merge_into(spark, table, inserts, query_id="simx", epoch=0)
+    r = derive_simindex(spark, table, dst_root)
+    assert r.initial_sync
+    merge_into(spark, table, updates, query_id="simx", epoch=1)
+    merge_into(spark, table, deletes, query_id="simx", epoch=2)
+    r = derive_simindex(spark, table, dst_root)
+    assert not r.initial_sync and not r.resync, "span chain should be intact"
+
+    cand = near_dup_pairs(spark, LaketteTable(dst_root), bands=8, threshold=1.0)
+    nt = table.snapshot(spark).select(
+        "repo", "path", normalize_expr(F.col("content")).alias("nt")
+    )
+    nta = nt.select(F.col("repo").alias("repo_a"), F.col("path").alias("path_a"),
+                    F.col("nt").alias("nt_a"))
+    ntb = nt.select(F.col("repo").alias("repo_b"), F.col("path").alias("path_b"),
+                    F.col("nt").alias("nt_b"))
+    return (
+        cand.join(nta, ["repo_a", "path_a"]).join(ntb, ["repo_b", "path_b"])
+        .filter(F.col("nt_a") == F.col("nt_b"))
+        .select("repo_a", "path_a", "repo_b", "path_b")
+    )
