@@ -8,7 +8,9 @@ exchange counts). Re-run after optimizer-relevant changes.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -388,6 +390,63 @@ def main() -> None:
         "k rows per group per input partition ever cross the shuffle; "
         "then the Final WindowGroupLimit + Window + Filter.",
     )
+
+    # r5 continuation: incremental similarity index (operators/simindex.py)
+    from forklift_spark.operators.merge import merge_into
+    from forklift_spark.operators.simindex import (
+        derive_simindex,
+        near_dup_pairs,
+        signature_sql,
+    )
+    from forklift_spark.streaming.ingest import create_entity_table
+
+    docs_txt = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source", "lang", "text"
+    )
+    add(
+        "MinHash signature maintenance projection (r5)",
+        docs_txt.selectExpr(
+            "doc_id", f"{signature_sql('text', n_hashes=16)} AS sig"
+        ),
+        "Expect: ZERO exchanges — the whole signature (array_min over "
+        "transform, per hash index) is ONE scalar Project over the scan. "
+        "This is what lets derive_simindex maintain the near-dup index at "
+        "O(changed rows) per epoch: no explode, no groupBy, no shuffle "
+        "beyond the derive merge itself.",
+    )
+    simx_root = tempfile.mkdtemp(prefix="fk_plans_simx_")
+    try:
+        simx_src = create_entity_table(os.path.join(simx_root, "src"), n_buckets=4)
+        merge_into(
+            spark,
+            simx_src,
+            docs_txt.limit(200).selectExpr(
+                "'I' AS op",
+                "CAST(doc_id AS LONG) AS seq",
+                "source AS repo",
+                "concat('docs/doc_', doc_id, '.txt') AS path",
+                "CAST(NULL AS STRING) AS commit",
+                "lang",
+                "text AS content",
+                "CAST(NULL AS TIMESTAMP) AS event_ts",
+                "1 AS schema_ver",
+            ),
+            query_id="plans_simx",
+        )
+        derive_simindex(spark, simx_src, os.path.join(simx_root, "idx"), n_hashes=16)
+        from forklift_spark.lakette.table import LaketteTable as _LT
+
+        add(
+            "LSH near-dup query over the signature silver (r5)",
+            near_dup_pairs(spark, _LT(os.path.join(simx_root, "idx")), bands=8),
+            "Expect: band bucketing is a map-side posexplode projection of "
+            "the INDEX (the corpus' content is never read); candidates meet "
+            "only inside the (band, bsig) equi-join — a hash join, never a "
+            "cartesian; the Jaccard estimate is a scalar zip_with on the "
+            "candidate set only.",
+        )
+    finally:
+        shutil.rmtree(simx_root, ignore_errors=True)
 
     body = (
         "# PLANS — physical plans of the hot paths\n\n"

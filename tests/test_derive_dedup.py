@@ -123,3 +123,52 @@ def test_raw_mode_keeps_variants_distinct(spark, tmp_path):
     derive_dedup(spark, src, dst, normalize=False)
     assert len(_gold_state(spark, dst)) == 2
     assert _gold_state(spark, dst) == _recompute(spark, src, normalize=False)
+
+
+def test_dedup_and_simindex_ride_the_ingest_loop(spark, tmp_path):
+    """The medallion hook contract (run_ingest derived=): BOTH new derived
+    tables — the dedup silver and the similarity index — refresh inside
+    the streaming loop and reflect the source's final version on return,
+    each equal to its one-shot recompute of the final state."""
+    from forklift_spark.changelog import ChangelogSpec, generate_changelog
+    from forklift_spark.operators.simindex import derive_simindex, signature_sql
+    from forklift_spark.streaming.ingest import run_ingest
+
+    spec = ChangelogSpec(
+        n_events=2_000, n_repos=6, paths_per_repo=12, seed=11, segment_rows=400
+    )
+    log_dir = str(tmp_path / "log")
+    generate_changelog(spec, log_dir)
+    bronze = create_entity_table(str(tmp_path / "bronze"), n_buckets=4)
+    dedup_root = str(tmp_path / "dedup")
+    idx_root = str(tmp_path / "idx")
+
+    report = run_ingest(
+        spark, log_dir, bronze, str(tmp_path / "ckpt"),
+        query_id="meddd", max_files_per_trigger=2,
+        derived=[
+            lambda s: derive_dedup(s, bronze, dedup_root),
+            lambda s: derive_simindex(s, bronze, idx_root, n_hashes=16),
+        ],
+    )
+    assert report.derived, "hooks should have produced refresh reports"
+    src_v = bronze.current_metadata()["version"]
+    assert LaketteTable(dedup_root).snapshot(spark).count() > 0
+    # dedup silver == batch GROUP BY of the final state
+    assert _gold_state(spark, dedup_root) == _recompute(spark, bronze)
+    # similarity index == one-shot re-sign of the final state
+    got = {
+        r.path: tuple(r.sig)
+        for r in LaketteTable(idx_root).snapshot(spark).select("path", "sig").collect()
+    }
+    expect = {
+        r.path: tuple(r.s)
+        for r in bronze.snapshot(spark)
+        .selectExpr("path", f"{signature_sql('content', n_hashes=16)} AS s")
+        .collect()
+    }
+    assert got == expect
+    # both derived tables applied spans up to the source head, exactly-once
+    for dst in (dedup_root, idx_root):
+        assert LaketteTable(dst).current_metadata()["version"] >= 1
+    assert src_v >= 2  # several epochs actually landed
