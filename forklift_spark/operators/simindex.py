@@ -57,9 +57,13 @@ def shingles_sql(content_col: str, *, k: int = 5, normalize: bool = True) -> str
         if normalize
         else f"coalesce({content_col}, '')"
     )
+    # let-bind the (normalized) text once per row — inlining `src` into
+    # the lambda would re-run the normalization regexes per SHINGLE
+    # (see signature_sql's let-binding note)
     return (
-        f"transform(sequence(1, greatest(1, length({src}) - {k - 1})), "
-        f"i -> substring({src}, i, {k}))"
+        f"transform(array({src}), __nt -> "
+        f"transform(sequence(1, greatest(1, length(__nt) - {k - 1})), "
+        f"i -> substring(__nt, i, {k})))[0]"
     )
 
 
@@ -69,11 +73,22 @@ def signature_sql(
     """The whole MinHash signature as ONE scalar expression:
     array<bigint> of length n_hashes. xxhash64(s, j) hashes the PAIR
     (shingle, hash-index) exactly like minhash_signatures' per-seed
-    columns, so signatures agree bit-for-bit with the batch path."""
+    columns, so signatures agree bit-for-bit with the batch path.
+
+    LET-BINDING VIA SINGLE-ELEMENT transform (the load-bearing shape):
+    Spark performs no common-subexpression elimination INSIDE lambda
+    bodies, so naively nesting the shingle expression under the per-hash
+    transform would re-run normalization + shingling n_hashes times per
+    row (and the normalization regexes once per SHINGLE per hash — O(n
+    x len) regex passes). `transform(array(x), v -> body)[0]` evaluates
+    `x` exactly once and binds it as `v`, a poor man's LET: the
+    normalized text and the shingle array are each materialized once per
+    row, then the n_hashes min-scans run over the bound array."""
     sh = shingles_sql(content_col, k=k, normalize=normalize)
     return (
+        f"transform(array({sh}), __sh -> "
         f"transform(sequence(0, {n_hashes - 1}), "
-        f"j -> array_min(transform({sh}, s -> xxhash64(s, j))))"
+        f"j -> array_min(transform(__sh, s -> xxhash64(s, j)))))[0]"
     )
 
 

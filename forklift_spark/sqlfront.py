@@ -103,12 +103,21 @@ def _mask_strings(stmt: str) -> str:
 
 
 def _strip_comments(stmt: str) -> str:
+    """Remove `--` line comments OUTSIDE strings. Operates on the whole
+    text by index against the string-masked twin (same length by
+    construction), so a newline INSIDE a string literal — which makes the
+    raw and masked line lists diverge — cannot truncate the statement."""
     masked = _mask_strings(stmt)
-    keep: list[str] = []
-    for line, mline in zip(stmt.split("\n"), masked.split("\n")):
-        cut = mline.find("--")
-        keep.append(line[:cut] if cut >= 0 else line)
-    return "\n".join(keep)
+    out, i = [], 0
+    while i < len(stmt):
+        cut = masked.find("--", i)
+        if cut < 0:
+            out.append(stmt[i:])
+            break
+        out.append(stmt[i:cut])
+        nl = masked.find("\n", cut)
+        i = len(stmt) if nl < 0 else nl
+    return "".join(out)
 
 
 def _split_top(text: str, masked: str, sep: str = ",") -> list[str]:
@@ -216,45 +225,142 @@ class SqlFrontend:
 
     # -------------------------------------------------------------- SELECT
 
-    #: FROM/JOIN <ident> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+    #: FROM/JOIN <ident> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'];
+    #: a leading "," continues a comma-separated FROM list (matched only
+    #: when chained directly off a previous table reference — see _select)
     _REF = re.compile(
         rf"\b(FROM|JOIN)\s+({_IDENT})"
         r"(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
         re.IGNORECASE,
     )
+    _REF_COMMA = re.compile(
+        rf"\s*,\s*({_IDENT})"
+        r"(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        re.IGNORECASE,
+    )
+    #: names bound by a WITH clause (CTEs) — `x AS (` can only be a CTE
+    #: head or a window/alias-with-parens position, never a column alias,
+    #: so treating every such name as a potential CTE is safe: the worst
+    #: case is leaving an identifier for Spark to resolve loudly
+    _CTE = re.compile(rf"\b({_IDENT})\s+AS\s*\(", re.IGNORECASE)
+
+    #: tokens that can directly follow a table reference — anything else
+    #: in that position is a user table alias
+    _POST_REF_KEYWORDS = frozenset((
+        "where", "join", "on", "group", "order", "limit", "union", "except",
+        "intersect", "having", "window", "left", "right", "full", "inner",
+        "cross", "natural", "semi", "anti", "lateral", "tablesample",
+        "pivot", "unpivot", "qualify", "when", "using", "distribute",
+        "cluster", "sort", "values", "matched", "set", "then",
+    ))
+
+    @classmethod
+    def _cte_scopes(cls, masked: str) -> list[tuple[str, int]]:
+        """(name, in-scope-from-position) for each CTE-shaped definition:
+        a CTE shadows references AFTER its own body's closing paren
+        (standard non-recursive scoping — inside its own body the name
+        still means the base table; chained CTEs see earlier ones)."""
+        scopes = []
+        for m in cls._CTE.finditer(masked):
+            depth, j = 0, m.end() - 1  # position of the '('
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            scopes.append((m.group(1).lower(), j))
+        return scopes
 
     def _select(self, stmt: str, masked: str) -> DataFrame:
         """Register each referenced lakette table (at its requested
-        version) as a uniquely-named temp view, splice the view name into
-        the statement, and hand the result to Catalyst. The snapshot is a
-        lazy plan — filter/column pushdown into the parquet scan happens
-        exactly as on the DataFrame path."""
-        out, views, last = [], {}, 0
-        for m in self._REF.finditer(masked):
-            ident = stmt[m.start(2):m.end(2)]
-            if not self._is_table(ident):
-                continue
-            version = int(m.group(4)) if m.group(4) else None
-            as_of = _unquote(stmt[m.start(5):m.end(5)]) if m.group(5) else None
-            key = (ident.lower(), version, as_of)
-            if key not in views:
-                view = f"__lakette_{ident.lower().replace('.', '_')}_{uuid.uuid4().hex[:8]}"
-                table = self._table(ident)
-                if as_of is not None:
-                    version = table.version_as_of(as_of)
-                table.create_or_replace_view(self.spark, view, version=version)
-                views[key] = view
-            out.append(stmt[last:m.start(2)])
-            out.append(views[key])
-            last = m.end(0)
+        version) as a temp view, splice the view name into the statement,
+        and hand the result to Catalyst. The snapshot is a lazy plan —
+        filter/column pushdown into the parquet scan happens exactly as on
+        the DataFrame path. View names are deterministic per (table,
+        version), so repeated statements re-register (picking up new
+        commits) instead of leaking one view per call. CTE names shadow
+        lakette tables, per SQL scoping."""
+        scopes = self._cte_scopes(masked)
+        out, last = [], 0
+
+        def _shadowed(name: str, pos: int) -> bool:
+            return any(n == name.lower() and pos > body_end for n, body_end in scopes)
+
+        def _splice(ident_span, tt_groups, end):
+            nonlocal last
+            ident = stmt[ident_span[0]:ident_span[1]]
+            if not self._is_table(ident) or _shadowed(ident, ident_span[0]):
+                return False
+            version_s, ts_span = tt_groups
+            table = self._table(ident)
+            if ts_span is not None:
+                version = table.version_as_of(_unquote(stmt[ts_span[0]:ts_span[1]]))
+            elif version_s is not None:
+                version = int(version_s)
+            else:
+                version = int(table.current_metadata()["version"])
+            view = f"__lakette_{ident.lower().replace('.', '_')}_v{version}"
+            table.create_or_replace_view(self.spark, view, version=version)
+            out.append(stmt[last:ident_span[0]])
+            out.append(view)
+            # keep qualified column refs (`repos.path`) resolving: alias
+            # the view back to the original name — unless the user wrote
+            # their own alias right after the reference
+            nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", masked[end:], re.IGNORECASE)
+            if not (nxt and nxt.group(1).lower() not in self._POST_REF_KEYWORDS):
+                out.append(f" AS {ident.split('.')[-1]}")
+            last = end
+            return True
+
+        pos = 0
+        while True:
+            m = self._REF.search(masked, pos)
+            if not m:
+                break
+            hit = _splice(
+                (m.start(2), m.end(2)),
+                (m.group(4), (m.start(5), m.end(5)) if m.group(5) else None),
+                m.end(0),
+            )
+            pos = m.end(0)
+            # comma-separated FROM list: "FROM a, b, c" — keep consuming
+            # only while chained directly off this reference (commas in
+            # select lists / function args never sit at this position)
+            while hit or m.group(1).upper() == "FROM":
+                cm = self._REF_COMMA.match(masked, pos)
+                if not cm:
+                    break
+                _splice(
+                    (cm.start(1), cm.end(1)),
+                    (cm.group(3), (cm.start(4), cm.end(4)) if cm.group(4) else None),
+                    cm.end(0),
+                )
+                pos = cm.end(0)
         out.append(stmt[last:])
         return self.spark.sql("".join(out))
 
     # -------------------------------------------------------------- INSERT
 
     def _next_seq(self, table: LaketteTable) -> int:
+        """Mint the next LWW seq: live max(seq) + 1 from per-file smax
+        manifest stats when every live file carries them; files written
+        before smax stats existed (pre-r4 metadata) force the exact
+        fallback — one narrow max(seq) aggregate over the snapshot —
+        because treating a stats-less file as seq 0 could mint a seq the
+        statement's rows silently LOSE arbitration with."""
         files = table.plan_files()
-        return (max((f.get("smax") or 0) for f in files) + 1) if files else 1
+        if not files:
+            return 1
+        if all(f.get("smax") is not None for f in files):
+            return max(f["smax"] for f in files) + 1
+        row = (
+            table.snapshot(self.spark, include_deleted=True)  # tombstone seqs count
+            .agg(F.max("seq").alias("m")).collect()[0]
+        )
+        return int(row.m or 0) + 1
 
     def _events_from(self, table: LaketteTable, df: DataFrame, op: str, seq: int,
                      *, strict: bool = True) -> DataFrame:
@@ -310,6 +416,18 @@ class SqlFrontend:
                     "SELECT's output columns instead"
                 )
             src = self._select(tail, _mask_strings(tail))
+        if all(k in src.columns for k in table.key_cols()):  # else _events_from raises
+            dup = (
+                src.groupBy(*table.key_cols()).count()
+                .filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                k = {c: dup[0][c] for c in table.key_cols()}
+                raise SqlFrontendError(
+                    f"INSERT source contains duplicate key rows (e.g. {k}); "
+                    "the statement's rows share one minted seq, so the "
+                    "survivor would be arbitrary — deduplicate first"
+                )
         seq = self._next_seq(table)
         events = self._events_from(table, src, "U", seq)
         stats = merge_into(self.spark, table, events,
@@ -341,12 +459,23 @@ class SqlFrontend:
         return self._report("UPDATE", table.root, report)
 
     def _delete(self, stmt: str, masked: str) -> DataFrame:
-        m = re.match(rf"DELETE\s+FROM\s+({_IDENT})\s*(?:\bWHERE\b)?", masked, re.IGNORECASE)
+        # anchor strictly: anything between the table name and WHERE (or
+        # end) is a parse error, NOT an implicit full-table delete — a
+        # typo'd WHERE must never silently tombstone the whole table
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})\s*(?:$|WHERE\b(.*))",
+            masked, re.IGNORECASE | re.DOTALL,
+        )
         if not m:
-            raise SqlFrontendError("supported: DELETE FROM <t> [WHERE pred]")
+            raise SqlFrontendError(
+                "supported: DELETE FROM <t> [WHERE pred] — unparsed text "
+                "after the table name (a full-table delete must spell out "
+                "WHERE true)"
+            )
         table = self._table(stmt[m.start(1):m.end(1)])
-        w = re.search(r"\bWHERE\b", masked, re.IGNORECASE)
-        pred = stmt[w.end():].strip() if w else "true"
+        pred = stmt[m.start(2):m.end(2)].strip() if m.group(2) is not None else "true"
+        if m.group(2) is not None and not pred:
+            raise SqlFrontendError("DELETE: empty WHERE predicate")
         report = delete_where(self.spark, table, pred)
         return self._report("DELETE", table.root, report)
 
@@ -388,6 +517,7 @@ class SqlFrontend:
             sub = stmt[pos + 1:j]
             src = self._select(sub, _mask_strings(sub))
             pos = j + 1
+            src_ident = None
         else:
             sm = re.match(rf"({_IDENT})", masked[pos:])
             src_ident = stmt[pos + sm.start(1):pos + sm.end(1)]
@@ -399,8 +529,12 @@ class SqlFrontend:
         am = re.match(rf"\s*(?:AS\s+)?({_IDENT})?\s*\bON\b", masked[pos:], re.IGNORECASE)
         if not am:
             raise SqlFrontendError("MERGE: expected [alias] ON <condition> after USING source")
-        s_alias = (stmt[pos + am.start(1):pos + am.end(1)]
-                   if am.group(1) and am.group(1).upper() != "ON" else "__src")
+        if am.group(1) and am.group(1).upper() != "ON":
+            s_alias = stmt[pos + am.start(1):pos + am.end(1)]
+        else:
+            # standard SQL: an unaliased named source is referenced by its
+            # own name in ON/conditions; only a subquery needs the fallback
+            s_alias = src_ident if src_ident else "__src"
         pos += am.end(0)
         first_when = self._WHEN.search(masked, pos)
         if not first_when:
@@ -411,6 +545,21 @@ class SqlFrontend:
 
         src = src.alias(s_alias)
         key_cols = table.key_cols()
+        # all events of one statement share one minted seq, so duplicate
+        # source keys would tie in LWW arbitration and survive arbitrarily
+        # — Delta raises here ("multiple source rows matched") and so do we
+        if all(k in src.columns for k in key_cols):  # else _events_from raises
+            dup = (
+                src.groupBy(*key_cols).count()
+                .filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                k = {c: dup[0][c] for c in key_cols}
+                raise SqlFrontendError(
+                    f"MERGE source contains duplicate key rows (e.g. {k}); "
+                    "deduplicate the source (the statement's rows share one "
+                    "minted seq, so the survivor would be arbitrary)"
+                )
         seq = self._next_seq(table)
 
         plain_upsert = (
@@ -481,10 +630,14 @@ class SqlFrontend:
             ok = False
             if pm:
                 a1, c1, a2, c2 = pm.groups()
-                pair = {a1.lower(): c1, a2.lower(): c2}
+                # columns compare case-insensitively (SQL identifiers);
+                # covered records the table's canonical key-column casing
+                canon = {k.lower(): k for k in table.key_cols()}
+                pair = {a1.lower(): c1.lower(), a2.lower(): c2.lower()}
                 if (set(pair) == {t_alias.lower(), s_alias.lower()}
-                        and pair[t_alias.lower()] == pair[s_alias.lower()]):
-                    covered.add(pair[t_alias.lower()])
+                        and pair[t_alias.lower()] == pair[s_alias.lower()]
+                        and pair[t_alias.lower()] in canon):
+                    covered.add(canon[pair[t_alias.lower()]])
                     ok = True
             if not ok:
                 raise SqlFrontendError(

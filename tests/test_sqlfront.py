@@ -221,3 +221,98 @@ def test_catalog_resolver(spark, tmp_path):
     cat.register("repos", table.root)
     fe = SqlFrontend(spark, cat)
     assert fe.sql("SELECT count(*) AS n FROM repos").collect()[0].n == 1
+
+
+# ---- regression tests for the r5 self-review findings ----------------
+
+
+def test_delete_with_typod_where_is_a_parse_error(spark, fe_table):
+    """A malformed WHERE must never silently become a full-table delete."""
+    fe, table = fe_table
+    with pytest.raises(SqlFrontendError, match="unparsed text"):
+        fe.sql("DELETE FROM repos WHRE lang = 'de'")
+    assert len(_state(spark, table)) == 4  # nothing was touched
+    # explicit full-table delete still works, spelled out
+    fe.sql("DELETE FROM repos WHERE true")
+    assert _state(spark, table) == {}
+
+
+def test_cte_shadows_lakette_table(spark, fe_table):
+    """SQL scoping: a CTE named like a registered table wins."""
+    fe, table = fe_table
+    n = fe.sql(
+        "WITH repos AS (SELECT * FROM repos WHERE lang = 'py') "
+        "SELECT count(*) AS n FROM repos"
+    ).collect()[0].n
+    assert n == 2  # the CTE's filter applied; 4 would mean it was bypassed
+
+
+def test_comma_join_list_resolves_all_tables(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    other = create_entity_table(str(tmp_path / "o"), n_buckets=2)
+    _seed(spark, other, [_ev("I", 1, "a", lang="de")])
+    fe2 = SqlFrontend(spark, {"repos": table, "others": other})
+    n = fe2.sql(
+        "SELECT count(*) AS n FROM repos, others "
+        "WHERE repos.path = others.path"
+    ).collect()[0].n
+    assert n == 1
+
+
+def test_multiline_string_literal_survives_comment_stripping(spark, fe_table):
+    fe, table = fe_table
+    fe.sql("UPDATE repos SET content = 'a\nb' WHERE path = 'a'  -- comment")
+    assert _state(spark, table)["a"][1] == "a\nb"
+
+
+def test_merge_duplicate_source_keys_raise(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "x"), ("r", "a", "y")],
+        "repo string, path string, content string",
+    ).createOrReplaceTempView("dupsrc")
+    with pytest.raises(SqlFrontendError, match="duplicate key rows"):
+        fe.sql("MERGE INTO repos t USING dupsrc s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *")
+    with pytest.raises(SqlFrontendError, match="duplicate key rows"):
+        fe.sql("INSERT INTO repos SELECT repo, path, content FROM dupsrc")
+
+
+def test_merge_unaliased_source_referenced_by_name(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "by-name")], "repo string, path string, content string"
+    ).createOrReplaceTempView("staged2")
+    fe.sql(
+        "MERGE INTO repos t USING staged2 ON t.repo = staged2.repo AND "
+        "t.path = staged2.path WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert _state(spark, table)["a"][1] == "by-name"
+
+
+def test_merge_on_clause_case_insensitive_columns(spark, fe_table):
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "cased")], "repo string, path string, content string"
+    ).createOrReplaceTempView("staged3")
+    fe.sql(
+        "MERGE INTO repos t USING staged3 s ON t.Repo = s.Repo AND "
+        "t.PATH = s.PATH WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert _state(spark, table)["a"][1] == "cased"
+
+
+def test_select_views_are_deterministic_and_fresh(spark, fe_table):
+    """View names are per (table, version): repeated SELECTs reuse/replace
+    instead of leaking one uuid view per call, and a new commit IS
+    reflected by the next statement."""
+    fe, table = fe_table
+    fe.sql("SELECT count(*) AS n FROM repos")
+    before = {v.name for v in spark.catalog.listTables() if v.name.startswith("__lakette_")}
+    fe.sql("SELECT count(*) AS n FROM repos")
+    after = {v.name for v in spark.catalog.listTables() if v.name.startswith("__lakette_")}
+    assert before == after  # no growth on re-query of the same version
+    _seed(spark, table, [_ev("I", 9, "zz")], epoch=1)
+    n = fe.sql("SELECT count(*) AS n FROM repos").collect()[0].n
+    assert n == 5  # the new commit is visible without re-registering
