@@ -122,6 +122,65 @@ def derive_simindex(
     )
 
 
+def _sig_len(snap: DataFrame) -> int | None:
+    row = snap.select(F.size("sig").alias("n")).limit(1).collect()
+    return row[0].n if row else None
+
+
+def _check_bands(n_hashes: int, bands: int) -> int:
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature length (got n_hashes={n_hashes}, "
+            f"bands={bands}) — a non-divisor silently drops trailing hashes "
+            "and changes the recall curve (same guard as minhash_lsh_pairs)"
+        )
+    return n_hashes // bands
+
+
+def _empty_pairs(spark: SparkSession, keys: list[str]) -> DataFrame:
+    empty = ", ".join(
+        [f"CAST(NULL AS STRING) {c}_a" for c in keys]
+        + [f"CAST(NULL AS STRING) {c}_b" for c in keys]
+        + ["CAST(NULL AS DOUBLE) est_jaccard"]
+    )
+    return spark.sql(f"SELECT {empty}").limit(0)
+
+
+def _banded(df: DataFrame, keys: list[str], bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, sig, band, bsig) — one row per (doc, band): each band's slice
+    of the stored signature hashed to its bucket, a map-side projection."""
+    doc = df.select(
+        F.concat_ws("\x1f", *[F.col(c) for c in keys]).alias("_id"), "sig"
+    )
+    return doc.select(
+        "_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})), b))"
+            )
+        ).alias("band", "bsig"),
+    )
+
+
+def _estimate_pairs(
+    cand: DataFrame, keys: list[str], n_hashes: int, threshold: float
+) -> DataFrame:
+    est = cand.withColumn(
+        "est_jaccard",
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+        / F.lit(n_hashes),
+    ).filter(F.col("est_jaccard") >= threshold)
+    out_cols = []
+    for side in ("a", "b"):
+        split = F.split(F.col(f"_id_{side}"), "\x1f")
+        for i, c in enumerate(keys):
+            out_cols.append(split.getItem(i).alias(f"{c}_{side}"))
+    return est.select(*out_cols, F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
 def near_dup_pairs(
     spark: SparkSession,
     index: LaketteTable,
@@ -137,38 +196,12 @@ def near_dup_pairs(
     meet inside a (band, bucket) equi-join, the batch LSH's shuffle
     shape over a pre-paid index."""
     snap = index.snapshot(spark, version=version)
-    n_hashes = None  # resolved from the data: len(sig) is fixed by the spec
     keys = index.key_cols()
-    sig_len_row = snap.select(F.size("sig").alias("n")).limit(1).collect()
-    if not sig_len_row:
-        empty = ", ".join(
-            [f"CAST(NULL AS STRING) {c}_a" for c in keys]
-            + [f"CAST(NULL AS STRING) {c}_b" for c in keys]
-            + ["CAST(NULL AS DOUBLE) est_jaccard"]
-        )
-        return spark.sql(f"SELECT {empty}").limit(0)
-    n_hashes = sig_len_row[0].n
-    if n_hashes % bands != 0:
-        raise ValueError(
-            f"bands must divide the signature length (got n_hashes={n_hashes}, "
-            f"bands={bands}) — a non-divisor silently drops trailing hashes "
-            "and changes the recall curve (same guard as minhash_lsh_pairs)"
-        )
-    rows_per_band = n_hashes // bands
-    doc = snap.select(
-        F.concat_ws("\x1f", *[F.col(c) for c in keys]).alias("_id"), *keys, "sig"
-    )
-    banded = doc.select(
-        "_id",
-        "sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})), b))"
-            )
-        ).alias("band", "bsig"),
-    )
+    n_hashes = _sig_len(snap)
+    if n_hashes is None:
+        return _empty_pairs(spark, keys)
+    rows_per_band = _check_bands(n_hashes, bands)
+    banded = _banded(snap, keys, bands, rows_per_band)
     a = banded.select(
         F.col("_id").alias("_id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
     )
@@ -181,14 +214,64 @@ def near_dup_pairs(
         .select("_id_a", "_id_b", "sig_a", "sig_b")
         .dropDuplicates(["_id_a", "_id_b"])
     )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
-        / F.lit(n_hashes),
-    ).filter(F.col("est_jaccard") >= threshold)
-    out_cols = []
-    for side in ("a", "b"):
-        split = F.split(F.col(f"_id_{side}"), "\x1f")
-        for i, c in enumerate(keys):
-            out_cols.append(split.getItem(i).alias(f"{c}_{side}"))
-    return est.select(*out_cols, F.round("est_jaccard", 4).alias("est_jaccard"))
+    return _estimate_pairs(cand, keys, n_hashes, threshold)
+
+
+def near_dup_pairs_since(
+    spark: SparkSession,
+    index: LaketteTable,
+    since_version: int,
+    *,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The per-epoch novelty query — near-dup pairs INVOLVING a document
+    whose signature changed since `since_version` (inserted or updated in
+    the span; deleted rows left the index already). This is the query an
+    ingest loop actually asks after every epoch ("what did this batch
+    duplicate?"), and its cost follows the CHANGED set, not the corpus:
+    the changed side is read bucket-pruned from the index's own
+    changefeed (snapshot_diff), banded map-side, BROADCAST (changed <<
+    index), and hash-joined against the banded full index — the full
+    index is scanned once, exchanged never. Pairs between two unchanged
+    documents are by definition already known to the consumer (they were
+    emitted when one of them last changed), so they are not re-emitted.
+    Pair columns are normalized (a < b by concatenated key) exactly like
+    near_dup_pairs, so incremental consumers can union/dedupe spans."""
+    from .changes import snapshot_diff
+
+    head = int(index.current_metadata()["version"])
+    if since_version > head:
+        raise ValueError(f"since_version {since_version} is ahead of head {head}")
+    keys = index.key_cols()
+    snap = index.snapshot(spark)
+    n_hashes = _sig_len(snap)
+    if n_hashes is None or since_version == head:
+        return _empty_pairs(spark, keys)
+    rows_per_band = _check_bands(n_hashes, bands)
+    changed = (
+        snapshot_diff(spark, index, since_version, head, full_rows=True)
+        .filter(F.col("change") != "delete")
+        .select(*keys, "sig")
+    )
+    c = _banded(changed, keys, bands, rows_per_band).select(
+        F.col("_id").alias("_id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
+    )
+    full = _banded(snap, keys, bands, rows_per_band).select(
+        F.col("_id").alias("_id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
+    )
+    cand = (
+        full.join(F.broadcast(c), ["band", "bsig"])
+        .filter(F.col("_id_a") != F.col("_id_b"))
+        # normalize unordered pairs: both-changed pairs arrive twice
+        .select(
+            F.least("_id_a", "_id_b").alias("_id_a"),
+            F.greatest("_id_a", "_id_b").alias("_id_b"),
+            F.when(F.col("_id_a") < F.col("_id_b"), F.col("sig_a"))
+            .otherwise(F.col("sig_b")).alias("sig_a"),
+            F.when(F.col("_id_a") < F.col("_id_b"), F.col("sig_b"))
+            .otherwise(F.col("sig_a")).alias("sig_b"),
+        )
+        .dropDuplicates(["_id_a", "_id_b"])
+    )
+    return _estimate_pairs(cand, keys, n_hashes, threshold)

@@ -135,3 +135,52 @@ def test_guards_and_empty_index(spark, tmp_path):
     out = near_dup_pairs(spark, LaketteTable(dst), bands=8)
     assert out.count() == 0
     assert "est_jaccard" in out.columns
+
+
+def test_near_dup_pairs_since_incremental_union(spark, tmp_path):
+    """Per-epoch novelty query: pairs involving changed docs only, and
+    full-pairs(head) == full-pairs(v1) UNION pairs-since(v1) — the union
+    contract incremental consumers rely on."""
+    from forklift_spark.operators.simindex import near_dup_pairs_since
+
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=4)
+    dst = str(tmp_path / "idx")
+    fam2 = ("an unrelated second family about distributed query engines "
+            "and their shuffle partitioning behavior at petabyte scale")
+    _seed(spark, src, [
+        _ev("I", 1, "a1", BASE), _ev("I", 2, "b1", fam2),
+        _ev("I", 3, "b2", fam2 + " indeed"),
+    ])
+    derive_simindex(spark, src, dst, n_hashes=32)
+    idx = LaketteTable(dst)
+    v1 = idx.current_metadata()["version"]
+
+    def _pairs(df):
+        return {tuple(sorted((r.path_a, r.path_b))) for r in df.collect()}
+
+    pairs_v1 = _pairs(near_dup_pairs(spark, idx, bands=8, threshold=0.5))
+    assert pairs_v1 == {("b1", "b2")}
+
+    # epoch 1: a near-dup of a1 arrives; b2 gets an unrelated rewrite
+    _seed(spark, src, [
+        _ev("I", 4, "a2", BASE.replace("dog", "dogs")),
+        _ev("U", 5, "b2", "totally rewritten, unlike anything"),
+    ], epoch=1)
+    derive_simindex(spark, src, dst, n_hashes=32)
+
+    since = near_dup_pairs_since(spark, idx, v1, bands=8, threshold=0.5)
+    got = _pairs(since)
+    assert ("a1", "a2") in got                 # the new near-dup is found
+    assert all("b1" not in p or "b2" not in p for p in got)  # b-family broke up
+    # union contract: old full + incremental == new full (minus pairs that
+    # DISSOLVED when a member changed — consumers drop pairs whose member
+    # appears in the span; here (b1, b2) dissolved)
+    full_now = _pairs(near_dup_pairs(spark, idx, bands=8, threshold=0.5))
+    assert full_now == got | (pairs_v1 - {("b1", "b2")})
+
+    # boundary cases
+    assert near_dup_pairs_since(spark, idx,
+                                idx.current_metadata()["version"]).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ahead of head"):
+        near_dup_pairs_since(spark, idx, 999)
