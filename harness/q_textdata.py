@@ -1326,3 +1326,43 @@ def dedup_canonical(spark, sf):
         threshold=0.8, shingle_kind="word", ngram_n=3,
     )
     return dedup_keep_canonical(corpus, pairs, "doc_id").select("doc_id")
+
+
+#: int8 quantization oracle: the IDENTICAL floor-based arithmetic replayed
+#: in DuckDB (floor over IEEE doubles is bit-deterministic across engines;
+#: round() half-cases are not — operators/quantize.py module docstring).
+#: q is cast to int for the comparison only; storage stays tinyint.
+_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       round(s, 12) AS scale_r,
+       CASE WHEN s = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                                x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5)
+                                          AS INTEGER)) END AS q
+FROM scaled
+"""
+
+
+@q("embed_quantize", _QUANTIZE_SQL, extra=True)
+def embed_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (operators/quantize.py): the
+    4x ANN scan-byte lever. One map-only HOF projection (scale let-bound
+    per vector, zero exchanges — plan-asserted in tests/test_quantize.py);
+    the emitted int8 arrays must be BIT-IDENTICAL to DuckDB replaying the
+    same floor-based expression, which is the engine-portability contract
+    the floor(x/s + 0.5) form exists for."""
+    from forklift_spark.operators.quantize import quantize
+
+    e = t(spark, sf, "embeddings")
+    return quantize(e, "embedding").selectExpr(
+        "vec_id",
+        "round(qvec.scale, 12) AS scale_r",
+        "transform(qvec.q, v -> CAST(v AS INT)) AS q",
+    )
