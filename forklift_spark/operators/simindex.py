@@ -165,6 +165,22 @@ def _banded(df: DataFrame, keys: list[str], bands: int, rows_per_band: int) -> D
     )
 
 
+def _oversized(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, bsig) buckets holding more than max_bucket index rows."""
+    return (
+        banded.groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band", "bsig")
+    )
+
+
+def _cap(banded: DataFrame, oversized: DataFrame | None) -> DataFrame:
+    if oversized is None:
+        return banded
+    return banded.join(F.broadcast(oversized), ["band", "bsig"], "left_anti")
+
+
 def _estimate_pairs(
     cand: DataFrame, keys: list[str], n_hashes: int, threshold: float
 ) -> DataFrame:
@@ -188,13 +204,29 @@ def near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     version: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-dup candidates from a signature silver, verified
     by full-signature agreement. Returns one row per unordered pair
     (key_a..., key_b..., est_jaccard >= threshold); pairs colliding in
-    several bands are emitted once. Never all-pairs: candidates only
-    meet inside a (band, bucket) equi-join, the batch LSH's shuffle
-    shape over a pre-paid index."""
+    several bands are emitted once. Never all-pairs BY STRUCTURE:
+    candidates only meet inside a (band, bucket) equi-join, the batch
+    LSH's shuffle shape over a pre-paid index.
+
+    SCALE KNOB — `max_bucket` (same contract as shingle_jaccard_pairs'
+    max_shingle_df): a (band, bucket) group of d rows contributes O(d^2)
+    candidate pairs, and corpora with BOILERPLATE shared across most
+    documents (headers, templates, license banners) collapse many
+    signature components to corpus-wide constants — a handful of
+    near-universal buckets then turns the equi-join quadratic. Pass
+    max_bucket (e.g. 1000) to drop buckets above that size from the
+    candidate join. Recall caveat, stated not hidden: members of a
+    dropped bucket lose that band's collision chance; in particular an
+    EXACT-duplicate group larger than max_bucket collides only in capped
+    buckets and disappears from this query entirely — giant exact groups
+    are derive_dedup's job (hash group-by, no candidate explosion), LSH
+    is for NEAR duplicates. Default None keeps exact LSH semantics (the
+    oracle query relies on guaranteed collisions)."""
     snap = index.snapshot(spark, version=version)
     keys = index.key_cols()
     n_hashes = _sig_len(snap)
@@ -202,6 +234,8 @@ def near_dup_pairs(
         return _empty_pairs(spark, keys)
     rows_per_band = _check_bands(n_hashes, bands)
     banded = _banded(snap, keys, bands, rows_per_band)
+    if max_bucket is not None:
+        banded = _cap(banded, _oversized(banded, max_bucket))
     a = banded.select(
         F.col("_id").alias("_id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
     )
@@ -224,6 +258,7 @@ def near_dup_pairs_since(
     *,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The per-epoch novelty query — near-dup pairs INVOLVING a document
     whose signature changed since `since_version` (inserted or updated in
@@ -254,10 +289,18 @@ def near_dup_pairs_since(
         .filter(F.col("change") != "delete")
         .select(*keys, "sig")
     )
-    c = _banded(changed, keys, bands, rows_per_band).select(
+    c_banded = _banded(changed, keys, bands, rows_per_band)
+    full_banded = _banded(snap, keys, bands, rows_per_band)
+    if max_bucket is not None:
+        # bucket size is defined by the INDEX side (the boilerplate-collapse
+        # guard, see near_dup_pairs) and applied to both sides
+        over = _oversized(full_banded, max_bucket)
+        c_banded = _cap(c_banded, over)
+        full_banded = _cap(full_banded, over)
+    c = c_banded.select(
         F.col("_id").alias("_id_a"), F.col("sig").alias("sig_a"), "band", "bsig"
     )
-    full = _banded(snap, keys, bands, rows_per_band).select(
+    full = full_banded.select(
         F.col("_id").alias("_id_b"), F.col("sig").alias("sig_b"), "band", "bsig"
     )
     cand = (

@@ -184,3 +184,44 @@ def test_near_dup_pairs_since_incremental_union(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="ahead of head"):
         near_dup_pairs_since(spark, idx, 999)
+
+
+def test_boilerplate_bucket_cap(spark, tmp_path):
+    """The boilerplate-collapse guard (max_bucket): a corpus where every
+    document shares a large common template collapses signature
+    components to corpus-wide constants — without the cap the banded
+    join degenerates toward all-pairs; with it, oversized buckets are
+    dropped while genuinely-near pairs (which also collide in DIVERSE
+    bands) are still found."""
+    boiler = " ".join(f"copyright header line {i} all rights reserved" for i in range(8))
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=4)
+    dst = str(tmp_path / "idx")
+    rows = [
+        _ev("I", i, f"d{i:03d}", f"{boiler} unique tail {i} " + "x" * (i % 7))
+        for i in range(40)
+    ]
+    # a planted near-dup pair with DISTINCT tails longer than the boilerplate
+    tail = ("completely distinctive shared ending about partition pruning "
+            "strategies and manifest caching behavior in modern lakehouses")
+    rows += [
+        _ev("I", 100, "paira", f"{tail} alpha {tail}"),
+        _ev("I", 101, "pairb", f"{tail} alpha! {tail}"),
+    ]
+    _seed(spark, src, rows)
+    derive_simindex(spark, src, dst, n_hashes=32)
+    idx = LaketteTable(dst)
+
+    uncapped = near_dup_pairs(spark, idx, bands=8, threshold=0.5)
+    capped = near_dup_pairs(spark, idx, bands=8, threshold=0.5, max_bucket=10)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_cap <= n_unc  # the cap can only shrink the candidate set
+    got = {tuple(sorted((r.path_a, r.path_b))) for r in capped.collect()}
+    assert ("paira", "pairb") in got  # the real near-dup pair survives the cap
+    # the boilerplate family produced oversized buckets: without the cap the
+    # boiler docs pair up en masse; with cap=10 those pairs are gone
+    boiler_pairs = [p for p in got if p[0].startswith("d") and p[1].startswith("d")]
+    unc_boiler = [
+        (r.path_a, r.path_b) for r in uncapped.collect()
+        if r.path_a.startswith("d") and r.path_b.startswith("d")
+    ]
+    assert len(unc_boiler) > len(boiler_pairs)
