@@ -185,7 +185,8 @@ class SqlFrontend:
             raise SqlFrontendError(f"cannot parse statement: {statement!r}")
         k1 = head.group(1).upper()
         k2 = (head.group(2) or "").upper()
-        if k1 in ("SELECT", "WITH"):
+        if k1 in ("SELECT", "WITH", "EXPLAIN"):
+            # EXPLAIN passes through: views splice in, Catalyst explains
             return self._select(stmt, masked)
         if k1 == "INSERT":
             return self._insert(stmt, masked)
@@ -292,6 +293,21 @@ class SqlFrontend:
         def _splice(ident_span, tt_groups, end):
             nonlocal last
             ident = stmt[ident_span[0]:ident_span[1]]
+            # Iceberg-style metadata tables: <table>.files / .history / .refs
+            base, dot, suffix = ident.rpartition(".")
+            if (dot and suffix.lower() in ("files", "history", "refs")
+                    and self._is_table(base) and not _shadowed(base, ident_span[0])):
+                view = f"__lakette_{base.lower()}__{suffix.lower()}"
+                self._meta_df(self._table(base), suffix.lower()) \
+                    .createOrReplaceTempView(view)
+                out.append(stmt[last:ident_span[0]])
+                out.append(view)
+                nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)",
+                               masked[end:], re.IGNORECASE)
+                if not (nxt and nxt.group(1).lower() not in self._POST_REF_KEYWORDS):
+                    out.append(f" AS {suffix.lower()}")
+                last = end
+                return True
             if not self._is_table(ident) or _shadowed(ident, ident_span[0]):
                 return False
             version_s, ts_span = tt_groups
@@ -341,6 +357,19 @@ class SqlFrontend:
                 pos = cm.end(0)
         out.append(stmt[last:])
         return self.spark.sql("".join(out))
+
+    def _meta_df(self, table: LaketteTable, kind: str) -> DataFrame:
+        """Metadata tables behind the `<name>.files/.history/.refs` SQL
+        suffixes — each a driver-side metadata read, no data scan."""
+        if kind == "files":
+            return table.files_df(self.spark)
+        if kind == "history":
+            return table.history_df(self.spark)
+        refs = table.list_refs()
+        return self.spark.createDataFrame(
+            [(r["name"], r["kind"], int(r["version"])) for r in refs],
+            "name string, kind string, version long",
+        )
 
     # -------------------------------------------------------------- INSERT
 

@@ -316,3 +316,23 @@ def test_select_views_are_deterministic_and_fresh(spark, fe_table):
     _seed(spark, table, [_ev("I", 9, "zz")], epoch=1)
     n = fe.sql("SELECT count(*) AS n FROM repos").collect()[0].n
     assert n == 5  # the new commit is visible without re-registering
+
+
+def test_metadata_table_suffixes_and_explain(spark, fe_table):
+    """Iceberg-style metadata tables through SQL: <t>.history / .files /
+    .refs are driver-side metadata reads; EXPLAIN passes through."""
+    fe, table = fe_table
+    table.create_ref("snap1", kind="tag")
+    hist = fe.sql("SELECT version, total_rows FROM repos.history ORDER BY version")
+    assert hist.count() >= 1
+    files = fe.sql("SELECT count(*) AS n, sum(rows) AS r FROM repos.files").collect()[0]
+    assert int(files.r) == 4
+    refs = fe.sql("SELECT name, kind FROM repos.refs").collect()
+    assert ("snap1", "tag") in {(r.name, r.kind) for r in refs}
+    # joins between data and metadata mix freely
+    j = fe.sql(
+        "SELECT count(*) AS n FROM repos r JOIN repos.refs f ON f.kind = 'tag'"
+    ).collect()[0].n
+    assert j == 4
+    plan = fe.sql("EXPLAIN SELECT count(*) FROM repos").collect()[0][0]
+    assert "__lakette_repos" in plan or "Aggregate" in plan
