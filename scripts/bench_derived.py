@@ -174,13 +174,13 @@ corpus/changed-set ratio (here {100 / pct:.0f}:1).
 {rows}
 
 - SIGNATURE INDEX: the incremental refresh is **{si_x:.1f}x** cheaper
-  than re-signing the corpus ({results[incremental_simindex_sec]:.1f}s vs
-  {results[full_recompute_simindex_sec]:.1f}s) — and the recompute column
+  than re-signing the corpus ({results['incremental_simindex_sec']:.1f}s vs
+  {results['full_recompute_simindex_sec']:.1f}s) — and the recompute column
   grows linearly with the corpus while the incremental column tracks the
   changed set, so the ratio is the FLOOR of the production gap.
 - DEDUP SILVER, stated honestly: at this corpus size the one-shot sha256
-  GROUP BY ({results[full_recompute_dedup_sec]:.1f}s) is still cheaper
-  than the incremental refresh ({results[incremental_dedup_sec]:.1f}s),
+  GROUP BY ({results['full_recompute_dedup_sec']:.1f}s) is still cheaper
+  than the incremental refresh ({results['incremental_dedup_sec']:.1f}s),
   whose cost is dominated by the derived-table machinery's fixed
   per-epoch floor (span diff + affected-group recompute + exactly-once
   commit). The silver's value at THIS scale is consumer-side — the
@@ -189,8 +189,8 @@ corpus/changed-set ratio (here {100 / pct:.0f}:1).
   corpus scan outgrows that fixed floor (the recompute column is
   O(corpus), the incremental one is not).
 - NOVELTY QUERY: near_dup_pairs_since answers "what did this epoch
-  duplicate" in {results[novelty_query_since_sec]:.1f}s vs
-  {results[full_pair_query_sec]:.1f}s for the full-corpus pair query
+  duplicate" in {results['novelty_query_since_sec']:.1f}s vs
+  {results['full_pair_query_sec']:.1f}s for the full-corpus pair query
   ({n_since} span pairs vs {n_full} total at threshold 0.8, max_bucket
   1000); its input is the span, so the gap widens with corpus size.
 
