@@ -624,7 +624,13 @@ class SqlFrontend:
                         continue
                     hit = remaining.filter(F.expr(c["cond"])) if c["cond"] else remaining
                     if c["cond"]:
-                        remaining = remaining.filter(~F.expr(c["cond"]))
+                        # complement of "cond IS TRUE": a NULL condition does
+                        # not claim the row, so it must FALL THROUGH to the
+                        # next clause (standard MERGE clause ordering) —
+                        # ~expr alone would drop NULL rows from `remaining`
+                        remaining = remaining.filter(
+                            ~F.coalesce(F.expr(c["cond"]), F.lit(False))
+                        )
                     else:
                         remaining = remaining.limit(0)
                     op = "D" if c["action"] == "delete" else "U"

@@ -142,6 +142,27 @@ def test_merge_conditional_and_delete_clause(spark, fe_table):
     assert "y" not in st                      # unmatched, condition failed -> no-op
 
 
+def test_merge_null_condition_falls_through(spark, fe_table):
+    """MERGE clause ordering: a WHEN ... AND cond clause whose condition
+    evaluates to NULL does not claim the row — it must FALL THROUGH to the
+    next clause (standard MERGE semantics). The complement filter must be
+    `NOT (cond IS TRUE)`, not `NOT cond`, which silently drops NULL rows."""
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", None), ("r", "b", "del")],
+        "repo string, path string, act string",
+    ).createOrReplaceTempView("null_acts")
+    fe.sql(
+        "MERGE INTO repos t USING (SELECT repo, path, act, 'Y' AS content "
+        "FROM null_acts) s ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND s.act = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    st = _state(spark, table)
+    assert "b" not in st          # condition TRUE -> first clause deletes
+    assert st["a"][1] == "Y"      # condition NULL -> falls through to UPDATE
+
+
 def test_merge_using_lakette_source(spark, fe_table, tmp_path):
     fe, table = fe_table
     src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
