@@ -46,12 +46,22 @@ Design rules, in the engine's established discipline:
     The LWW interplay contract is dml.py's: a later change event with a
     higher seq still wins over the statement's rows.
 
+MERGE carries the full Delta clause matrix: `WHEN MATCHED [AND cond]
+THEN UPDATE SET * | UPDATE SET c = e, ... | DELETE` (conditions and
+assignments may reference BOTH aliases — a column-level SET keeps
+unassigned columns at their stored values, read through one inner key
+join), `WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT * | INSERT
+(cols) VALUES (exprs)` (source row only), and `WHEN NOT MATCHED BY
+SOURCE [AND cond] THEN DELETE | UPDATE SET c = e, ...` (stored row only;
+the one branch whose cost is O(live table) — an anti-join over the
+snapshot, exactly as in Delta).
+
 Divergence from Delta, stated rather than hidden: lakette tables are
 KEYED CDC tables, so `INSERT` of an existing key is an upsert (the merge
-arbitration makes append-duplicates meaningless), and `MERGE` supports
-whole-row actions only (`UPDATE SET *`, `INSERT *`, `DELETE`) — column
-granularity belongs to `UPDATE ... SET` (predicate DML) or column-LWW
-patch tables (operators/patch.py).
+arbitration makes append-duplicates meaningless), and every MERGE action
+compiles to whole-row EVENTS sharing the statement's minted seq — true
+per-column arbitration belongs to column-LWW patch tables
+(operators/patch.py).
 """
 
 from __future__ import annotations
@@ -511,12 +521,17 @@ class SqlFrontend:
     # --------------------------------------------------------------- MERGE
 
     _WHEN = re.compile(
-        r"\bWHEN\s+(NOT\s+)?MATCHED\b(?:\s+AND\b)?", re.IGNORECASE
+        r"\bWHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?\b(\s+AND\b)?",
+        re.IGNORECASE,
     )
     _ACTION = re.compile(
         r"\bTHEN\s+(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*|UPDATE\s+SET\b|INSERT\b)",
         re.IGNORECASE,
     )
+
+    #: columns a MERGE assignment may never target (same set as dml.py —
+    #: seq is minted per statement, content_sha derived by merge_into)
+    _MERGE_ENGINE_COLS = frozenset(("seq", "content_sha", "deleted", "col_seqs"))
 
     def _merge(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(
@@ -526,8 +541,10 @@ class SqlFrontend:
         if not m:
             raise SqlFrontendError(
                 "supported: MERGE INTO <t> [alias] USING <src|(subquery)> [alias] "
-                "ON <key equalities> WHEN [NOT] MATCHED [AND cond] THEN "
-                "UPDATE SET * | DELETE | INSERT *"
+                "ON <key equalities> WHEN MATCHED [AND cond] THEN UPDATE SET "
+                "*|c=e,... | DELETE / WHEN NOT MATCHED [AND cond] THEN INSERT "
+                "*|(cols) VALUES (exprs) / WHEN NOT MATCHED BY SOURCE [AND "
+                "cond] THEN DELETE | UPDATE SET c=e,..."
             )
         table = self._table(stmt[m.start(1):m.end(1)])
         t_alias = stmt[m.start(2):m.end(2)] if m.group(2) else stmt[m.start(1):m.end(1)]
@@ -570,7 +587,7 @@ class SqlFrontend:
             raise SqlFrontendError("MERGE: at least one WHEN clause is required")
         on_sql = stmt[pos:first_when.start()].strip()
         self._check_on(on_sql, _mask_strings(on_sql), table, t_alias, s_alias)
-        clauses = self._parse_when(stmt, masked, first_when.start())
+        clauses = self._parse_when(stmt, masked, first_when.start(), table, t_alias)
 
         src = src.alias(s_alias)
         key_cols = table.key_cols()
@@ -593,8 +610,8 @@ class SqlFrontend:
 
         plain_upsert = (
             len(clauses) == 2
-            and {(c["matched"], c["action"]) for c in clauses}
-            == {(True, "update"), (False, "insert")}
+            and {(c["branch"], c["action"]) for c in clauses}
+            == {("matched", "update_star"), ("insert", "insert_star")}
             and all(c["cond"] is None for c in clauses)
         )
         if plain_upsert:
@@ -602,50 +619,180 @@ class SqlFrontend:
             # own key join decides insert-vs-update) — ZERO extra joins
             events = self._events_from(table, src, "U", seq, strict=False)
         else:
-            for c in clauses:
-                if c["cond"] and re.search(
-                    rf"\b{re.escape(t_alias)}\s*\.", _mask_strings(c["cond"]), re.IGNORECASE
-                ):
-                    raise SqlFrontendError(
-                        "MERGE conditions may reference the SOURCE row only "
-                        f"(found target alias {t_alias!r}); conditions on the "
-                        "stored row need predicate DML (UPDATE/DELETE ... WHERE)"
-                    )
-            # classify matched-ness with ONE semi-join against the
-            # snapshot's key columns (bucket co-partitioned, key-only scan)
-            tgt_keys = table.snapshot(self.spark).select(*key_cols)
-            matched_src = src.join(tgt_keys, on=key_cols, how="left_semi").alias(s_alias)
-            unmatched_src = src.join(tgt_keys, on=key_cols, how="left_anti").alias(s_alias)
-            parts: list[DataFrame] = []
-            for branch, branch_df in ((True, matched_src), (False, unmatched_src)):
-                remaining = branch_df
-                for c in clauses:
-                    if c["matched"] is not branch:
-                        continue
-                    hit = remaining.filter(F.expr(c["cond"])) if c["cond"] else remaining
-                    if c["cond"]:
-                        # complement of "cond IS TRUE": a NULL condition does
-                        # not claim the row, so it must FALL THROUGH to the
-                        # next clause (standard MERGE clause ordering) —
-                        # ~expr alone would drop NULL rows from `remaining`
-                        remaining = remaining.filter(
-                            ~F.coalesce(F.expr(c["cond"]), F.lit(False))
-                        )
-                    else:
-                        remaining = remaining.limit(0)
-                    op = "D" if c["action"] == "delete" else "U"
-                    parts.append(self._events_from(table, hit.select(src.columns), op, seq, strict=False))
-                # rows matching no clause: no-op (dropped)
-            if not parts:
-                raise SqlFrontendError("MERGE: no WHEN clause produced any action")
-            events = parts[0]
-            for p in parts[1:]:
-                events = events.unionByName(p)
+            events = self._merge_events(table, src, t_alias, s_alias, clauses, seq)
         stats = merge_into(self.spark, table, events,
                            query_id=f"sql_merge_{uuid.uuid4().hex[:8]}")
         return self._report("MERGE", table.root, {
             "version": stats.version, "rows": stats.batch_rows, "seq": seq,
         })
+
+    @staticmethod
+    def _refs_alias(sql: str | None, alias: str) -> bool:
+        return bool(sql) and bool(
+            re.search(rf"\b{re.escape(alias)}\s*\.", _mask_strings(sql), re.IGNORECASE)
+        )
+
+    def _merge_events(
+        self,
+        table: LaketteTable,
+        src: DataFrame,
+        t_alias: str,
+        s_alias: str,
+        clauses: list[dict],
+        seq: int,
+    ) -> DataFrame:
+        """Compile the general WHEN-clause matrix to one event frame.
+
+        Three branches, each classified with ONE key join (bucket
+        co-partitioned, key-only or payload scan as needed):
+
+          matched            source ∩ target. A cheap LEFT SEMI join
+                             suffices unless some clause needs the STORED
+                             row (a column-level UPDATE SET keeps
+                             unassigned columns, or a condition/assignment
+                             references the target alias) — then the
+                             branch joins the full target payload INNER on
+                             the keys, and expressions see both aliases.
+          insert             source ∖ target (LEFT ANTI on keys): INSERT *
+                             or INSERT (cols) VALUES (exprs) over the
+                             source row only.
+          by_source          target ∖ source (LEFT ANTI on keys — the one
+                             branch whose cost is O(live table), exactly
+                             as in Delta): DELETE or column-level UPDATE
+                             over the stored row only.
+
+        Clause order is preserved per branch with NULL-condition
+        fall-through; rows claiming no clause are no-ops. Every action
+        compiles to whole-row events sharing the statement's minted seq —
+        merge_into's LWW arbitration applies them exactly like any other
+        batch."""
+        key_cols = table.key_cols()
+        user = table.user_schema()
+
+        def _q(alias: str, col: str):
+            return F.col(f"{alias}.{col}")
+
+        def _field_exprs(c: dict, joined: bool) -> dict:
+            """user-field name -> Column for one clause's event rows."""
+            action = c["action"]
+            out: dict = {}
+            for f in user.fields:
+                n = f.name
+                if action == "insert_cols":
+                    # every listed column (keys included) takes its VALUES
+                    # expression; unlisted payload columns are NULL
+                    out[n] = (
+                        F.expr(c["assignments"][n])
+                        if n in c["assignments"] else F.lit(None)
+                    )
+                elif n in key_cols:
+                    # keys come from whichever side the branch carries
+                    out[n] = _q(t_alias, n) if c["branch"] == "by_source" or (
+                        c["branch"] == "matched" and joined
+                    ) else _q(s_alias, n)
+                elif action == "delete":
+                    out[n] = F.lit(None)
+                elif action in ("update_star", "insert_star"):
+                    out[n] = (
+                        _q(s_alias, n) if n in src.columns else F.lit(None)
+                    )
+                elif n in c["assignments"]:
+                    out[n] = F.expr(c["assignments"][n])
+                else:  # update_cols: unassigned columns keep STORED values
+                    out[n] = _q(t_alias, n)
+            return out
+
+        def _envelope(frame: DataFrame, op: str, fields: dict) -> DataFrame:
+            cols = [fields[f.name].cast(f.dataType).alias(f.name) for f in user.fields]
+            return frame.select(
+                F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"), *cols
+            )
+
+        # does any matched clause need the stored row?
+        needs_target = any(
+            c["branch"] == "matched"
+            and (
+                c["action"] == "update_cols"
+                or self._refs_alias(c["cond"], t_alias)
+                or any(self._refs_alias(e, t_alias) for e in c.get("assignments", {}).values())
+            )
+            for c in clauses
+        )
+        branches: dict[str, DataFrame | None] = {}
+        tgt = table.snapshot(self.spark).alias(t_alias)
+        if any(c["branch"] == "matched" for c in clauses):
+            if needs_target:
+                on = [
+                    _q(s_alias, k).eqNullSafe(_q(t_alias, k)) for k in key_cols
+                ]
+                branches["matched"] = src.join(tgt, on, "inner")
+            else:
+                branches["matched"] = src.join(
+                    tgt.select(*key_cols), on=key_cols, how="left_semi"
+                ).alias(s_alias)
+        if any(c["branch"] == "insert" for c in clauses):
+            branches["insert"] = src.join(
+                tgt.select(*key_cols), on=key_cols, how="left_anti"
+            ).alias(s_alias)
+        if any(c["branch"] == "by_source" for c in clauses):
+            if not all(k in src.columns for k in key_cols):
+                raise SqlFrontendError(
+                    "WHEN NOT MATCHED BY SOURCE needs the source to carry the "
+                    f"key columns {key_cols} for the anti-join"
+                )
+            branches["by_source"] = tgt.join(
+                src.select(*key_cols), on=key_cols, how="left_anti"
+            ).alias(t_alias)
+
+        parts: list[DataFrame] = []
+        for branch, frame in branches.items():
+            remaining = frame
+            joined = branch == "matched" and needs_target
+            for c in clauses:
+                if c["branch"] != branch:
+                    continue
+                if branch in ("insert",) and (
+                    self._refs_alias(c["cond"], t_alias)
+                    or any(self._refs_alias(e, t_alias) for e in c.get("assignments", {}).values())
+                ):
+                    raise SqlFrontendError(
+                        "WHEN NOT MATCHED clauses see the SOURCE row only "
+                        f"(found target alias {t_alias!r})"
+                    )
+                if branch == "by_source" and (
+                    self._refs_alias(c["cond"], s_alias)
+                    or any(self._refs_alias(e, s_alias) for e in c.get("assignments", {}).values())
+                ):
+                    raise SqlFrontendError(
+                        "WHEN NOT MATCHED BY SOURCE clauses see the TARGET row "
+                        f"only (found source alias {s_alias!r})"
+                    )
+                hit = remaining.filter(F.expr(c["cond"])) if c["cond"] else remaining
+                if c["cond"]:
+                    # complement of "cond IS TRUE": a NULL condition does
+                    # not claim the row, so it must FALL THROUGH to the
+                    # next clause (standard MERGE clause ordering) —
+                    # ~expr alone would drop NULL rows from `remaining`
+                    remaining = remaining.filter(
+                        ~F.coalesce(F.expr(c["cond"]), F.lit(False))
+                    )
+                else:
+                    remaining = remaining.limit(0)
+                op = "D" if c["action"] == "delete" else "U"
+                if branch == "matched" and not joined:
+                    # semi-joined frame: source columns only, by name
+                    parts.append(
+                        self._events_from(table, hit, op, seq, strict=False)
+                    )
+                else:
+                    parts.append(_envelope(hit, op, _field_exprs(c, joined)))
+            # rows matching no clause: no-op (dropped)
+        if not parts:
+            raise SqlFrontendError("MERGE: no WHEN clause produced any action")
+        events = parts[0]
+        for p in parts[1:]:
+            events = events.unionByName(p)
+        return events
 
     def _check_on(self, on_sql: str, on_masked: str, table: LaketteTable,
                   t_alias: str, s_alias: str) -> None:
@@ -685,7 +832,108 @@ class SqlFrontend:
                 f"got {sorted(covered)}"
             )
 
-    def _parse_when(self, stmt: str, masked: str, start: int) -> list[dict]:
+    def _parse_assignments(
+        self, table: LaketteTable, t_alias: str, text: str
+    ) -> dict[str, str]:
+        """`c = expr, ...` -> {column: expr-SQL}; names may carry the
+        target alias (Delta style `t.c = ...`); key/engine columns are
+        not assignable (a key-changing update is a delete+insert: send
+        events; seq/content_sha are engine-derived)."""
+        sets: dict[str, str] = {}
+        allowed = {f.name for f in table.user_schema().fields}
+        for piece in _split_top(text, _mask_strings(text)):
+            pm = re.match(rf"({_IDENT})\s*=\s*(.+)$", piece, re.DOTALL)
+            if not pm:
+                raise SqlFrontendError(f"cannot parse SET assignment {piece!r}")
+            name = pm.group(1)
+            if "." in name:
+                qual, _, bare = name.rpartition(".")
+                if qual.lower() != t_alias.lower():
+                    raise SqlFrontendError(
+                        f"SET target {name!r} must be a target column "
+                        f"(optionally qualified with {t_alias!r})"
+                    )
+                name = bare
+            if name in sets:
+                raise SqlFrontendError(f"duplicate SET assignment for {name!r}")
+            if name.lower() in self._MERGE_ENGINE_COLS:
+                raise SqlFrontendError(
+                    f"cannot assign engine column {name!r} (seq is minted per "
+                    "statement, content_sha derived from content)"
+                )
+            if name in table.key_cols():
+                raise SqlFrontendError(
+                    f"cannot assign key column {name!r} — a key-changing "
+                    "update is a delete+insert (send events)"
+                )
+            if name not in allowed:
+                raise SqlFrontendError(
+                    f"unknown SET column {name!r}; table columns: {sorted(allowed)}"
+                )
+            sets[name] = pm.group(2).strip()
+        if not sets:
+            raise SqlFrontendError("UPDATE SET requires at least one assignment")
+        return sets
+
+    def _parse_insert_cols(
+        self, table: LaketteTable, body: str, mbody: str
+    ) -> dict[str, str]:
+        """`(c1, c2, ...) VALUES (e1, e2, ...)` -> {column: expr-SQL};
+        the key columns must all be listed (they identify the new row)."""
+        m = re.match(r"\s*\(([^)]*)\)\s*VALUES\s*\(", mbody, re.IGNORECASE)
+        if not m:
+            raise SqlFrontendError(
+                "supported INSERT actions: INSERT * | INSERT (cols) VALUES (exprs)"
+            )
+        cols = [c.strip() for c in body[m.start(1):m.end(1)].split(",") if c.strip()]
+        depth, j = 1, m.end()
+        while j < len(mbody) and depth:
+            if mbody[j] == "(":
+                depth += 1
+            elif mbody[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise SqlFrontendError("INSERT ... VALUES: unbalanced parentheses")
+        vals_text, vals_masked = body[m.end():j - 1], mbody[m.end():j - 1]
+        if body[j:].strip():
+            raise SqlFrontendError(
+                f"INSERT ... VALUES: unparsed trailing text {body[j:].strip()!r}"
+            )
+        exprs = _split_top(vals_text, vals_masked)
+        if len(cols) != len(exprs):
+            raise SqlFrontendError(
+                f"INSERT column/value count mismatch ({len(cols)} vs {len(exprs)})"
+            )
+        allowed = {f.name for f in table.user_schema().fields}
+        spec: dict[str, str] = {}
+        for c, e in zip(cols, exprs):
+            if c.lower() in self._MERGE_ENGINE_COLS:
+                raise SqlFrontendError(f"cannot assign engine column {c!r}")
+            if c not in allowed:
+                raise SqlFrontendError(
+                    f"unknown INSERT column {c!r}; table columns: {sorted(allowed)}"
+                )
+            if c in spec:
+                raise SqlFrontendError(f"duplicate INSERT column {c!r}")
+            spec[c] = e
+        missing = [k for k in table.key_cols() if k not in spec]
+        if missing:
+            raise SqlFrontendError(
+                f"INSERT (cols) VALUES must cover the key columns; missing {missing}"
+            )
+        return spec
+
+    def _parse_when(
+        self, stmt: str, masked: str, start: int, table: LaketteTable, t_alias: str
+    ) -> list[dict]:
+        """The WHEN-clause matrix (full Delta grammar):
+
+            WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c=e,... | DELETE
+            WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT * | INSERT (c,...) VALUES (e,...)
+            WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET c=e,...
+
+        -> [{branch: matched|insert|by_source, cond, action, assignments}]."""
         clauses = []
         whens = list(self._WHEN.finditer(masked, start))
         for i, w in enumerate(whens):
@@ -696,25 +944,59 @@ class SqlFrontend:
             if not act:
                 raise SqlFrontendError(f"MERGE: WHEN clause without THEN action: {body.strip()!r}")
             action_kw = re.sub(r"\s+", " ", act.group(1).upper())
-            if action_kw in ("UPDATE SET", "INSERT"):
-                raise SqlFrontendError(
-                    "MERGE supports whole-row actions only (UPDATE SET *, INSERT *, "
-                    "DELETE) — column-level assignment is UPDATE ... SET (predicate "
-                    "DML) or a column-LWW patch table (operators/patch.py)"
-                )
             cond = body[: act.start()].strip() or None
-            has_and = bool(re.search(r"\bAND\b\s*$",
-                                     masked[w.start():w.end()], re.IGNORECASE))
+            has_and = bool(w.group(3))
             if cond and not has_and:
                 raise SqlFrontendError(f"MERGE: unparsed text before THEN: {cond!r}")
-            matched = w.group(1) is None
-            action = {"UPDATE SET *": "update", "DELETE": "delete",
-                      "INSERT *": "insert"}[action_kw]
-            if not matched and action != "insert":
-                raise SqlFrontendError("WHEN NOT MATCHED supports INSERT * only")
-            if matched and action == "insert":
-                raise SqlFrontendError("WHEN MATCHED cannot INSERT")
-            clauses.append({"matched": matched, "cond": cond, "action": action})
+            is_not = w.group(1) is not None
+            by = (w.group(2) or "").upper()
+            if not is_not and by:
+                raise SqlFrontendError(
+                    f"WHEN MATCHED takes no BY {by} qualifier (BY SOURCE/TARGET "
+                    "belongs to WHEN NOT MATCHED)"
+                )
+            branch = (
+                "matched" if not is_not
+                else ("by_source" if by == "SOURCE" else "insert")
+            )
+            tail = body[act.end():]
+            assignments: dict[str, str] = {}
+            if action_kw == "UPDATE SET *":
+                action = "update_star"
+                trailing = tail
+            elif action_kw == "DELETE":
+                action = "delete"
+                trailing = tail
+            elif action_kw == "INSERT *":
+                action = "insert_star"
+                trailing = tail
+            elif action_kw == "UPDATE SET":
+                action = "update_cols"
+                assignments = self._parse_assignments(table, t_alias, tail)
+                trailing = ""
+            else:  # INSERT (cols) VALUES (exprs)
+                action = "insert_cols"
+                assignments = self._parse_insert_cols(table, tail, mbody[act.end():])
+                trailing = ""
+            if trailing.strip():
+                raise SqlFrontendError(
+                    f"MERGE: unparsed text after action: {trailing.strip()!r}"
+                )
+            legal = {
+                "matched": ("update_star", "update_cols", "delete"),
+                "insert": ("insert_star", "insert_cols"),
+                "by_source": ("delete", "update_cols"),
+            }[branch]
+            if action not in legal:
+                name = {"matched": "WHEN MATCHED", "insert": "WHEN NOT MATCHED",
+                        "by_source": "WHEN NOT MATCHED BY SOURCE"}[branch]
+                raise SqlFrontendError(
+                    f"{name} supports {', '.join(legal)}; got {action}"
+                )
+            clauses.append({
+                "branch": branch, "cond": cond, "action": action,
+                "assignments": assignments,
+            })
         return clauses
 
     # ----------------------------------------------------------- utilities

@@ -1284,6 +1284,64 @@ def sql_statements(spark, sf):
     return fe.sql("SELECT repo, path, lang, content_sha FROM repos")
 
 
+#: full MERGE clause-matrix oracle (insert-only base, so the final state
+#: is a pure CASE over documents): matched de-rows deleted, other matched
+#: rows get content || ' +note' keeping their stored lang, never-matched
+#: fr-rows flagged by the BY SOURCE branch, and a disjoint new-key set
+#: arrives via INSERT (cols) VALUES
+_SQL_MERGE_FULL_SQL = """
+SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,
+       CASE WHEN doc_id % 5 <> 0 AND lang = 'fr' THEN 'fr-x' ELSE lang END AS lang,
+       sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' +n' || doc_id
+                   ELSE text END) AS content_sha
+FROM documents
+WHERE NOT (doc_id % 5 = 0 AND lang = 'de')
+UNION ALL
+SELECT source, 'docs/new_' || doc_id, 'xx', sha256('ins n' || doc_id)
+FROM documents WHERE doc_id % 11 = 3
+"""
+
+
+@q("sql_merge_full", _SQL_MERGE_FULL_SQL, extra=True)
+def sql_merge_full(spark, sf):
+    """The FULL Delta MERGE clause matrix through one SQL statement
+    (forklift_spark/sqlfront.py): conditional DELETE with a target-alias
+    condition, column-level UPDATE SET keeping unassigned stored columns,
+    INSERT (cols) VALUES (exprs) for never-seen keys, and WHEN NOT MATCHED
+    BY SOURCE flagging target rows absent from the source. Base table is
+    the insert-only changelog so the DuckDB oracle is a pure CASE over
+    documents; content_sha must stay engine-derived through every action."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_sqlmg_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    merge_into(
+        spark, table,
+        log.filter(F.col("op") == "I").withColumn("event_ts", F.lit(None).cast("timestamp")),
+        query_id="sqlmg", epoch=0,
+    )
+    fe = SqlFrontend(spark, {"repos": table})
+    t(spark, sf, "documents").createOrReplaceTempView("docs_src")
+    fe.sql(
+        "MERGE INTO repos t USING ("
+        "  SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,"
+        "         'n' || doc_id AS note"
+        "  FROM docs_src WHERE doc_id % 5 = 0"
+        "  UNION ALL"
+        "  SELECT source, 'docs/new_' || doc_id, 'n' || doc_id"
+        "  FROM docs_src WHERE doc_id % 11 = 3"
+        ") s ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND t.lang = 'de' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET content = t.content || ' +' || s.note "
+        "WHEN NOT MATCHED THEN INSERT (repo, path, lang, content) "
+        "  VALUES (s.repo, s.path, 'xx', 'ins ' || s.note) "
+        "WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr' THEN UPDATE SET lang = 'fr-x'"
+    )
+    return fe.sql("SELECT repo, path, lang, content_sha FROM repos")
+
+
 #: dedup-silver oracle: the normalized exact-dedup GROUP BY applied to
 #: the changelog's final LWW state — fp is the sha256 of the identical
 #: three-step normalization both engines replay byte-identically

@@ -163,6 +163,77 @@ def test_merge_null_condition_falls_through(spark, fe_table):
     assert st["a"][1] == "Y"      # condition NULL -> falls through to UPDATE
 
 
+def test_merge_column_level_update(spark, fe_table):
+    """WHEN MATCHED THEN UPDATE SET c = expr: unassigned columns keep the
+    STORED values; expressions and conditions may reference both aliases
+    (the stored row arrives through one inner key join)."""
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "glue"), ("r", "b", "mark"), ("r", "z", "ignored")],
+        "repo string, path string, note string",
+    ).createOrReplaceTempView("notes")
+    fe.sql(
+        "MERGE INTO repos t USING notes s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED AND t.lang = 'de' THEN UPDATE SET "
+        "  content = t.content || ':' || s.note, lang = upper(t.lang) "
+        "WHEN MATCHED THEN UPDATE SET t.content = s.note"
+    )
+    st = _state(spark, table)
+    # 'a' was lang=de: both assignments see the stored row and the source
+    assert st["a"][:2] == ("DE", "body:glue")
+    # 'b' falls through to the unconditional clause; lang KEEPS stored 'py'
+    assert st["b"][:2] == ("py", "mark")
+    # 'z' is unmatched and there is no insert clause: no-op
+    assert "z" not in st
+    # content_sha stays derived from the new content (engine invariant)
+    row = [r for r in table.snapshot(spark).collect() if r.path == "a"][0]
+    import hashlib
+    assert row.content_sha == hashlib.sha256(b"body:glue").hexdigest()
+
+
+def test_merge_insert_cols_values(spark, fe_table):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): listed columns
+    from source expressions, unlisted payload columns NULL."""
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "new1", "zz"), ("r", "a", "zz")],
+        "repo string, path string, lang string",
+    ).createOrReplaceTempView("incoming")
+    fe.sql(
+        "MERGE INTO repos t USING incoming s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN NOT MATCHED THEN INSERT (repo, path, lang, content) "
+        "VALUES (s.repo, upper(s.path), s.lang, 'ins:' || s.path)"
+    )
+    st = _state(spark, table)
+    assert st["NEW1"] == ("zz", "ins:new1", 5)
+    assert st["a"][0] == "de"  # matched row untouched (no matched clause)
+
+
+def test_merge_not_matched_by_source(spark, fe_table):
+    """WHEN NOT MATCHED BY SOURCE: target rows without a source match are
+    the branch's input; DELETE and column-level UPDATE both compile, with
+    conditions over the stored row."""
+    fe, table = fe_table
+    spark.createDataFrame(
+        [("r", "a", "keep")], "repo string, path string, content string",
+    ).createOrReplaceTempView("survivors")
+    fe.sql(
+        "MERGE INTO repos t USING survivors s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED THEN UPDATE SET content = s.content "
+        "WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET lang = 'orphan'"
+    )
+    st = _state(spark, table)
+    assert st["a"][1] == "keep"        # matched: column-level update
+    assert "c" not in st               # fr row without source match: deleted
+    assert st["b"][0] == "orphan"      # other unmatched targets: flagged
+    assert st["d"][0] == "orphan"
+    assert st["b"][1] == "body"        # unassigned column keeps stored value
+
+
 def test_merge_using_lakette_source(spark, fe_table, tmp_path):
     fe, table = fe_table
     src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
@@ -211,15 +282,25 @@ def test_loud_gates(spark, fe_table):
     fe, table = fe_table
     with pytest.raises(SqlFrontendError, match="unknown table"):
         fe.sql("DELETE FROM nope WHERE true")
-    with pytest.raises(SqlFrontendError, match="whole-row actions only"):
+    with pytest.raises(SqlFrontendError, match="key column"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
-               "t.path = s.path WHEN MATCHED THEN UPDATE SET lang = 'x'")
+               "t.path = s.path WHEN MATCHED THEN UPDATE SET path = 'x'")
+    with pytest.raises(SqlFrontendError, match="engine column"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN MATCHED THEN UPDATE SET seq = 99")
     with pytest.raises(SqlFrontendError, match="key columns"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo "
                "WHEN MATCHED THEN UPDATE SET *")
     with pytest.raises(SqlFrontendError, match="SOURCE row only"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
-               "t.path = s.path WHEN MATCHED AND t.lang = 'x' THEN DELETE")
+               "t.path = s.path WHEN NOT MATCHED AND t.lang = 'x' THEN INSERT *")
+    with pytest.raises(SqlFrontendError, match="TARGET row only"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN NOT MATCHED BY SOURCE AND s.lang = 'x' "
+               "THEN DELETE")
+    with pytest.raises(SqlFrontendError, match="no BY SOURCE"):
+        fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
+               "t.path = s.path WHEN MATCHED BY SOURCE THEN DELETE")
     with pytest.raises(SqlFrontendError, match="explicit column list"):
         fe.sql("INSERT INTO repos VALUES ('r', 'x')")
     with pytest.raises(SqlFrontendError, match="key columns"):
@@ -228,7 +309,7 @@ def test_loud_gates(spark, fe_table):
         fe.sql("INSERT INTO repos (repo, path, nope) VALUES ('r', 'x', 'y')")
     with pytest.raises(SqlFrontendError, match="unsupported statement"):
         fe.sql("TRUNCATE TABLE repos")
-    with pytest.raises(SqlFrontendError, match="NOT MATCHED supports INSERT"):
+    with pytest.raises(SqlFrontendError, match="NOT MATCHED supports"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
                "t.path = s.path WHEN NOT MATCHED THEN DELETE")
 
