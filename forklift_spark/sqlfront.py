@@ -19,6 +19,11 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("DESCRIBE HISTORY repos")
     fe.sql("ALTER TABLE repos RENAME COLUMN lang TO language")
     fe.sql("ALTER TABLE repos CREATE TAG trained VERSION AS OF 5")
+    fe.sql("CREATE TABLE docs (id BIGINT, body STRING, PRIMARY KEY (id)) "
+           "LOCATION '/lake/docs' TBLPROPERTIES ('n_buckets' = '8')")
+    fe.sql("CREATE TABLE py_repos PRIMARY KEY (path) AS "
+           "SELECT path, content FROM repos WHERE lang = 'py'")
+    fe.sql("DROP TABLE IF EXISTS py_repos")
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
@@ -66,6 +71,7 @@ per-column arbitration belongs to column-LWW patch tables
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 from typing import Any, Mapping
@@ -218,10 +224,15 @@ class SqlFrontend:
             return self._detail(self._one_ident(stmt, masked, "DESCRIBE DETAIL"))
         if k1 == "ALTER" and k2 == "TABLE":
             return self._alter(stmt, masked)
+        if k1 == "CREATE" and k2 == "TABLE":
+            return self._create(stmt, masked)
+        if k1 == "DROP" and k2 == "TABLE":
+            return self._drop(stmt, masked)
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
-            "OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE"
+            "CREATE TABLE [AS SELECT], DROP TABLE, OPTIMIZE, VACUUM, RESTORE, "
+            "DESCRIBE HISTORY/DETAIL, ALTER TABLE"
         )
 
     # ------------------------------------------------------------- reports
@@ -998,6 +1009,326 @@ class SqlFrontend:
                 "assignments": assignments,
             })
         return clauses
+
+    # ---------------------------------------------------- CREATE/DROP TABLE
+
+    #: TBLPROPERTIES the front-end compiles onto LaketteTable.create kwargs
+    #: (value parser per key); anything else is a loud error, not a silent
+    #: carry-along — lakette has no free-form property bag to stash it in
+    _TBLPROPS = {
+        "n_buckets": int,
+        "target_file_rows": int,
+        "column_lww": lambda v: {"true": True, "false": False}[v.lower()],
+        "cluster_mode": str,
+        "cluster_by": lambda v: [c.strip() for c in v.split(",") if c.strip()],
+        "bloom_cols": lambda v: [c.strip() for c in v.split(",") if c.strip()],
+        "stats_cols": lambda v: [c.strip() for c in v.split(",") if c.strip()],
+    }
+
+    @staticmethod
+    def _paren_span(masked: str, pos: int) -> int:
+        """Index one past the ')' closing the '(' at `pos`."""
+        depth, j = 0, pos
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        raise SqlFrontendError("unbalanced parentheses")
+
+    def _parse_tblprops(self, text: str, masked: str) -> dict:
+        kwargs: dict = {}
+        for piece in _split_top(text, masked):
+            pm = re.match(r"\s*'([^']*)'\s*=\s*'", _mask_strings(piece))
+            raw = re.match(r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", piece)
+            if not (pm and raw):
+                raise SqlFrontendError(
+                    f"cannot parse TBLPROPERTIES entry {piece.strip()!r}; "
+                    "expected 'key' = 'value'"
+                )
+            key = raw.group(1).lower()
+            parse = self._TBLPROPS.get(key)
+            if parse is None:
+                raise SqlFrontendError(
+                    f"unknown table property {key!r}; supported: "
+                    f"{sorted(self._TBLPROPS)}"
+                )
+            try:
+                kwargs[key] = parse(raw.group(2).replace("''", "'"))
+            except (ValueError, KeyError):
+                raise SqlFrontendError(
+                    f"bad value {raw.group(2)!r} for table property {key!r}"
+                ) from None
+        return kwargs
+
+    def _create(self, stmt: str, masked: str) -> DataFrame:
+        """CREATE TABLE — explicit schema or CTAS, Delta-parity modifiers:
+
+            CREATE TABLE [IF NOT EXISTS] <name>
+                ( col TYPE, ..., PRIMARY KEY (k, ...) )
+                [USING LAKETTE] [LOCATION '<path>'] [TBLPROPERTIES (...)]
+
+            CREATE TABLE [IF NOT EXISTS] <name> PRIMARY KEY (k, ...)
+                [USING LAKETTE] [LOCATION '<path>'] [TBLPROPERTIES (...)]
+                AS SELECT ...
+
+        Divergence from Delta, stated: lakette tables are KEYED CDC
+        tables, so PRIMARY KEY is REQUIRED (Delta OSS has no PK; here it
+        is the merge arbitration identity). Column types parse through
+        Spark's own DDL parser (`StructType.fromDDL`), so every Spark
+        type — nested included — is accepted. LOCATION '<path>' makes an
+        external table at that root; without it the table is MANAGED
+        under `<catalog_root>/tables/<name>`, which requires the resolver
+        to be a lakette Catalog (a plain dict has no root to manage
+        under). CTAS seeds the new table through the same INSERT path
+        (minted seq, duplicate-key check), so `CREATE ... AS SELECT`
+        is exactly CREATE + INSERT INTO ... SELECT."""
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: CREATE TABLE [IF NOT EXISTS] <name> (cols..., "
+                "PRIMARY KEY (k,...)) [LOCATION '<path>'] [TBLPROPERTIES (...)]"
+                " | CREATE TABLE <name> PRIMARY KEY (k,...) ... AS SELECT ..."
+            )
+        name = stmt[m.start(2):m.end(2)]
+        if_not_exists = m.group(1) is not None
+        pos = m.end(0)
+
+        # ---- optional "( column defs )" (never the PRIMARY KEY clause)
+        schema = None
+        key_cols: list[str] | None = None
+        if pos < len(masked) and masked[pos] == "(" and not re.match(
+            r"\(\s*PRIMARY\b", masked[pos:], re.IGNORECASE
+        ):
+            end = self._paren_span(masked, pos)
+            body, mbody = stmt[pos + 1:end - 1], masked[pos + 1:end - 1]
+            schema, key_cols = self._parse_coldefs(body, mbody)
+            pos = end
+
+        # ---- modifiers, any order: PRIMARY KEY / USING / LOCATION / TBLPROPERTIES
+        location = None
+        props: dict = {}
+        while True:
+            ws = re.match(r"\s*", masked[pos:])
+            pos += ws.end()
+            if pos >= len(masked):
+                break
+            pk = re.match(r"PRIMARY\s+KEY\s*\(", masked[pos:], re.IGNORECASE)
+            us = re.match(rf"USING\s+({_IDENT})", masked[pos:], re.IGNORECASE)
+            loc = re.match(r"LOCATION\s+('(?:[^']|'')*')", masked[pos:], re.IGNORECASE)
+            tp = re.match(r"TBLPROPERTIES\s*\(", masked[pos:], re.IGNORECASE)
+            asq = re.match(r"AS\b", masked[pos:], re.IGNORECASE)
+            if pk:
+                if key_cols is not None:
+                    raise SqlFrontendError("duplicate PRIMARY KEY clause")
+                end = self._paren_span(masked, pos + pk.end() - 1)
+                key_cols = [
+                    c.strip() for c in stmt[pos + pk.end():end - 1].split(",")
+                    if c.strip()
+                ]
+                pos = end
+            elif us:
+                fmt = stmt[pos + us.start(1):pos + us.end(1)]
+                if fmt.lower() != "lakette":
+                    raise SqlFrontendError(
+                        f"USING {fmt} is not this engine; only USING LAKETTE "
+                        "(or omit the clause)"
+                    )
+                pos += us.end()
+            elif loc:
+                if location is not None:
+                    raise SqlFrontendError("duplicate LOCATION clause")
+                location = _unquote(stmt[pos + loc.start(1):pos + loc.end(1)])
+                pos += loc.end()
+            elif tp:
+                end = self._paren_span(masked, pos + tp.end() - 1)
+                props = self._parse_tblprops(
+                    stmt[pos + tp.end():end - 1], masked[pos + tp.end():end - 1]
+                )
+                pos = end
+            elif asq:
+                break
+            else:
+                raise SqlFrontendError(
+                    f"CREATE TABLE: unparsed clause {stmt[pos:pos + 40].strip()!r}"
+                )
+
+        ctas_sql = None
+        if pos < len(masked):
+            am = re.match(r"AS\s+(SELECT|WITH)\b", masked[pos:], re.IGNORECASE)
+            if not am:
+                raise SqlFrontendError(
+                    f"CREATE TABLE: unparsed trailing text {stmt[pos:pos + 40].strip()!r}"
+                )
+            if schema is not None:
+                raise SqlFrontendError(
+                    "CREATE TABLE AS SELECT takes its schema from the SELECT; "
+                    "drop the column list (or create then INSERT)"
+                )
+            ctas_sql = stmt[pos + am.start(1):]
+
+        if self._is_table(name):
+            if if_not_exists:
+                return self._report("CREATE TABLE", name, {
+                    "created": False, "reason": "exists",
+                })
+            raise SqlFrontendError(
+                f"table {name!r} already registered (use IF NOT EXISTS)"
+            )
+
+        src = None
+        if ctas_sql is not None:
+            src = self._select(ctas_sql, _mask_strings(ctas_sql))
+            bad = [c for c in src.columns if c.lower() in self._MERGE_ENGINE_COLS
+                   or c.lower() == "op"]
+            if bad:
+                raise SqlFrontendError(
+                    f"CTAS SELECT output collides with engine columns {bad}; "
+                    "alias them away"
+                )
+            schema = T.StructType([
+                T.StructField(f.name, f.dataType, True) for f in src.schema.fields
+            ])
+        if schema is None:
+            raise SqlFrontendError(
+                "CREATE TABLE needs a column list or AS SELECT"
+            )
+        if not key_cols:
+            raise SqlFrontendError(
+                "lakette tables are keyed: declare PRIMARY KEY (cols) — it is "
+                "the merge arbitration identity (Delta-divergence, documented)"
+            )
+        declared = {f.name.lower(): f.name for f in schema.fields}
+        canon_keys = []
+        for k in key_cols:
+            if k.lower() not in declared:
+                raise SqlFrontendError(
+                    f"PRIMARY KEY column {k!r} is not a declared column "
+                    f"({sorted(declared.values())})"
+                )
+            canon_keys.append(declared[k.lower()])
+
+        # ---- resolve the root and create + register
+        is_catalog = not isinstance(self._catalog, Mapping)
+        if location is None:
+            if not is_catalog:
+                raise SqlFrontendError(
+                    "managed tables need a lakette Catalog resolver; with a "
+                    "plain table dict, give LOCATION '<path>'"
+                )
+            location = os.path.join(self._catalog.root, "tables", name.lower())
+        if is_catalog:
+            table = self._catalog.create_table(
+                name, location, schema, canon_keys, **props
+            )
+        else:
+            table = LaketteTable.create(location, schema, canon_keys, **props)
+            try:
+                self._catalog[name] = table
+            except TypeError:
+                raise SqlFrontendError(
+                    f"created table at {location!r} but the resolver mapping "
+                    "is read-only; register it yourself"
+                ) from None
+
+        fields: dict[str, Any] = {"created": True, "location": location,
+                                  "key_cols": ",".join(canon_keys)}
+        if src is not None:
+            if all(k in src.columns for k in canon_keys):
+                dup = (
+                    src.groupBy(*canon_keys).count()
+                    .filter(F.col("count") > 1).limit(1).collect()
+                )
+                if dup:
+                    k = {c: dup[0][c] for c in canon_keys}
+                    raise SqlFrontendError(
+                        f"CTAS source contains duplicate key rows (e.g. {k}); "
+                        "deduplicate first (rows share one minted seq)"
+                    )
+            events = self._events_from(table, src, "U", 1)
+            stats = merge_into(self.spark, table, events,
+                               query_id=f"sql_ctas_{uuid.uuid4().hex[:8]}")
+            fields["rows"] = stats.batch_rows
+            fields["version"] = stats.version
+        return self._report("CREATE TABLE", name, fields)
+
+    def _parse_coldefs(self, body: str, mbody: str) -> tuple[T.StructType, list[str] | None]:
+        """`col TYPE, ..., PRIMARY KEY (k, ...)` -> (user schema, keys).
+        Types go through Spark's own DDL parser, so anything Spark's
+        `fromDDL` accepts (nested structs, arrays, maps, decimals) is a
+        valid lakette column type."""
+        key_cols: list[str] | None = None
+        ddl_parts: list[str] = []
+        for piece, mpiece in zip(
+            _split_top(body, mbody),
+            _split_top(mbody, mbody),
+        ):
+            pk = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*$", mpiece, re.IGNORECASE)
+            if pk:
+                if key_cols is not None:
+                    raise SqlFrontendError("duplicate PRIMARY KEY clause")
+                key_cols = [
+                    c.strip() for c in piece[pk.start(1):pk.end(1)].split(",")
+                    if c.strip()
+                ]
+                continue
+            cm = re.match(rf"({_IDENT})\s+\S", mpiece)
+            if not cm:
+                raise SqlFrontendError(f"cannot parse column definition {piece.strip()!r}")
+            colname = piece[cm.start(1):cm.end(1)]
+            if colname.lower() in self._MERGE_ENGINE_COLS or colname.lower() == "op":
+                raise SqlFrontendError(
+                    f"column name {colname!r} is reserved for the engine "
+                    "(op/seq/content_sha/deleted/col_seqs)"
+                )
+            ddl_parts.append(piece.strip())
+        if not ddl_parts:
+            raise SqlFrontendError("CREATE TABLE: empty column list")
+        try:
+            schema = T.StructType.fromDDL(", ".join(ddl_parts))
+        except Exception as e:
+            raise SqlFrontendError(f"cannot parse column types: {e}") from None
+        return schema, key_cols
+
+    def _drop(self, stmt: str, masked: str) -> DataFrame:
+        """DROP TABLE [IF EXISTS] <name> — unregisters the name from the
+        resolver (and, for a Catalog, releases its vacuum pin via
+        Catalog.drop). METADATA-ONLY, exactly Catalog.drop's contract:
+        the table directory and its data are untouched — deleting a
+        physical table is the owner's call, made outside SQL."""
+        m = re.match(
+            rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError("supported: DROP TABLE [IF EXISTS] <name>")
+        name = stmt[m.start(2):m.end(2)]
+        canon = self._names().get(name.lower())
+        if canon is None:
+            if m.group(1):
+                return self._report("DROP TABLE", name, {
+                    "dropped": False, "reason": "not registered",
+                })
+            raise SqlFrontendError(
+                f"unknown table {name!r} (use IF EXISTS); registered: "
+                f"{sorted(self._names().values())}"
+            )
+        if isinstance(self._catalog, Mapping):
+            try:
+                del self._catalog[canon]
+            except TypeError:
+                raise SqlFrontendError(
+                    "resolver mapping is read-only; drop the entry yourself"
+                ) from None
+        else:
+            self._catalog.drop(canon)
+        return self._report("DROP TABLE", canon, {"dropped": True})
 
     # ----------------------------------------------------------- utilities
 

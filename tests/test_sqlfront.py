@@ -438,3 +438,144 @@ def test_metadata_table_suffixes_and_explain(spark, fe_table):
     assert j == 4
     plan = fe.sql("EXPLAIN SELECT count(*) FROM repos").collect()[0][0]
     assert "__lakette_repos" in plan or "Aggregate" in plan
+
+
+# ---- CREATE TABLE / CTAS / DROP TABLE ---------------------------------
+
+
+def test_create_table_explicit_schema(spark, fe_table, tmp_path):
+    """Explicit-schema CREATE: Spark-DDL types, PRIMARY KEY in the column
+    list, LOCATION external root, TBLPROPERTIES -> create kwargs."""
+    fe, _ = fe_table
+    rep = fe.sql(
+        "CREATE TABLE docs (id BIGINT, body STRING, score DOUBLE, "
+        "PRIMARY KEY (id)) USING LAKETTE "
+        f"LOCATION '{tmp_path / 'docs'}' "
+        "TBLPROPERTIES ('n_buckets' = '2', 'cluster_by' = 'score')"
+    ).collect()[0]
+    assert rep.created == "True"
+    t = fe._table("docs")
+    assert t.key_cols() == ["id"]
+    meta = t.current_metadata()
+    assert meta["n_buckets"] == 2 and meta.get("cluster_by") == ["score"]
+    # the new name works in every other statement immediately
+    fe.sql("INSERT INTO docs (id, body, score) VALUES (1, 'x', 0.5)")
+    assert fe.sql("SELECT count(*) AS n FROM docs").collect()[0].n == 1
+    # IF NOT EXISTS on an existing name: no-op report, no error
+    rep2 = fe.sql(
+        f"CREATE TABLE IF NOT EXISTS docs (id BIGINT, PRIMARY KEY (id)) "
+        f"LOCATION '{tmp_path / 'docs2'}'"
+    ).collect()[0]
+    assert rep2.created == "False"
+    with pytest.raises(SqlFrontendError, match="already registered"):
+        fe.sql(
+            f"CREATE TABLE docs (id BIGINT, PRIMARY KEY (id)) "
+            f"LOCATION '{tmp_path / 'docs3'}'"
+        )
+
+
+def test_create_table_as_select(spark, fe_table, tmp_path):
+    """CTAS: schema from the SELECT, rows seeded through the INSERT path
+    with a minted seq; result matches the SELECT exactly."""
+    fe, _ = fe_table
+    rep = fe.sql(
+        "CREATE TABLE py_repos PRIMARY KEY (path) "
+        f"LOCATION '{tmp_path / 'py'}' AS "
+        "SELECT path, content FROM repos WHERE lang = 'py'"
+    ).collect()[0]
+    assert rep.created == "True" and rep.rows == "2"
+    got = {
+        (r.path, r.content)
+        for r in fe.sql("SELECT path, content FROM py_repos").collect()
+    }
+    assert got == {("b", "body"), ("d", "body")}
+    # schema came from the SELECT (keys + payload, nothing else)
+    t = fe._table("py_repos")
+    assert [f.name for f in t.user_schema().fields] == ["path", "content"]
+
+
+def test_create_table_loud_gates(spark, fe_table, tmp_path):
+    fe, _ = fe_table
+    # no PRIMARY KEY: lakette tables are keyed — loud, names the rule
+    with pytest.raises(SqlFrontendError, match="PRIMARY KEY"):
+        fe.sql(f"CREATE TABLE t1 (id BIGINT) LOCATION '{tmp_path / 't1'}'")
+    # PK names a column that is not declared
+    with pytest.raises(SqlFrontendError, match="not a declared column"):
+        fe.sql(
+            f"CREATE TABLE t2 (id BIGINT, PRIMARY KEY (nope)) "
+            f"LOCATION '{tmp_path / 't2'}'"
+        )
+    # engine column names are reserved
+    with pytest.raises(SqlFrontendError, match="reserved"):
+        fe.sql(
+            f"CREATE TABLE t3 (seq BIGINT, PRIMARY KEY (seq)) "
+            f"LOCATION '{tmp_path / 't3'}'"
+        )
+    # managed table needs a Catalog resolver
+    with pytest.raises(SqlFrontendError, match="LOCATION"):
+        fe.sql("CREATE TABLE t4 (id BIGINT, PRIMARY KEY (id))")
+    # column list + AS SELECT is ambiguous: refused
+    with pytest.raises(SqlFrontendError, match="schema from the SELECT"):
+        fe.sql(
+            f"CREATE TABLE t5 (id BIGINT, PRIMARY KEY (id)) "
+            f"LOCATION '{tmp_path / 't5'}' AS SELECT 1 AS id"
+        )
+    # unknown TBLPROPERTIES key: loud, lists the supported set
+    with pytest.raises(SqlFrontendError, match="unknown table property"):
+        fe.sql(
+            f"CREATE TABLE t6 (id BIGINT, PRIMARY KEY (id)) "
+            f"LOCATION '{tmp_path / 't6'}' TBLPROPERTIES ('zorder' = 'on')"
+        )
+    # other engine format: not ours
+    with pytest.raises(SqlFrontendError, match="USING"):
+        fe.sql(
+            f"CREATE TABLE t7 (id BIGINT, PRIMARY KEY (id)) USING DELTA "
+            f"LOCATION '{tmp_path / 't7'}'"
+        )
+    # CTAS duplicate keys: arbitration tie — refused like INSERT/MERGE
+    with pytest.raises(SqlFrontendError, match="duplicate key"):
+        fe.sql(
+            "CREATE TABLE t8 PRIMARY KEY (lang) "
+            f"LOCATION '{tmp_path / 't8'}' AS SELECT lang, content FROM repos"
+        )
+
+
+def test_drop_table(spark, fe_table, tmp_path):
+    """DROP unregisters (metadata-only); the table directory survives."""
+    fe, _ = fe_table
+    fe.sql(
+        "CREATE TABLE tmp1 (id BIGINT, PRIMARY KEY (id)) "
+        f"LOCATION '{tmp_path / 'tmp1'}'"
+    )
+    root = fe._table("tmp1").root
+    rep = fe.sql("DROP TABLE tmp1").collect()[0]
+    assert rep.dropped == "True"
+    assert not fe._is_table("tmp1")
+    import os
+    assert os.path.exists(os.path.join(root, "metadata"))  # data untouched
+    with pytest.raises(SqlFrontendError, match="unknown table"):
+        fe.sql("DROP TABLE tmp1")
+    rep2 = fe.sql("DROP TABLE IF EXISTS tmp1").collect()[0]
+    assert rep2.dropped == "False"
+
+
+def test_create_drop_through_catalog(spark, tmp_path):
+    """With a Catalog resolver: LOCATION-less CREATE is a managed table
+    under <catalog_root>/tables/<name>; DROP releases the catalog pin."""
+    from forklift_spark.lakette.catalog import Catalog
+
+    cat = Catalog.create(str(tmp_path / "cat"))
+    fe = SqlFrontend(spark, cat)
+    rep = fe.sql(
+        "CREATE TABLE events (id BIGINT, kind STRING, PRIMARY KEY (id))"
+    ).collect()[0]
+    assert rep.created == "True"
+    assert rep.location == str(tmp_path / "cat" / "tables" / "events")
+    fe.sql("INSERT INTO events (id, kind) VALUES (1, 'click'), (2, 'view')")
+    # the frontend resolves LIVE table heads (Catalog.table returns the
+    # handle, not the pinned version), so the insert is visible at once;
+    # advance keeps the catalog's own read-set current for its readers
+    cat.advance("events")
+    assert fe.sql("SELECT count(*) AS n FROM events").collect()[0].n == 2
+    fe.sql("DROP TABLE events")
+    assert "events" not in cat.names()
