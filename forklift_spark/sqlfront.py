@@ -24,6 +24,10 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("CREATE TABLE py_repos PRIMARY KEY (path) AS "
            "SELECT path, content FROM repos WHERE lang = 'py'")
     fe.sql("DROP TABLE IF EXISTS py_repos")
+    fe.sql("COPY INTO docs FROM '/landing/docs' FILEFORMAT = PARQUET")
+    fe.sql("SHOW TABLES")
+    fe.sql("SHOW CREATE TABLE repos")
+    fe.sql("TRUNCATE TABLE docs")
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
@@ -228,10 +232,17 @@ class SqlFrontend:
             return self._create(stmt, masked)
         if k1 == "DROP" and k2 == "TABLE":
             return self._drop(stmt, masked)
+        if k1 == "COPY" and k2 == "INTO":
+            return self._copy_into(stmt, masked)
+        if k1 == "SHOW":
+            return self._show(stmt, masked)
+        if k1 == "TRUNCATE":
+            return self._truncate(stmt, masked)
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
-            "CREATE TABLE [AS SELECT], DROP TABLE, OPTIMIZE, VACUUM, RESTORE, "
+            "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
+            "SHOW TABLES, SHOW CREATE TABLE, OPTIMIZE, VACUUM, RESTORE, "
             "DESCRIBE HISTORY/DETAIL, ALTER TABLE"
         )
 
@@ -1329,6 +1340,210 @@ class SqlFrontend:
         else:
             self._catalog.drop(canon)
         return self._report("DROP TABLE", canon, {"dropped": True})
+
+    # ------------------------------------------------------------ COPY INTO
+
+    def _copy_into(self, stmt: str, masked: str) -> DataFrame:
+        """COPY INTO — Delta-parity idempotent file loading:
+
+            COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET | CSV | JSON
+                [FORMAT_OPTIONS ('k' = 'v', ...)]
+
+        Each source FILE is loaded at most once, across retries and
+        crashes, exactly like Delta's loaded-file tracking. Mechanism
+        (pure lakette metadata, no new commit protocol):
+
+          1. heal: any `intent-*.json` left under the statement's marker
+             dir is resolved first — if its batch epoch committed
+             (epoch marker present, or the table's writer stamp says so;
+             a successor commit persists a predecessor's marker, see
+             table.py's at-least-once note), the per-file markers it
+             promised are written now; either way the intent is removed.
+          2. candidates = listed files minus those with a per-file marker.
+          3. one `merge_into` for the whole batch under a DETERMINISTIC
+             epoch (hash of the sorted candidate list), with the intent
+             written beforehand — a crash anywhere leaves either nothing
+             (no commit: intent discarded) or a committed batch the next
+             invocation recognizes and marks, never a double-load.
+
+        Rows enter through the INSERT path: minted seq, typed-NULL
+        missing payload (parquet), duplicate-key ties refused. CSV/JSON
+        read with the table's user schema (no inference drift).
+        Divergence from Delta, stated: an existing key is an upsert, not
+        an append — keyed-CDC semantics, same as INSERT."""
+        import glob as _glob
+        import hashlib
+
+        m = re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+('(?:[^']|'')*')\s+"
+            rf"FILEFORMAT\s*=\s*({_IDENT})\s*(?:FORMAT_OPTIONS\s*\()?",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: COPY INTO <t> FROM '<path>' FILEFORMAT = "
+                "PARQUET|CSV|JSON [FORMAT_OPTIONS ('k'='v', ...)]"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        src_path = _unquote(stmt[m.start(2):m.end(2)])
+        fmt = stmt[m.start(3):m.end(3)].lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise SqlFrontendError(f"FILEFORMAT {fmt!r}: supported PARQUET, CSV, JSON")
+        options: dict[str, str] = {}
+        if masked[m.end() - 1:m.end()] == "(":
+            end = self._paren_span(masked, m.end() - 1)
+            for piece in _split_top(stmt[m.end():end - 1], masked[m.end():end - 1]):
+                om = re.match(r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", piece)
+                if not om:
+                    raise SqlFrontendError(
+                        f"cannot parse FORMAT_OPTIONS entry {piece.strip()!r}"
+                    )
+                options[om.group(1).replace("''", "'")] = om.group(2).replace("''", "'")
+            if stmt[end:].strip():
+                raise SqlFrontendError(
+                    f"COPY INTO: unparsed trailing text {stmt[end:].strip()!r}"
+                )
+        elif stmt[m.end():].strip():
+            raise SqlFrontendError(
+                f"COPY INTO: unparsed trailing text {stmt[m.end():].strip()!r}"
+            )
+
+        # ---- list the source (posix: data files always come off a real FS)
+        if any(ch in src_path for ch in "*?["):
+            files = sorted(p for p in _glob.glob(src_path) if os.path.isfile(p))
+        elif os.path.isdir(src_path):
+            files = sorted(
+                os.path.join(src_path, f) for f in os.listdir(src_path)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(os.path.join(src_path, f))
+            )
+        elif os.path.isfile(src_path):
+            files = [src_path]
+        else:
+            raise SqlFrontendError(f"COPY INTO source {src_path!r} does not exist")
+
+        qid = "sql_copy_" + hashlib.sha256(
+            os.path.abspath(src_path).encode()
+        ).hexdigest()[:16]
+        qdir = os.path.join(table.epochs_dir, qid)
+        table.fs.makedirs(qdir)
+
+        def _fmark(path: str) -> str:
+            h = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:24]
+            return os.path.join(qdir, f"file-{h}.json")
+
+        # ---- heal orphaned intents (crash between commit and markers)
+        for entry in sorted(table.fs.listdir(qdir)):
+            if not entry.startswith("intent-"):
+                continue
+            ipath = os.path.join(qdir, entry)
+            intent = table.fs.read_json(ipath)
+            if table.epoch_committed(qid, int(intent["epoch"])):
+                for f in intent["files"]:
+                    if not table.fs.exists(_fmark(f)):
+                        table.fs.put_json(_fmark(f), {"path": f, "epoch": intent["epoch"]})
+            table.fs.remove(ipath)
+
+        new_files = [f for f in files if not table.fs.exists(_fmark(f))]
+        if not new_files:
+            return self._report("COPY INTO", table.root, {
+                "files_loaded": 0, "files_skipped": len(files), "rows": 0,
+            })
+
+        reader = self.spark.read.options(**options)
+        if fmt == "parquet":
+            df = reader.parquet(*new_files)
+        else:
+            # explicit schema: no sampling-dependent inference drift, and
+            # a malformed file fails loudly instead of widening types
+            schema = table.user_schema()
+            df = (reader.schema(schema).csv(new_files) if fmt == "csv"
+                  else reader.schema(schema).json(new_files))
+        key_cols = table.key_cols()
+        if all(k in df.columns for k in key_cols):  # else _events_from raises
+            dup = (
+                df.groupBy(*key_cols).count()
+                .filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                k = {c: dup[0][c] for c in key_cols}
+                raise SqlFrontendError(
+                    f"COPY INTO batch contains duplicate key rows (e.g. {k}); "
+                    "the batch shares one minted seq, so the survivor would "
+                    "be arbitrary — load conflicting files separately"
+                )
+        seq = self._next_seq(table)
+        batch_epoch = int.from_bytes(
+            hashlib.sha256("\n".join(new_files).encode()).digest()[:8], "big"
+        ) >> 2  # positive, < 2**62
+        table.fs.put_json(
+            os.path.join(qdir, f"intent-{batch_epoch}.json"),
+            {"epoch": batch_epoch, "files": new_files},
+        )
+        events = self._events_from(table, df, "U", seq)
+        stats = merge_into(self.spark, table, events,
+                           query_id=qid, epoch=batch_epoch)
+        for f in new_files:
+            table.fs.put_json(_fmark(f), {"path": f, "epoch": batch_epoch})
+        table.fs.remove(os.path.join(qdir, f"intent-{batch_epoch}.json"))
+        return self._report("COPY INTO", table.root, {
+            "files_loaded": len(new_files), "files_skipped": len(files) - len(new_files),
+            "rows": stats.batch_rows, "version": stats.version, "seq": seq,
+        })
+
+    # ------------------------------------------------- SHOW/TRUNCATE TABLE
+
+    def _show(self, stmt: str, masked: str) -> DataFrame:
+        if re.match(r"SHOW\s+TABLES\s*$", masked, re.IGNORECASE):
+            rows = []
+            for name in sorted(self._names().values()):
+                t = self._table(name)
+                meta = t.current_metadata()
+                rows.append((name, t.root, int(meta["version"]),
+                             ",".join(meta["key_cols"])))
+            return self.spark.createDataFrame(
+                rows, "name string, root string, version long, key_cols string"
+            )
+        m = re.match(
+            rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", masked, re.IGNORECASE
+        )
+        if not m:
+            raise SqlFrontendError("supported: SHOW TABLES | SHOW CREATE TABLE <t>")
+        name = stmt[m.start(1):m.end(1)]
+        table = self._table(name)
+        meta = table.current_metadata()
+        cols = ",\n".join(
+            f"  {f.name} {f.dataType.simpleString().upper()}"
+            for f in table.user_schema().fields
+        )
+        props = [f"'n_buckets' = '{meta['n_buckets']}'"]
+        if meta.get("target_file_rows"):
+            props.append(f"'target_file_rows' = '{meta['target_file_rows']}'")
+        if meta.get("cluster_by"):
+            props.append(f"'cluster_by' = '{','.join(meta['cluster_by'])}'")
+            props.append(f"'cluster_mode' = '{meta.get('cluster_mode', 'linear')}'")
+        if meta.get("column_lww"):
+            props.append("'column_lww' = 'true'")
+        ddl = (
+            f"CREATE TABLE {name} (\n{cols},\n"
+            f"  PRIMARY KEY ({', '.join(meta['key_cols'])})\n) USING LAKETTE\n"
+            f"LOCATION '{table.root}'\n"
+            f"TBLPROPERTIES ({', '.join(props)})"
+        )
+        return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
+
+    def _truncate(self, stmt: str, masked: str) -> DataFrame:
+        """TRUNCATE TABLE — every live row tombstoned in one commit.
+        Compiles onto delete_where(pred="true"): unlike a filesystem
+        truncate this is a VERSIONED delete (time travel and RESTORE
+        still see the old rows; vacuum reclaims them on its own clock),
+        which is exactly Delta's TRUNCATE-equivalent `DELETE FROM t`."""
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+        if not m:
+            raise SqlFrontendError("supported: TRUNCATE TABLE <t>")
+        table = self._table(stmt[m.start(1):m.end(1)])
+        report = delete_where(self.spark, table, "true")
+        return self._report("TRUNCATE", table.root, report)
 
     # ----------------------------------------------------------- utilities
 

@@ -308,7 +308,7 @@ def test_loud_gates(spark, fe_table):
     with pytest.raises(SqlFrontendError, match="not in table schema"):
         fe.sql("INSERT INTO repos (repo, path, nope) VALUES ('r', 'x', 'y')")
     with pytest.raises(SqlFrontendError, match="unsupported statement"):
-        fe.sql("TRUNCATE TABLE repos")
+        fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS")
     with pytest.raises(SqlFrontendError, match="NOT MATCHED supports"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
                "t.path = s.path WHEN NOT MATCHED THEN DELETE")
@@ -579,3 +579,138 @@ def test_create_drop_through_catalog(spark, tmp_path):
     assert fe.sql("SELECT count(*) AS n FROM events").collect()[0].n == 2
     fe.sql("DROP TABLE events")
     assert "events" not in cat.names()
+
+
+# ---- COPY INTO / SHOW / TRUNCATE --------------------------------------
+
+
+def _write_parquet(spark, path, rows, schema="repo string, path string, lang string, content string"):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(path))
+
+
+def test_copy_into_loads_each_file_once(spark, fe_table, tmp_path):
+    """Per-file exactly-once: a re-run loads nothing; a NEW file in the
+    same directory loads alone; rows enter with a minted seq."""
+    fe, table = fe_table
+    land = tmp_path / "landing"
+    _write_parquet(spark, land / "f1", [("r", "n1", "py", "one")])
+    rep = fe.sql(
+        f"COPY INTO repos FROM '{land}/f1' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert rep.rows == "1" and rep.files_loaded >= "1"
+    assert _state(spark, table)["n1"][1] == "one"
+    # identical re-run: zero files, zero rows, no new version
+    v = int(table.current_metadata()["version"])
+    rep2 = fe.sql(
+        f"COPY INTO repos FROM '{land}/f1' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert rep2.files_loaded == "0" and int(table.current_metadata()["version"]) == v
+
+
+def test_copy_into_directory_incremental(spark, fe_table, tmp_path):
+    """Directory source: only files without markers load; a later file
+    arriving in the same dir is picked up by the next COPY."""
+    fe, table = fe_table
+    land = tmp_path / "dir_landing"
+    land.mkdir()
+    _write_parquet(spark, tmp_path / "a", [("r", "p1", "py", "v1")])
+    _write_parquet(spark, tmp_path / "b", [("r", "p2", "py", "v2")])
+    import shutil as sh
+    for src, dst in (("a", "one.parquet"), ("b", "two.parquet")):
+        part = next(p for p in (tmp_path / src).iterdir() if p.name.endswith(".parquet"))
+        sh.copy(part, land / dst)
+    rep = fe.sql(f"COPY INTO repos FROM '{land}' FILEFORMAT = PARQUET").collect()[0]
+    assert rep.files_loaded == "2" and rep.rows == "2"
+    # third file arrives later: ONLY it loads
+    _write_parquet(spark, tmp_path / "c", [("r", "p3", "py", "v3")])
+    part = next(p for p in (tmp_path / "c").iterdir() if p.name.endswith(".parquet"))
+    sh.copy(part, land / "three.parquet")
+    rep2 = fe.sql(f"COPY INTO repos FROM '{land}' FILEFORMAT = PARQUET").collect()[0]
+    assert rep2.files_loaded == "1" and rep2.files_skipped == "2"
+    assert _state(spark, table)["p3"][1] == "v3"
+
+
+def test_copy_into_heals_crash_between_commit_and_markers(spark, fe_table, tmp_path):
+    """The crash window: batch committed, per-file markers never written.
+    The next COPY must recognize the intent's epoch as committed, write
+    the markers, and NOT reload the files."""
+    import os as _os
+
+    fe, table = fe_table
+    land = tmp_path / "crash_landing"
+    _write_parquet(spark, land / "f1", [("r", "cx", "py", "crash")])
+    fe.sql(f"COPY INTO repos FROM '{land}/f1' FILEFORMAT = PARQUET")
+    # simulate the crash retroactively: delete the per-file markers and
+    # restore the intent (exactly the state a die-after-commit leaves)
+    import hashlib
+    qid = "sql_copy_" + hashlib.sha256(
+        _os.path.abspath(str(land / "f1")).encode()
+    ).hexdigest()[:16]
+    qdir = _os.path.join(table.epochs_dir, qid)
+    files = sorted(
+        _os.path.join(str(land / "f1"), f) for f in _os.listdir(land / "f1")
+        if not f.startswith((".", "_")) and f.endswith(".parquet")
+    )
+    epoch = int.from_bytes(hashlib.sha256("\n".join(files).encode()).digest()[:8], "big") >> 2
+    for f in _os.listdir(qdir):
+        if f.startswith("file-"):
+            _os.remove(_os.path.join(qdir, f))
+    table.fs.put_json(_os.path.join(qdir, f"intent-{epoch}.json"),
+                      {"epoch": epoch, "files": files})
+    v = int(table.current_metadata()["version"])
+    rep = fe.sql(f"COPY INTO repos FROM '{land}/f1' FILEFORMAT = PARQUET").collect()[0]
+    assert rep.files_loaded == "0"  # healed, not reloaded
+    assert int(table.current_metadata()["version"]) == v
+    assert not any(f.startswith("intent-") for f in _os.listdir(qdir))
+    assert any(f.startswith("file-") for f in _os.listdir(qdir))
+
+
+def test_copy_into_csv_with_schema_and_gates(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    csv = tmp_path / "in.csv"
+    csv.write_text("r,c1,cc,py,from csv\n")
+    rep = fe.sql(
+        f"COPY INTO repos FROM '{csv}' FILEFORMAT = CSV "
+        "FORMAT_OPTIONS ('header' = 'false')"
+    ).collect()[0]
+    assert rep.rows == "1"
+    assert _state(spark, table)["c1"][1] == "from csv"
+    with pytest.raises(SqlFrontendError, match="does not exist"):
+        fe.sql(f"COPY INTO repos FROM '{tmp_path}/nope' FILEFORMAT = PARQUET")
+    with pytest.raises(SqlFrontendError, match="FILEFORMAT"):
+        fe.sql(f"COPY INTO repos FROM '{csv}' FILEFORMAT = AVRO")
+    # duplicate keys within one batch: loud arbitration-tie refusal
+    dup = tmp_path / "dup.csv"
+    dup.write_text("r,same,cc,py,a\nr,same,cc,py,b\n")
+    with pytest.raises(SqlFrontendError, match="duplicate key"):
+        fe.sql(f"COPY INTO repos FROM '{dup}' FILEFORMAT = CSV")
+
+
+def test_show_tables_and_show_create(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    rows = fe.sql("SHOW TABLES").collect()
+    assert [(r.name, r.key_cols) for r in rows] == [("repos", "repo,path")]
+    ddl = fe.sql("SHOW CREATE TABLE repos").collect()[0].createtab_stmt
+    assert "PRIMARY KEY (repo, path)" in ddl and "USING LAKETTE" in ddl
+    # round-trip: the emitted DDL re-creates an equivalent table
+    ddl2 = ddl.replace("CREATE TABLE repos", "CREATE TABLE repos2").replace(
+        f"LOCATION '{table.root}'", f"LOCATION '{tmp_path / 'r2'}'"
+    )
+    fe.sql(ddl2)
+    t2 = fe._table("repos2")
+    assert t2.key_cols() == table.key_cols()
+    assert [f.name for f in t2.user_schema().fields] == [
+        f.name for f in table.user_schema().fields
+    ]
+
+
+def test_truncate_table(spark, fe_table):
+    """TRUNCATE tombstones every live row in one versioned commit —
+    time travel still sees the old rows."""
+    fe, table = fe_table
+    v = int(table.current_metadata()["version"])
+    fe.sql("TRUNCATE TABLE repos")
+    assert fe.sql("SELECT count(*) AS n FROM repos").collect()[0].n == 0
+    assert fe.sql(
+        f"SELECT count(*) AS n FROM repos VERSION AS OF {v}"
+    ).collect()[0].n == 4
