@@ -28,6 +28,8 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("SHOW TABLES")
     fe.sql("SHOW CREATE TABLE repos")
     fe.sql("TRUNCATE TABLE docs")
+    fe.sql("OPTIMIZE repos ZORDER BY (lang, commit)")
+    fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS lang")
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
@@ -238,12 +240,14 @@ class SqlFrontend:
             return self._show(stmt, masked)
         if k1 == "TRUNCATE":
             return self._truncate(stmt, masked)
+        if k1 == "ANALYZE":
+            return self._analyze(stmt, masked)
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
             "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
-            "SHOW TABLES, SHOW CREATE TABLE, OPTIMIZE, VACUUM, RESTORE, "
-            "DESCRIBE HISTORY/DETAIL, ALTER TABLE"
+            "SHOW TABLES, SHOW CREATE TABLE, OPTIMIZE [ZORDER BY], ANALYZE "
+            "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE"
         )
 
     # ------------------------------------------------------------- reports
@@ -1555,12 +1559,79 @@ class SqlFrontend:
         return stmt[m.start(1):m.end(1)]
 
     def _optimize(self, stmt: str, masked: str) -> DataFrame:
-        m = re.match(rf"OPTIMIZE\s+({_IDENT})\s*$", masked, re.IGNORECASE)
+        """OPTIMIZE <t> [ZORDER BY (c1, c2, ...)] — bin-packing compaction;
+        with ZORDER BY, the rewrite interleaves the named columns
+        (compact's cluster override), so min/max file stats prune on ALL
+        of them. Per-invocation, exactly Delta's semantics: the layout is
+        not persisted as a table default — a table-declared clustering
+        (create's cluster_by) keeps governing plain OPTIMIZE."""
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+            masked, re.IGNORECASE,
+        )
         if not m:
-            raise SqlFrontendError("supported: OPTIMIZE <table>")
+            raise SqlFrontendError("supported: OPTIMIZE <table> [ZORDER BY (cols)]")
         table = self._table(stmt[m.start(1):m.end(1)])
-        report = compact(self.spark, table)
+        kw = {}
+        if m.group(2) is not None:
+            cols = [c.strip() for c in stmt[m.start(2):m.end(2)].split(",") if c.strip()]
+            if not cols:
+                raise SqlFrontendError("ZORDER BY needs at least one column")
+            # one column: linear sort IS the optimal interleave (create()'s
+            # own rule) — accept the statement, use the better mode
+            kw = {"cluster_by": cols,
+                  "cluster_mode": "zorder" if len(cols) > 1 else "linear"}
+        try:
+            report = compact(self.spark, table, **kw)
+        except ValueError as e:
+            raise SqlFrontendError(f"OPTIMIZE: {e}") from None
+        if kw:
+            report = {**report, "zorder_by": ",".join(kw["cluster_by"])}
         return self._report("OPTIMIZE", table.root, report)
+
+    def _analyze(self, stmt: str, masked: str) -> DataFrame:
+        """ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS c, ... |
+        FOR ALL COLUMNS] [WITH APPROX] — the one-pass column profile
+        (operators/profile.py) over the CURRENT snapshot: one row per
+        column (n_rows, n_nulls, n_distinct, min/max). Divergence from
+        Spark's ANALYZE, stated: the profile is RETURNED as the result
+        relation rather than stashed in a metastore — lakette's planner
+        consumes per-FILE stats from manifests (kmin/kmax, smax), which
+        the writers maintain continuously; a table-level CBO stats store
+        does not exist to write into. WITH APPROX swaps exact
+        count_distinct for HLL sketches (the 100 TB reconnaissance
+        shape — no Expand in the plan)."""
+        m = re.match(
+            rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([A-Za-z_0-9.,\s]+?)))?"
+            r"(\s+WITH\s+APPROX)?\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: ANALYZE TABLE <t> COMPUTE STATISTICS "
+                "[FOR COLUMNS c1, c2 | FOR ALL COLUMNS] [WITH APPROX]"
+            )
+        from .operators.profile import column_profile
+
+        table = self._table(stmt[m.start(1):m.end(1)])
+        snap = table.snapshot(self.spark)
+        user_cols = [f.name for f in table.user_schema().fields]
+        if m.group(3):
+            cols = [c.strip() for c in stmt[m.start(3):m.end(3)].split(",") if c.strip()]
+            canon = {c.lower(): c for c in user_cols}
+            bad = [c for c in cols if c.lower() not in canon]
+            if bad:
+                raise SqlFrontendError(
+                    f"ANALYZE: no such columns {bad}; table columns: {user_cols}"
+                )
+            cols = [canon[c.lower()] for c in cols]
+        else:
+            cols = user_cols
+        return column_profile(
+            snap.select(*user_cols), cols, approx=m.group(4) is not None
+        )
 
     def _vacuum(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(

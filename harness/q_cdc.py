@@ -1560,3 +1560,57 @@ def simindex_pairs(spark, sf):
         .filter(F.col("nt_a") == F.col("nt_b"))
         .select("repo_a", "path_a", "repo_b", "path_b")
     )
+
+
+#: table-lifecycle oracle: the CTAS filter applied directly to documents —
+#: everything upstream (CREATE, two COPY INTO batches, the idempotent
+#: re-COPY, DROP) must be state-neutral noise to the final relation
+_SQL_LIFECYCLE_SQL = """
+SELECT doc_id, lang, source, sha256(text) AS content_sha
+FROM documents
+WHERE lang IN ('en', 'de') AND n_chars > 200
+"""
+
+
+@q("sql_lifecycle", _SQL_LIFECYCLE_SQL, extra=True)
+def sql_lifecycle(spark, sf):
+    """The full SQL table lifecycle in one query
+    (forklift_spark/sqlfront.py): CREATE TABLE with Spark-DDL types and
+    PRIMARY KEY, two COPY INTO batches (parquet landing files split by
+    doc_id parity), a deliberate re-COPY that must load ZERO files
+    (per-file exactly-once markers), CTAS deriving a filtered table, and
+    DROP of the staging table. The DuckDB oracle sees none of the
+    lifecycle — only the final CTAS relation — so any statement leaking
+    state (double-loaded file, lost batch, CTAS drift) breaks parity."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    base = os.path.join(tempfile.gettempdir(), f"fk_sqlddl_{os.path.basename(sf)}")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    d = t(spark, sf, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{landing}/even")
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{landing}/odd")
+
+    fe = SqlFrontend(spark, {})
+    fe.sql(
+        "CREATE TABLE docs (doc_id BIGINT, text STRING, lang STRING, "
+        "source STRING, n_chars BIGINT, PRIMARY KEY (doc_id)) "
+        f"LOCATION '{base}/docs' TBLPROPERTIES ('n_buckets' = '8')"
+    )
+    fe.sql(f"COPY INTO docs FROM '{landing}/even' FILEFORMAT = PARQUET")
+    fe.sql(f"COPY INTO docs FROM '{landing}/odd' FILEFORMAT = PARQUET")
+    re_copy = fe.sql(
+        f"COPY INTO docs FROM '{landing}/even' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    if re_copy.files_loaded != "0":  # pragma: no cover - exactness guard
+        raise AssertionError(f"re-COPY loaded {re_copy.files_loaded} files")
+    fe.sql(
+        "CREATE TABLE quality PRIMARY KEY (doc_id) "
+        f"LOCATION '{base}/quality' AS "
+        "SELECT doc_id, lang, source, text FROM docs "
+        "WHERE lang IN ('en', 'de') AND n_chars > 200"
+    )
+    fe.sql("DROP TABLE docs")
+    return fe.sql(
+        "SELECT doc_id, lang, source, sha2(text, 256) AS content_sha FROM quality"
+    )

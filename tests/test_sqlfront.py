@@ -308,7 +308,7 @@ def test_loud_gates(spark, fe_table):
     with pytest.raises(SqlFrontendError, match="not in table schema"):
         fe.sql("INSERT INTO repos (repo, path, nope) VALUES ('r', 'x', 'y')")
     with pytest.raises(SqlFrontendError, match="unsupported statement"):
-        fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS")
+        fe.sql("GRANT SELECT ON repos TO bob")
     with pytest.raises(SqlFrontendError, match="NOT MATCHED supports"):
         fe.sql("MERGE INTO repos t USING repos s ON t.repo = s.repo AND "
                "t.path = s.path WHEN NOT MATCHED THEN DELETE")
@@ -714,3 +714,53 @@ def test_truncate_table(spark, fe_table):
     assert fe.sql(
         f"SELECT count(*) AS n FROM repos VERSION AS OF {v}"
     ).collect()[0].n == 4
+
+
+# ---- OPTIMIZE ZORDER / ANALYZE ----------------------------------------
+
+
+def test_optimize_zorder_by(spark, fe_table):
+    """ZORDER BY compiles onto compact's cluster override; the clustering
+    is recorded in metadata and the state is unchanged."""
+    fe, table = fe_table
+    before = _state(spark, table)
+    rep = fe.sql("OPTIMIZE repos ZORDER BY (lang, commit)").collect()[0]
+    assert rep.statement == "OPTIMIZE" and rep.zorder_by == "lang,commit"
+    # the rewrite recorded per-file cstats for BOTH zorder columns
+    # (that is what the layout buys: pruning on non-key scans), and the
+    # table state is byte-identical
+    files = table.plan_files()
+    assert files and all(
+        (f.get("cstats") or {}).get("lang") and (f.get("cstats") or {}).get("commit")
+        for f in files
+    )
+    assert _state(spark, table) == before
+    # single column: linear is strictly better and compact refuses
+    # 1-column zorder — the statement picks the better mode silently
+    rep1 = fe.sql("OPTIMIZE repos ZORDER BY (lang)").collect()[0]
+    assert rep1.zorder_by == "lang"
+    # key columns are already the sort prefix: compact refuses, loudly
+    with pytest.raises(SqlFrontendError, match="OPTIMIZE"):
+        fe.sql("OPTIMIZE repos ZORDER BY (path, lang)")
+
+
+def test_analyze_table_profiles_columns(spark, fe_table):
+    fe, table = fe_table
+    prof = {r.column_name: r for r in fe.sql(
+        "ANALYZE TABLE repos COMPUTE STATISTICS"
+    ).collect()}
+    assert set(prof) == {"repo", "path", "commit", "lang", "content"}
+    assert prof["lang"].n_rows == 4 and prof["lang"].n_distinct == 3
+    assert prof["path"].min_str == "a" and prof["path"].max_str == "d"
+    # FOR COLUMNS subset, case-insensitive resolution
+    sub = fe.sql(
+        "ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS LANG, path"
+    ).collect()
+    assert {r.column_name for r in sub} == {"lang", "path"}
+    # WITH APPROX still answers (sketched cardinality)
+    ap = {r.column_name: r for r in fe.sql(
+        "ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS lang WITH APPROX"
+    ).collect()}
+    assert ap["lang"].n_distinct >= 2
+    with pytest.raises(SqlFrontendError, match="no such columns"):
+        fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS nope")
