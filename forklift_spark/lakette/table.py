@@ -1011,6 +1011,15 @@ class LaketteTable:
                 if f["name"] not in META_COL_NAMES]
         if old not in user:
             raise ValueError(f"rename_column: no such user column {old!r}")
+        hit = [n for n, e in (cur.get("constraints") or {}).items()
+               if re.search(rf"\b{re.escape(old)}\b", e)]
+        if hit:
+            raise ValueError(
+                f"rename_column: {old!r} is referenced by CHECK constraint(s) "
+                f"{sorted(hit)} — drop them first, rename, re-add with the "
+                "new name (constraint expressions are SQL text; a silent "
+                "rewrite could change semantics)"
+            )
         if new in [f["name"] for f in cur["schema"]["fields"]] or new in META_COL_NAMES:
             raise ValueError(f"rename_column: target name {new!r} already in use")
         schema = T.StructType([
@@ -1067,6 +1076,13 @@ class LaketteTable:
                 if f["name"] not in META_COL_NAMES]
         if name not in user:
             raise ValueError(f"drop_column: no such user column {name!r}")
+        hit = [n for n, e in (cur.get("constraints") or {}).items()
+               if re.search(rf"\b{re.escape(name)}\b", e)]
+        if hit:
+            raise ValueError(
+                f"drop_column: {name!r} is referenced by CHECK constraint(s) "
+                f"{sorted(hit)} — drop them first"
+            )
         schema = T.StructType([
             f for f in T.StructType.fromJson(cur["schema"]).fields
             if f.name != name
@@ -1080,6 +1096,88 @@ class LaketteTable:
                 for k in ("stats_cols", "bloom_cols")
             },
             writer=writer or {"query_id": "__drop__", "epoch": int(cur["version"]),
+                              "nonce": uuid.uuid4().hex},
+            base_version=int(cur["version"]),
+        )
+
+    def add_constraint(
+        self, spark, name: str, expr: str, *, writer: dict | None = None
+    ) -> TableCommit:
+        """Add a table-level CHECK constraint (Delta parity): a named SQL
+        boolean expression over user columns that every FULL-ROW event
+        ('I'/'U') must satisfy from now on — merge_into enforces it with
+        one bounded aggregate per batch and aborts BEFORE any write on a
+        violation (operators/expectations.py's fail action; NULL counts
+        as a violation, three-valued logic never silently passes).
+
+        Exactly like Delta's ALTER TABLE ADD CONSTRAINT, the CURRENT
+        snapshot is validated first — one scan, refused loudly if any
+        live row violates, so a constraint can never be born already
+        broken. column_lww tables are rejected: a 'P' patch event carries
+        only its written columns, so a row-level predicate over the
+        post-image cannot be checked against the event alone (same class
+        of reasoning as rename_column's rejection)."""
+        cur = self._raw_current()
+        if cur.get("column_lww"):
+            raise ValueError(
+                "CHECK constraints are not supported on column_lww tables: "
+                "a patch event carries only its written columns, so the "
+                "post-image predicate cannot be enforced per event"
+            )
+        if not re.match(r"[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise ValueError(f"constraint name {name!r} is not an identifier")
+        cons = dict(cur.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists: {cons[name]!r} "
+                "(DROP CONSTRAINT first)"
+            )
+        snap = self.snapshot(spark)
+        try:
+            probe = snap.filter(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+            )
+            bad = probe.limit(1).collect()
+        except Exception as e:
+            if isinstance(e, ValueError):
+                raise
+            raise ValueError(
+                f"constraint {name!r}: expression {expr!r} does not "
+                f"evaluate over the table's columns: {e}"
+            ) from None
+        if bad:
+            key_view = {k: bad[0][k] for k in self.key_cols()}
+            n_bad = probe.count()
+            raise ValueError(
+                f"cannot add constraint {name!r}: {n_bad} existing row(s) "
+                f"violate {expr!r} (e.g. key {key_view})"
+            )
+        cons[name] = expr
+        return self.commit_version(
+            new_files=[], replaced_buckets=set(),
+            meta_updates={"constraints": cons},
+            writer=writer or {"query_id": "__constraint__",
+                              "epoch": int(cur["version"]),
+                              "nonce": uuid.uuid4().hex},
+            base_version=int(cur["version"]),
+        )
+
+    def drop_constraint(self, name: str, *, writer: dict | None = None) -> TableCommit:
+        """Remove a CHECK constraint — metadata-only commit; enforcement
+        simply stops at the new version (already-written rows were all
+        checked while it lived)."""
+        cur = self._raw_current()
+        cons = dict(cur.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no such constraint {name!r}; declared: {sorted(cons)}"
+            )
+        del cons[name]
+        return self.commit_version(
+            new_files=[], replaced_buckets=set(),
+            meta_updates={"constraints": cons},
+            writer=writer or {"query_id": "__constraint__",
+                              "epoch": int(cur["version"]),
                               "nonce": uuid.uuid4().hex},
             base_version=int(cur["version"]),
         )
@@ -1781,7 +1879,8 @@ class LaketteTable:
                 # bloom_cols) that must move with a rename/drop land in the
                 # SAME CAS — version files stay immutable, readers never
                 # see a torn name set
-                allowed = {"key_cols", "cluster_by", "stats_cols", "bloom_cols"}
+                allowed = {"key_cols", "cluster_by", "stats_cols", "bloom_cols",
+                           "constraints"}
                 bad = set(meta_updates) - allowed
                 if bad:
                     raise ValueError(f"meta_updates keys not allowed: {sorted(bad)}")

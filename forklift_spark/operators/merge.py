@@ -355,6 +355,22 @@ def merge_into(
     # buckets) end to end (VERDICT r3 #1)
     meta = table._raw_current()
 
+    # --- table CHECK constraints (lakette/table.py add_constraint):
+    # enforced on every full-row event BEFORE any write — deletes are
+    # exempt (a tombstone has no post-image), and the whole batch aborts
+    # on the first violating rule (ExpectationError with per-rule
+    # counts). Cost: ONE bounded aggregate over the batch, paid only
+    # when constraints are declared; zero otherwise.
+    constraints = meta.get("constraints") or {}
+    if constraints:
+        from .expectations import Expectation, enforce
+
+        enforce(
+            batch_df.filter(F.col("op") != F.lit("D")),
+            [Expectation(n, e, action="fail")
+             for n, e in sorted(constraints.items())],
+        )
+
     # partial-update semantics (operators/patch.py): tables created with
     # column_lww=True resolve merges PER COLUMN ('P' events write only
     # their non-NULL columns); COW-only in v1, auto resolves to cow

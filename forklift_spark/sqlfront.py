@@ -1667,10 +1667,14 @@ class SqlFrontend:
         table = self._table(ident)
         meta = table.current_metadata()
         s = table.stats()
+        cons = meta.get("constraints") or {}
         return self._report("DESCRIBE DETAIL", table.root, {
             "version": meta["version"], "n_buckets": meta["n_buckets"],
             "key_cols": ",".join(meta["key_cols"]),
             "rows": s.get("total_rows", ""), "files": s.get("total_files", ""),
+            "constraints": "; ".join(
+                f"{n} CHECK ({e})" for n, e in sorted(cons.items())
+            ),
         })
 
     def _alter(self, stmt: str, masked: str) -> DataFrame:
@@ -1679,13 +1683,16 @@ class SqlFrontend:
             rf"(?:RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})"
             rf"|DROP\s+COLUMN\s+({_IDENT})"
             rf"|CREATE\s+(TAG|BRANCH)\s+({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
-            rf"|DROP\s+(?:TAG|BRANCH)\s+({_IDENT}))\s*$",
-            masked, re.IGNORECASE,
+            rf"|DROP\s+(?:TAG|BRANCH)\s+({_IDENT})"
+            rf"|ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)"
+            rf"|DROP\s+CONSTRAINT\s+({_IDENT}))\s*$",
+            masked, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlFrontendError(
                 "supported: ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN a | "
-                "CREATE TAG|BRANCH <name> [VERSION AS OF n] | DROP TAG <name>"
+                "CREATE TAG|BRANCH <name> [VERSION AS OF n] | DROP TAG <name> | "
+                "ADD CONSTRAINT <name> CHECK (expr) | DROP CONSTRAINT <name>"
             )
         table = self._table(stmt[m.start(1):m.end(1)])
         if m.group(2):
@@ -1700,5 +1707,21 @@ class SqlFrontend:
                 version=int(m.group(7)) if m.group(7) else None,
             )
             return self._report("ALTER CREATE REF", table.root, rec)
+        if m.group(9):
+            # CHECK constraint: validated against the CURRENT rows (one
+            # scan, Delta parity), then enforced on every future batch
+            try:
+                c = table.add_constraint(
+                    self.spark, stmt[m.start(9):m.end(9)], stmt[m.start(10):m.end(10)].strip()
+                )
+            except ValueError as e:
+                raise SqlFrontendError(f"ADD CONSTRAINT: {e}") from None
+            return self._report("ALTER ADD CONSTRAINT", table.root, {"version": c.version})
+        if m.group(11):
+            try:
+                c = table.drop_constraint(stmt[m.start(11):m.end(11)])
+            except ValueError as e:
+                raise SqlFrontendError(f"DROP CONSTRAINT: {e}") from None
+            return self._report("ALTER DROP CONSTRAINT", table.root, {"version": c.version})
         table.drop_ref(stmt[m.start(8):m.end(8)])
         return self._report("ALTER DROP REF", table.root, {"dropped": stmt[m.start(8):m.end(8)]})
