@@ -30,6 +30,10 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("TRUNCATE TABLE docs")
     fe.sql("OPTIMIZE repos ZORDER BY (lang, commit)")
     fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS lang")
+    fe.sql("BEGIN")                      # stage writes, publish atomically
+    fe.sql("INSERT INTO repos SELECT ...")
+    fe.sql("MERGE INTO docs USING ... ")
+    fe.sql("COMMIT")                     # both visible in one crash-atomic publish
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
@@ -171,9 +175,15 @@ class SqlFrontend:
     left for Spark (temp views, functions), so lakette tables and
     ordinary Spark relations mix freely in one SELECT."""
 
-    def __init__(self, spark: SparkSession, tables) -> None:
+    def __init__(self, spark: SparkSession, tables, *, txn_dir: str | None = None) -> None:
         self.spark = spark
         self._catalog = tables
+        #: active BEGIN..COMMIT transaction: {"id", "members": [(table,
+        #: stage_id)], "roots": {table root}} — None outside a transaction
+        self._txn: dict | None = None
+        #: where COMMIT writes its transaction record; default: the
+        #: Catalog's txn_dir, else _txn_sql under the first member's root
+        self._txn_dir = txn_dir
 
     # ------------------------------------------------------------ resolve
 
@@ -207,6 +217,21 @@ class SqlFrontend:
             raise SqlFrontendError(f"cannot parse statement: {statement!r}")
         k1 = head.group(1).upper()
         k2 = (head.group(2) or "").upper()
+        if k1 == "BEGIN":
+            return self._begin(stmt, masked)
+        if k1 == "COMMIT":
+            return self._commit_txn(stmt, masked)
+        if k1 == "ROLLBACK":
+            return self._rollback(stmt, masked)
+        if self._txn is not None and k1 not in (
+            "SELECT", "WITH", "EXPLAIN", "INSERT", "MERGE", "SHOW", "DESCRIBE",
+        ):
+            raise SqlFrontendError(
+                f"{k1} is not allowed inside a transaction; transactions "
+                "stage INSERT/MERGE (the statements that compile onto "
+                "merge_into's write-audit-publish path) — COMMIT or "
+                "ROLLBACK first"
+            )
         if k1 in ("SELECT", "WITH", "EXPLAIN"):
             # EXPLAIN passes through: views splice in, Catalyst explains
             return self._select(stmt, masked)
@@ -247,8 +272,111 @@ class SqlFrontend:
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
             "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
             "SHOW TABLES, SHOW CREATE TABLE, OPTIMIZE [ZORDER BY], ANALYZE "
-            "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE"
+            "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE, "
+            "BEGIN/COMMIT/ROLLBACK"
         )
+
+    # --------------------------------------------------------- transactions
+
+    def _begin(self, stmt: str, masked: str) -> DataFrame:
+        """BEGIN [TRANSACTION] — subsequent INSERT/MERGE statements STAGE
+        their commits (merge_into publish=False: data files durable,
+        version chain untouched, readers see nothing) until COMMIT
+        publishes every member atomically w.r.t. crashes through
+        lakette/txn.py's publish_transaction, or ROLLBACK discards them.
+
+        Scope, stated plainly (v1):
+          * INSERT and MERGE only — the statements that already compile
+            onto merge_into's write-audit-publish path. UPDATE/DELETE/
+            COPY/DDL inside a transaction raise, naming this rule.
+          * ONE write statement per table per transaction
+            (publish_transaction's own invariant — a second staged commit
+            on the same table would conflict with the first at publish).
+          * reads inside the transaction see the PRE-transaction state
+            (no dirty reads — staged work is invisible by design; audit
+            a staged member via table.staged_snapshot if needed).
+          * atomicity is against CRASHES, exactly txn.py's contract: a
+            conflicting concurrent writer after the commit flip leaves
+            the published subset visible and recover_transactions
+            retries the rest."""
+        if not re.match(r"BEGIN(\s+TRANSACTION)?\s*$", masked, re.IGNORECASE):
+            raise SqlFrontendError("supported: BEGIN [TRANSACTION]")
+        if self._txn is not None:
+            raise SqlFrontendError(
+                f"transaction {self._txn['id']} already open (no nesting); "
+                "COMMIT or ROLLBACK first"
+            )
+        self._txn = {"id": uuid.uuid4().hex[:16], "members": [], "roots": set()}
+        return self._report("BEGIN", "", {"txn_id": self._txn["id"]})
+
+    def _merge_call(self, table: LaketteTable, events: DataFrame, *,
+                    query_id: str):
+        """All statement writes funnel here: direct merge_into outside a
+        transaction, staged (publish=False) inside one."""
+        if self._txn is None:
+            return merge_into(self.spark, table, events, query_id=query_id)
+        if table.root in self._txn["roots"]:
+            raise SqlFrontendError(
+                f"transaction {self._txn['id']} already staged a write to "
+                f"{table.root!r} — one write statement per table per "
+                "transaction (fold the changes into one statement)"
+            )
+        stats = merge_into(
+            self.spark, table, events,
+            query_id=f"sql_txn_{self._txn['id']}",
+            epoch=len(self._txn["members"]),
+            publish=False,
+        )
+        self._txn["members"].append((table, stats.stage_id))
+        self._txn["roots"].add(table.root)
+        return stats
+
+    def _commit_txn(self, stmt: str, masked: str) -> DataFrame:
+        if not re.match(r"COMMIT(\s+TRANSACTION)?\s*$", masked, re.IGNORECASE):
+            raise SqlFrontendError("supported: COMMIT [TRANSACTION]")
+        if self._txn is None:
+            raise SqlFrontendError("COMMIT without BEGIN")
+        txn, self._txn = self._txn, None
+        if not txn["members"]:
+            return self._report("COMMIT", "", {
+                "txn_id": txn["id"], "members": 0,
+            })
+        from .lakette.txn import publish_transaction
+
+        first = txn["members"][0][0]
+        txn_dir = self._txn_dir
+        if txn_dir is None:
+            txn_dir = (
+                self._catalog.txn_dir
+                if not isinstance(self._catalog, Mapping)
+                else os.path.join(first.root, "_txn_sql")
+            )
+        # on failure, publish_transaction's own contract governs partial
+        # states (pre-flip: nothing published, staged intact, record
+        # aborted; post-flip: recover_transactions retries the rest) —
+        # the front-end adds nothing; the transaction is no longer open
+        record = publish_transaction(
+            txn["members"], txn_dir, txn_id=txn["id"], storage=first.fs
+        )
+        return self._report("COMMIT", "", {
+            "txn_id": txn["id"], "members": len(record["members"]),
+            "versions": ",".join(
+                f"{os.path.basename(m['root'])}:v{m['published_version']}"
+                for m in record["members"]
+            ),
+        })
+
+    def _rollback(self, stmt: str, masked: str) -> DataFrame:
+        if not re.match(r"ROLLBACK(\s+TRANSACTION)?\s*$", masked, re.IGNORECASE):
+            raise SqlFrontendError("supported: ROLLBACK [TRANSACTION]")
+        if self._txn is None:
+            raise SqlFrontendError("ROLLBACK without BEGIN")
+        txn, self._txn = self._txn, None
+        for table, stage_id in txn["members"]:
+            table.abort_staged(stage_id)
+        return self._report("ROLLBACK", "", {
+            "txn_id": txn["id"], "aborted_members": len(txn["members"]),
+        })
 
     # ------------------------------------------------------------- reports
 
@@ -495,10 +623,11 @@ class SqlFrontend:
                 )
         seq = self._next_seq(table)
         events = self._events_from(table, src, "U", seq)
-        stats = merge_into(self.spark, table, events,
-                           query_id=f"sql_insert_{uuid.uuid4().hex[:8]}")
+        stats = self._merge_call(table, events,
+                                 query_id=f"sql_insert_{uuid.uuid4().hex[:8]}")
         return self._report("INSERT", table.root, {
             "version": stats.version, "rows": stats.batch_rows, "seq": seq,
+            **({"staged": stats.stage_id} if stats.stage_id else {}),
         })
 
     # ------------------------------------------------------- UPDATE/DELETE
@@ -646,10 +775,11 @@ class SqlFrontend:
             events = self._events_from(table, src, "U", seq, strict=False)
         else:
             events = self._merge_events(table, src, t_alias, s_alias, clauses, seq)
-        stats = merge_into(self.spark, table, events,
-                           query_id=f"sql_merge_{uuid.uuid4().hex[:8]}")
+        stats = self._merge_call(table, events,
+                                 query_id=f"sql_merge_{uuid.uuid4().hex[:8]}")
         return self._report("MERGE", table.root, {
             "version": stats.version, "rows": stats.batch_rows, "seq": seq,
+            **({"staged": stats.stage_id} if stats.stage_id else {}),
         })
 
     @staticmethod

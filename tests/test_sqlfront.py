@@ -764,3 +764,65 @@ def test_analyze_table_profiles_columns(spark, fe_table):
     assert ap["lang"].n_distinct >= 2
     with pytest.raises(SqlFrontendError, match="no such columns"):
         fe.sql("ANALYZE TABLE repos COMPUTE STATISTICS FOR COLUMNS nope")
+
+
+# ---- BEGIN / COMMIT / ROLLBACK ----------------------------------------
+
+
+def test_transaction_two_tables_commit_atomically(spark, fe_table, tmp_path):
+    """INSERTs into two tables inside BEGIN..COMMIT: invisible until
+    COMMIT, then both published through ONE transaction record."""
+    fe, table = fe_table
+    other = create_entity_table(str(tmp_path / "o"), n_buckets=2)
+    _seed(spark, other, [_ev("I", 1, "base")])
+    fe2 = SqlFrontend(spark, {"repos": table, "other": other})
+    fe2.sql("BEGIN")
+    rep = fe2.sql(
+        "INSERT INTO repos (repo, path, lang) VALUES ('r', 'tx1', 'py')"
+    ).collect()[0]
+    assert rep.staged  # staged, not committed
+    fe2.sql("INSERT INTO other (repo, path, lang) VALUES ('r', 'tx2', 'py')")
+    # no dirty reads: the staged rows are invisible mid-transaction
+    assert fe2.sql("SELECT count(*) AS n FROM repos").collect()[0].n == 4
+    assert fe2.sql("SELECT count(*) AS n FROM other").collect()[0].n == 1
+    crep = fe2.sql("COMMIT").collect()[0]
+    assert crep.members == "2"
+    assert "tx1" in _state(spark, table)
+    assert "tx2" in {r.path for r in other.snapshot(spark).collect()}
+
+
+def test_transaction_rollback_discards_everything(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    fe.sql("BEGIN TRANSACTION")
+    fe.sql("INSERT INTO repos (repo, path, lang) VALUES ('r', 'gone', 'py')")
+    rep = fe.sql("ROLLBACK").collect()[0]
+    assert rep.aborted_members == "1"
+    assert "gone" not in _state(spark, table)
+    assert table.list_staged() == []  # staged payload cleaned up
+    # the frontend is reusable after rollback
+    fe.sql("INSERT INTO repos (repo, path, lang) VALUES ('r', 'kept', 'py')")
+    assert "kept" in _state(spark, table)
+
+
+def test_transaction_loud_gates(spark, fe_table):
+    fe, table = fe_table
+    with pytest.raises(SqlFrontendError, match="COMMIT without BEGIN"):
+        fe.sql("COMMIT")
+    with pytest.raises(SqlFrontendError, match="ROLLBACK without BEGIN"):
+        fe.sql("ROLLBACK")
+    fe.sql("BEGIN")
+    with pytest.raises(SqlFrontendError, match="no nesting"):
+        fe.sql("BEGIN")
+    # non-stageable statements are refused inside a transaction
+    with pytest.raises(SqlFrontendError, match="not allowed inside"):
+        fe.sql("UPDATE repos SET lang = 'x' WHERE true")
+    with pytest.raises(SqlFrontendError, match="not allowed inside"):
+        fe.sql("OPTIMIZE repos")
+    # one write statement per table per transaction
+    fe.sql("INSERT INTO repos (repo, path, lang) VALUES ('r', 'w1', 'py')")
+    with pytest.raises(SqlFrontendError, match="one write statement per table"):
+        fe.sql("INSERT INTO repos (repo, path, lang) VALUES ('r', 'w2', 'py')")
+    fe.sql("ROLLBACK")
+    # empty transaction commits as a no-op
+    fe.sql("BEGIN")
+    assert fe.sql("COMMIT").collect()[0].members == "0"
