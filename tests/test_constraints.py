@@ -129,3 +129,54 @@ def test_sql_surface(spark, table):
     assert "x" in {r.path for r in table.snapshot(spark).collect()}
     with pytest.raises(SqlFrontendError, match="DROP CONSTRAINT"):
         fe.sql("ALTER TABLE repos DROP CONSTRAINT nope")
+
+
+def test_streaming_ingest_enforces_constraints(spark, tmp_path):
+    """The ingest LOOP surfaces a CHECK-constraint violation exactly like
+    a fail-action expectation: the epoch aborts BEFORE commit, the table
+    keeps its pre-epoch state, and after fixing the data the loop resumes
+    exactly-once from the checkpoint (clean epochs before the bad one
+    stay applied; nothing double-applies). The difference from run_ingest
+    `expectations=` is WHERE the rule lives: a constraint is TABLE
+    metadata, so every writer — streaming loop, SQL INSERT, replicate —
+    enforces it without being configured to."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forklift_spark.streaming.ingest import run_ingest
+
+    COLS = ["op", "seq", "repo", "path", "commit", "lang", "content",
+            "event_ts", "schema_ver"]
+
+    def _write_seg(seg_dir, i, rows):
+        os.makedirs(seg_dir, exist_ok=True)
+        pdf = pd.DataFrame(rows, columns=COLS)
+        pdf["event_ts"] = pd.Timestamp("2026-01-01")
+        pdf["schema_ver"] = pd.array([1] * len(pdf), dtype="int32")
+        pdf["seq"] = pdf["seq"].astype("int64")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(seg_dir, f"seg-{i:05d}.parquet"),
+            coerce_timestamps="us",
+        )
+
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    t.add_constraint(spark, "content_nonempty", "length(content) > 0")
+    seg_dir = str(tmp_path / "log")
+    _write_seg(seg_dir, 0, [_ev("I", 1, "good")])
+    _write_seg(seg_dir, 1, [_ev("I", 2, "bad", content="")])
+    with pytest.raises(Exception) as exc:
+        run_ingest(spark, seg_dir, t, str(tmp_path / "ckpt"),
+                   max_files_per_trigger=1)
+    assert "content_nonempty" in str(exc.value)
+    # epoch 0 committed, epoch 1 aborted atomically
+    assert {r.path for r in t.snapshot(spark).collect()} == {"good"}
+    # fix the offending segment in place and resume: exactly-once
+    _write_seg(seg_dir, 1, [_ev("I", 2, "bad", content="fixed")])
+    run_ingest(spark, seg_dir, t, str(tmp_path / "ckpt"),
+               max_files_per_trigger=1)
+    st = {r.path: r.content for r in t.snapshot(spark).collect()}
+    assert set(st) == {"good", "bad"} and st["bad"] == "fixed"
