@@ -1664,6 +1664,15 @@ class SqlFrontend:
             f"LOCATION '{table.root}'\n"
             f"TBLPROPERTIES ({', '.join(props)})"
         )
+        cons = meta.get("constraints") or {}
+        if cons:
+            # comment lines: the statement round-trips through sql() (the
+            # comment stripper drops them), and the reader still sees the
+            # full declared surface + the statements that restore it
+            ddl += "".join(
+                f"\n-- ALTER TABLE {name} ADD CONSTRAINT {n} CHECK ({e})"
+                for n, e in sorted(cons.items())
+            )
         return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
     def _truncate(self, stmt: str, masked: str) -> DataFrame:

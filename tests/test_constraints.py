@@ -131,6 +131,19 @@ def test_sql_surface(spark, table):
         fe.sql("ALTER TABLE repos DROP CONSTRAINT nope")
 
 
+def test_show_create_lists_constraints_and_round_trips(spark, table, tmp_path):
+    fe = SqlFrontend(spark, {"repos": table})
+    fe.sql("ALTER TABLE repos ADD CONSTRAINT c1 CHECK (length(path) > 0)")
+    ddl = fe.sql("SHOW CREATE TABLE repos").collect()[0].createtab_stmt
+    assert "ADD CONSTRAINT c1 CHECK (length(path) > 0)" in ddl
+    # the emitted DDL still executes (constraint lines are comments)
+    ddl2 = ddl.replace("CREATE TABLE repos", "CREATE TABLE repos2").replace(
+        f"LOCATION '{table.root}'", f"LOCATION '{tmp_path / 'r2'}'"
+    )
+    fe.sql(ddl2)
+    assert fe._is_table("repos2")
+
+
 def test_streaming_ingest_enforces_constraints(spark, tmp_path):
     """The ingest LOOP surfaces a CHECK-constraint violation exactly like
     a fail-action expectation: the epoch aborts BEFORE commit, the table
