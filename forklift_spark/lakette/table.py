@@ -2297,7 +2297,7 @@ class LaketteTable:
 
     def vacuum(
         self, *, keep_versions: int = 1, grace_seconds: float = 86400.0,
-        keep_since: float | None = None,
+        keep_since: float | None = None, dry_run: bool = False,
     ) -> dict[str, int]:
         """Garbage-collect data files not referenced by the newest
         `keep_versions` reachable versions, plus metadata files of pruned
@@ -2329,7 +2329,12 @@ class LaketteTable:
         Driver-side file ops only. At object-store scale this would be a
         manifest diff + batched deletes; the referenced-set computation is
         identical. Time travel beyond `keep_versions` stops working — same
-        contract as Iceberg's expire_snapshots."""
+        contract as Iceberg's expire_snapshots.
+
+        `dry_run=True` computes and COUNTS the full removal set without
+        deleting anything — the pre-flight a human runs before a retention
+        change (the removal decision logic is shared by construction, not
+        re-implemented)."""
         import time as _time
 
         keep_versions = max(1, keep_versions)
@@ -2381,7 +2386,8 @@ class LaketteTable:
             rel = os.path.join("data", fn)
             full = os.path.join(self.data_dir, fn)
             if fn.endswith(".parquet") and rel not in referenced and not _young(full):
-                self.fs.remove(full)
+                if not dry_run:
+                    self.fs.remove(full)
                 removed_data += 1
         removed_meta = 0
         for fn in sorted(self.fs.listdir(self.meta_dir)):
@@ -2395,7 +2401,8 @@ class LaketteTable:
                 and (v not in reachable or v < min(kept_versions))
                 and not _young(full)
             ):
-                self.fs.remove(full)
+                if not dry_run:
+                    self.fs.remove(full)
                 removed_meta += 1
         removed_manifests = 0
         if self.fs.isdir(self.manifests_dir):
@@ -2407,12 +2414,14 @@ class LaketteTable:
                     and rel not in referenced_manifests
                     and not _young(full)
                 ):
-                    self.fs.remove(full)
-                    _MANIFEST_CACHE.pop(full, None)
+                    if not dry_run:
+                        self.fs.remove(full)
+                        _MANIFEST_CACHE.pop(full, None)
                     removed_manifests += 1
         return {
             "removed_data_files": removed_data,
             "removed_metadata_files": removed_meta,
             "removed_manifest_files": removed_manifests,
             "kept_versions": len(kept_versions),
+            "dry_run": dry_run,
         }

@@ -390,17 +390,18 @@ class SqlFrontend:
 
     # -------------------------------------------------------------- SELECT
 
-    #: FROM/JOIN <ident> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'];
-    #: a leading "," continues a comma-separated FROM list (matched only
-    #: when chained directly off a previous table reference — see _select)
+    #: FROM/JOIN <ident> [VERSION AS OF <n>|'<tag-or-branch>' |
+    #: TIMESTAMP AS OF '<ts>']; a leading "," continues a comma-separated
+    #: FROM list (matched only when chained directly off a previous table
+    #: reference — see _select)
     _REF = re.compile(
         rf"\b(FROM|JOIN)\s+({_IDENT})"
-        r"(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        r"(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
         re.IGNORECASE,
     )
     _REF_COMMA = re.compile(
         rf"\s*,\s*({_IDENT})"
-        r"(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        r"(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
         re.IGNORECASE,
     )
     #: names bound by a WITH clause (CTEs) — `x AS (` can only be a CTE
@@ -474,12 +475,17 @@ class SqlFrontend:
                 return True
             if not self._is_table(ident) or _shadowed(ident, ident_span[0]):
                 return False
-            version_s, ts_span = tt_groups
+            version_span, ts_span = tt_groups
             table = self._table(ident)
             if ts_span is not None:
                 version = table.version_as_of(_unquote(stmt[ts_span[0]:ts_span[1]]))
-            elif version_s is not None:
-                version = int(version_s)
+            elif version_span is not None:
+                vtext = stmt[version_span[0]:version_span[1]]
+                # quoted: a named tag/branch (Iceberg-style ref time travel)
+                version = (
+                    table.ref_version(_unquote(vtext))
+                    if vtext.startswith("'") else int(vtext)
+                )
             else:
                 version = int(table.current_metadata()["version"])
             view = f"__lakette_{ident.lower().replace('.', '_')}_v{version}"
@@ -502,7 +508,8 @@ class SqlFrontend:
                 break
             hit = _splice(
                 (m.start(2), m.end(2)),
-                (m.group(4), (m.start(5), m.end(5)) if m.group(5) else None),
+                ((m.start(4), m.end(4)) if m.group(4) else None,
+                 (m.start(5), m.end(5)) if m.group(5) else None),
                 m.end(0),
             )
             pos = m.end(0)
@@ -515,7 +522,8 @@ class SqlFrontend:
                     break
                 _splice(
                     (cm.start(1), cm.end(1)),
-                    (cm.group(3), (cm.start(4), cm.end(4)) if cm.group(4) else None),
+                    ((cm.start(3), cm.end(3)) if cm.group(3) else None,
+                     (cm.start(4), cm.end(4)) if cm.group(4) else None),
                     cm.end(0),
                 )
                 pos = cm.end(0)
@@ -1774,30 +1782,41 @@ class SqlFrontend:
 
     def _vacuum(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(
-            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+            r"(\s+DRY\s+RUN)?\s*$",
             masked, re.IGNORECASE,
         )
         if not m:
-            raise SqlFrontendError("supported: VACUUM <table> [RETAIN <n> HOURS]")
+            raise SqlFrontendError(
+                "supported: VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]"
+            )
         table = self._table(stmt[m.start(1):m.end(1)])
-        kw = {"grace_seconds": int(m.group(2)) * 3600.0} if m.group(2) else {}
+        kw: dict[str, Any] = (
+            {"grace_seconds": int(m.group(2)) * 3600.0} if m.group(2) else {}
+        )
+        if m.group(3):
+            kw["dry_run"] = True
         report = table.vacuum(**kw)
         return self._report("VACUUM", table.root, report)
 
     def _restore(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(
             rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
-            r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']*'))\s*$",
+            r"(?:VERSION\s+AS\s+OF\s+(\d+|'[^']*')|TIMESTAMP\s+AS\s+OF\s+('[^']*'))\s*$",
             masked, re.IGNORECASE,
         )
         if not m:
             raise SqlFrontendError(
-                "supported: RESTORE [TABLE] <t> TO VERSION AS OF <n> | "
-                "TO TIMESTAMP AS OF '<ts>'"
+                "supported: RESTORE [TABLE] <t> TO VERSION AS OF <n>|'<tag>' "
+                "| TO TIMESTAMP AS OF '<ts>'"
             )
         table = self._table(stmt[m.start(1):m.end(1)])
         if m.group(2):
-            commit = table.restore(int(m.group(2)))
+            vtext = stmt[m.start(2):m.end(2)]
+            commit = table.restore(
+                table.ref_version(_unquote(vtext))
+                if vtext.startswith("'") else int(vtext)
+            )
         else:
             commit = table.restore(as_of=_unquote(stmt[m.start(3):m.end(3)]))
         return self._report("RESTORE", table.root, {"version": commit.version})

@@ -826,3 +826,45 @@ def test_transaction_loud_gates(spark, fe_table):
     # empty transaction commits as a no-op
     fe.sql("BEGIN")
     assert fe.sql("COMMIT").collect()[0].members == "0"
+
+
+# ---- ref time travel / VACUUM DRY RUN ---------------------------------
+
+
+def test_version_as_of_ref_name(spark, fe_table):
+    """VERSION AS OF '<tag-or-branch>' resolves through ref_version —
+    Iceberg-style named time travel, in SELECT and RESTORE."""
+    fe, table = fe_table
+    table.create_ref("trained", kind="tag")
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    cur = {r.path: r.lang for r in fe.sql("SELECT path, lang FROM repos").collect()}
+    assert cur["a"] == "go"
+    old = {r.path: r.lang for r in fe.sql(
+        "SELECT path, lang FROM repos VERSION AS OF 'trained'"
+    ).collect()}
+    assert old["a"] == "de"
+    # RESTORE TO a tag: the table rolls back to the tagged rows
+    fe.sql("RESTORE TABLE repos TO VERSION AS OF 'trained'")
+    assert _state(spark, table)["a"][0] == "de"
+    with pytest.raises(ValueError, match="nope|no such"):
+        fe.sql("SELECT * FROM repos VERSION AS OF 'nope'")
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, fe_table):
+    import os as _os
+
+    fe, table = fe_table
+    # rewrite everything twice so old versions hold unreferenced files
+    fe.sql("UPDATE repos SET content = content || '1' WHERE true")
+    fe.sql("UPDATE repos SET content = content || '2' WHERE true")
+    n_data = len(_os.listdir(_os.path.join(table.root, "data")))
+    rep = fe.sql("VACUUM repos RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert rep.dry_run == "True" and int(rep.removed_data_files) > 0
+    # nothing actually deleted
+    assert len(_os.listdir(_os.path.join(table.root, "data"))) == n_data
+    # the real vacuum removes exactly what the dry run predicted
+    rep2 = fe.sql("VACUUM repos RETAIN 0 HOURS").collect()[0]
+    assert rep2.removed_data_files == rep.removed_data_files
+    assert len(_os.listdir(_os.path.join(table.root, "data"))) == n_data - int(
+        rep.removed_data_files
+    )
