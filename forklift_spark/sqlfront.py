@@ -458,10 +458,48 @@ class SqlFrontend:
         def _splice(ident_span, tt_groups, end):
             nonlocal last
             ident = stmt[ident_span[0]:ident_span[1]]
-            # Iceberg-style metadata tables: <table>.files / .history / .refs
+            # Iceberg-style metadata tables: <table>.files / .history /
+            # .refs — plus .changes, the CDC feed (Delta table_changes):
+            # FROM t.changes VERSION AS OF <n>|'<tag>' reads the span
+            # turning snapshot@n into the CURRENT snapshot through
+            # changes_since (change/keys/payload/seq columns, full rows)
             base, dot, suffix = ident.rpartition(".")
-            if (dot and suffix.lower() in ("files", "history", "refs")
+            if (dot and suffix.lower() in ("files", "history", "refs", "changes")
                     and self._is_table(base) and not _shadowed(base, ident_span[0])):
+                if suffix.lower() == "changes":
+                    table = self._table(base)
+                    version_span, ts_span = tt_groups
+                    if ts_span is not None:
+                        from_v = table.version_as_of(
+                            _unquote(stmt[ts_span[0]:ts_span[1]])
+                        )
+                    elif version_span is not None:
+                        vtext = stmt[version_span[0]:version_span[1]]
+                        from_v = (
+                            table.ref_version(_unquote(vtext))
+                            if vtext.startswith("'") else int(vtext)
+                        )
+                    else:
+                        raise SqlFrontendError(
+                            f"{ident}: the change feed needs its starting "
+                            "offset — FROM <t>.changes VERSION AS OF "
+                            "<n>|'<tag>' (or TIMESTAMP AS OF '<ts>')"
+                        )
+                    from .operators.changes import changes_since
+
+                    cur_v, diff = changes_since(
+                        self.spark, table, from_v, full_rows=True
+                    )
+                    view = f"__lakette_{base.lower()}__changes_{from_v}_{cur_v}"
+                    diff.createOrReplaceTempView(view)
+                    out.append(stmt[last:ident_span[0]])
+                    out.append(view)
+                    nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)",
+                                   masked[end:], re.IGNORECASE)
+                    if not (nxt and nxt.group(1).lower() not in self._POST_REF_KEYWORDS):
+                        out.append(" AS changes")
+                    last = end
+                    return True
                 view = f"__lakette_{base.lower()}__{suffix.lower()}"
                 self._meta_df(self._table(base), suffix.lower()) \
                     .createOrReplaceTempView(view)

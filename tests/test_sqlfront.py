@@ -868,3 +868,38 @@ def test_vacuum_dry_run_counts_without_deleting(spark, fe_table):
     assert len(_os.listdir(_os.path.join(table.root, "data"))) == n_data - int(
         rep.removed_data_files
     )
+
+
+def test_changes_metadata_table_is_the_cdc_feed(spark, fe_table):
+    """FROM <t>.changes VERSION AS OF <n> — Delta table_changes parity:
+    the span turning snapshot@n into the current snapshot, with change
+    kind, keys, and full payload; tags work as offsets too."""
+    fe, table = fe_table
+    v0 = int(table.current_metadata()["version"])
+    table.create_ref("before_fix", kind="tag")
+    _seed(spark, table, [
+        _ev("U", 9, "a", lang="go"), _ev("I", 10, "zz"),
+        _ev("D", 11, "b", lang=None, content=None),
+    ], epoch=1)
+    rows = fe.sql(
+        f"SELECT change, path FROM repos.changes VERSION AS OF {v0} "
+        "ORDER BY path"
+    ).collect()
+    assert [(r.change, r.path) for r in rows] == [
+        ("update", "a"), ("delete", "b"), ("insert", "zz"),
+    ]
+    # tag as the offset; payload columns ride along (full rows)
+    got = fe.sql(
+        "SELECT change, path, lang FROM repos.changes VERSION AS OF "
+        "'before_fix' WHERE change = 'update'"
+    ).collect()
+    assert [(r.change, r.path, r.lang) for r in got] == [("update", "a", "go")]
+    # joins against the live table mix freely
+    n = fe.sql(
+        f"SELECT count(*) AS n FROM repos.changes VERSION AS OF {v0} c "
+        "JOIN repos r ON c.path = r.path"
+    ).collect()[0].n
+    assert n == 2  # the deleted row no longer joins
+    # offset-less: loud, names the required form
+    with pytest.raises(SqlFrontendError, match="starting\n?\\s*offset|starting offset"):
+        fe.sql("SELECT * FROM repos.changes")
