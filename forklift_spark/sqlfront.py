@@ -267,6 +267,10 @@ class SqlFrontend:
             return self._truncate(stmt, masked)
         if k1 == "ANALYZE":
             return self._analyze(stmt, masked)
+        if k1 == "FSCK":
+            return self._fsck(stmt, masked)
+        if k1 == "EXPORT":
+            return self._export(stmt, masked)
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
@@ -1733,6 +1737,67 @@ class SqlFrontend:
         table = self._table(stmt[m.start(1):m.end(1)])
         report = delete_where(self.spark, table, "true")
         return self._report("TRUNCATE", table.root, report)
+
+    # ------------------------------------------------------ FSCK / EXPORT
+
+    def _fsck(self, stmt: str, masked: str) -> DataFrame:
+        """FSCK TABLE <t> [DEEP] — the three-tier integrity verification
+        (lakette/fsck.py check_table): metadata chain + file existence by
+        default, DEEP adds the content pass (row counts / stats vs
+        manifests). REPORTS, never repairs — exactly the operator's
+        contract; one row per issue, or a single ok row."""
+        m = re.match(
+            rf"FSCK\s+TABLE\s+({_IDENT})(\s+DEEP)?\s*$", masked, re.IGNORECASE
+        )
+        if not m:
+            raise SqlFrontendError("supported: FSCK TABLE <t> [DEEP]")
+        from .lakette.fsck import check_table
+
+        table = self._table(stmt[m.start(1):m.end(1)])
+        rep = check_table(table, spark=self.spark, deep=m.group(2) is not None)
+        rows = [("ok" if rep["ok"] else "issue",
+                 issue) for issue in rep["issues"]] or [("ok", "")]
+        return self.spark.createDataFrame(
+            [(s, i, str(rep["checked"])) for s, i in rows],
+            "status string, issue string, checked string",
+        )
+
+    def _export(self, stmt: str, masked: str) -> DataFrame:
+        """EXPORT TABLE <t> [VERSION AS OF <n>|'<tag>'] TO '<path>' —
+        engine-free interop drop (operators/interop.py export_manifest):
+        one pinned snapshot as a plain-parquet file manifest + view SQL,
+        readable by DuckDB/Trino/anything. MOR deltas refuse (compact
+        first), exactly the operator's contract."""
+        m = re.match(
+            rf"EXPORT\s+TABLE\s+({_IDENT})"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*'))?"
+            r"\s+TO\s+('(?:[^']|'')*')\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: EXPORT TABLE <t> [VERSION AS OF <n>|'<tag>'] "
+                "TO '<path>'"
+            )
+        from .operators.interop import export_manifest
+
+        table = self._table(stmt[m.start(1):m.end(1)])
+        kw: dict[str, Any] = {}
+        if m.group(2):
+            vtext = stmt[m.start(2):m.end(2)]
+            if vtext.startswith("'"):
+                kw["ref"] = _unquote(vtext)
+            else:
+                kw["version"] = int(vtext)
+        out_dir = _unquote(stmt[m.start(3):m.end(3)])
+        try:
+            manifest = export_manifest(table, out_dir, **kw)
+        except ValueError as e:
+            raise SqlFrontendError(f"EXPORT: {e}") from None
+        return self._report("EXPORT", table.root, {
+            "out_dir": out_dir, "version": manifest["version"],
+            "files": manifest["n_files"], "rows": manifest["total_rows"],
+        })
 
     # ----------------------------------------------------------- utilities
 

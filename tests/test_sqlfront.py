@@ -903,3 +903,24 @@ def test_changes_metadata_table_is_the_cdc_feed(spark, fe_table):
     # offset-less: loud, names the required form
     with pytest.raises(SqlFrontendError, match="starting\n?\\s*offset|starting offset"):
         fe.sql("SELECT * FROM repos.changes")
+
+
+def test_fsck_and_export_statements(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    # healthy table: single ok row (FSCK reports, never repairs)
+    rows = fe.sql("FSCK TABLE repos DEEP").collect()
+    assert [r.status for r in rows] == ["ok"]
+    # engine-free export of a pinned version, then read it back via the
+    # manifest reader — full interop round trip driven from SQL
+    table.create_ref("drop1", kind="tag")
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    rep = fe.sql(
+        f"EXPORT TABLE repos VERSION AS OF 'drop1' TO '{tmp_path / 'out'}'"
+    ).collect()[0]
+    assert rep.files >= "1" and rep.rows == "4"
+    from forklift_spark.operators.interop import read_manifest
+    back = read_manifest(spark, str(tmp_path / "out"))
+    st = {r.path: r.lang for r in back.collect()}
+    assert st["a"] == "de"  # the tagged (pre-update) snapshot
+    with pytest.raises(SqlFrontendError, match="supported: EXPORT"):
+        fe.sql("EXPORT TABLE repos")
