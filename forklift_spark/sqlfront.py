@@ -34,6 +34,11 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("INSERT INTO repos SELECT ...")
     fe.sql("MERGE INTO docs USING ... ")
     fe.sql("COMMIT")                     # both visible in one crash-atomic publish
+    fe.sql("SELECT * FROM repos.changes VERSION AS OF 7")   # CDC feed
+    fe.sql("SELECT * FROM repos VERSION AS OF 'trained'")   # ref time travel
+    fe.sql("VACUUM repos RETAIN 24 HOURS DRY RUN")
+    fe.sql("FSCK TABLE repos DEEP")
+    fe.sql("EXPORT TABLE repos VERSION AS OF 'trained' TO '/drops/repos'")
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
