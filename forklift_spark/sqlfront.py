@@ -638,19 +638,27 @@ class SqlFrontend:
 
     def _insert(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(
-            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(VALUES\b|SELECT\b|WITH\b)",
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\(([^)]*)\))?\s*"
+            r"(VALUES\b|SELECT\b|WITH\b)",
             masked, re.IGNORECASE,
         )
         if not m:
             raise SqlFrontendError(
-                "supported: INSERT INTO <t> [(cols)] SELECT ... | "
+                "supported: INSERT INTO|OVERWRITE <t> [(cols)] SELECT ... | "
                 "INSERT INTO <t> (cols) VALUES (...), (...)"
             )
-        table = self._table(stmt[m.start(1):m.end(1)])
-        tail = stmt[m.start(4):]
-        kw = m.group(4).upper()
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        table = self._table(stmt[m.start(2):m.end(2)])
+        tail = stmt[m.start(5):]
+        kw = m.group(5).upper()
         if kw == "VALUES":
-            collist = stmt[m.start(3):m.end(3)] if m.group(3) else None
+            if overwrite:
+                raise SqlFrontendError(
+                    "INSERT OVERWRITE takes a SELECT (replacing a table "
+                    "with literals is almost always a mistake — spell it "
+                    "as INSERT OVERWRITE t SELECT ... FROM VALUES ...)"
+                )
+            collist = stmt[m.start(4):m.end(4)] if m.group(4) else None
             if not collist:
                 raise SqlFrontendError(
                     "INSERT ... VALUES requires an explicit column list: "
@@ -658,7 +666,7 @@ class SqlFrontend:
                 )
             src = self.spark.sql(f"SELECT * FROM {tail} AS __v({collist})")
         else:
-            if m.group(3):
+            if m.group(4):
                 raise SqlFrontendError(
                     "column list is only supported with VALUES; alias the "
                     "SELECT's output columns instead"
@@ -678,12 +686,27 @@ class SqlFrontend:
                 )
         seq = self._next_seq(table)
         events = self._events_from(table, src, "U", seq)
+        if overwrite:
+            # INSERT OVERWRITE on a keyed CDC table: the new rows upsert
+            # AND every stored key absent from the source is tombstoned —
+            # one event frame, ONE commit, so the replacement is atomic
+            # and versioned (time travel / RESTORE see the old state).
+            # Cost: one anti-join over the live snapshot, the same
+            # O(live table) price MERGE's NOT MATCHED BY SOURCE pays.
+            key_cols = table.key_cols()
+            gone = table.snapshot(self.spark).join(
+                src.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            events = events.unionByName(
+                self._events_from(table, gone.select(*key_cols), "D", seq)
+            )
         stats = self._merge_call(table, events,
                                  query_id=f"sql_insert_{uuid.uuid4().hex[:8]}")
-        return self._report("INSERT", table.root, {
-            "version": stats.version, "rows": stats.batch_rows, "seq": seq,
-            **({"staged": stats.stage_id} if stats.stage_id else {}),
-        })
+        return self._report(
+            "INSERT OVERWRITE" if overwrite else "INSERT", table.root, {
+                "version": stats.version, "rows": stats.batch_rows, "seq": seq,
+                **({"staged": stats.stage_id} if stats.stage_id else {}),
+            })
 
     # ------------------------------------------------------- UPDATE/DELETE
 

@@ -924,3 +924,26 @@ def test_fsck_and_export_statements(spark, fe_table, tmp_path):
     assert st["a"] == "de"  # the tagged (pre-update) snapshot
     with pytest.raises(SqlFrontendError, match="supported: EXPORT"):
         fe.sql("EXPORT TABLE repos")
+
+
+def test_insert_overwrite_replaces_atomically(spark, fe_table):
+    """INSERT OVERWRITE: new rows upsert AND absent keys tombstone in ONE
+    commit — a versioned full replace (time travel sees the old state)."""
+    fe, table = fe_table
+    v = int(table.current_metadata()["version"])
+    spark.createDataFrame(
+        [("r", "a", "kept"), ("r", "new1", "fresh")],
+        "repo string, path string, content string",
+    ).createOrReplaceTempView("replacement")
+    rep = fe.sql("INSERT OVERWRITE repos SELECT * FROM replacement").collect()[0]
+    assert rep.statement == "INSERT OVERWRITE"
+    st = _state(spark, table)
+    assert set(st) == {"a", "new1"}          # b/c/d tombstoned
+    assert st["a"][1] == "kept"
+    # exactly ONE commit happened
+    assert int(table.current_metadata()["version"]) == v + 1
+    # the pre-replace state is still addressable
+    old = fe.sql(f"SELECT count(*) AS n FROM repos VERSION AS OF {v}").collect()[0].n
+    assert old == 4
+    with pytest.raises(SqlFrontendError, match="OVERWRITE takes a SELECT"):
+        fe.sql("INSERT OVERWRITE repos (repo, path) VALUES ('r', 'x')")
