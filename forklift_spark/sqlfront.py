@@ -387,6 +387,25 @@ class SqlFrontend:
             "txn_id": txn["id"], "aborted_members": len(txn["members"]),
         })
 
+    # -------------------------------------------------------------- scripts
+
+    def run_script(self, script: str) -> DataFrame:
+        """Execute a multi-statement SQL script (statements separated by
+        top-level `;` — semicolons inside strings or parens never split)
+        and return the LAST statement's result. Statements run strictly
+        in order through sql(), so a script mixes DDL, DML, transactions
+        and queries exactly as the statements would interactively; the
+        first error aborts the remainder (an open BEGIN stays open —
+        ROLLBACK explicitly, same as an interactive session)."""
+        body = _strip_comments(script)
+        parts = _split_top(body, _mask_strings(body), sep=";")
+        if not parts:
+            raise SqlFrontendError("empty script")
+        result: DataFrame | None = None
+        for part in parts:
+            result = self.sql(part)
+        return result
+
     # ------------------------------------------------------------- reports
 
     def _report(self, op: str, table: str, fields: dict[str, Any]) -> DataFrame:

@@ -1614,3 +1614,95 @@ def sql_lifecycle(spark, sf):
     return fe.sql(
         "SELECT doc_id, lang, source, sha2(text, 256) AS content_sha FROM quality"
     )
+
+
+#: INSERT OVERWRITE oracle: the replacement set IS the final relation —
+#: the pre-overwrite changelog state must vanish (tombstoned keys) and
+#: every surviving row is exactly the SELECT's output
+_SQL_OVERWRITE_SQL = """
+SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,
+       lang, sha256('ow ' || doc_id) AS content_sha
+FROM documents
+WHERE doc_id % 4 = 1
+"""
+
+
+@q("sql_overwrite", _SQL_OVERWRITE_SQL, extra=True)
+def sql_overwrite(spark, sf):
+    """INSERT OVERWRITE end-to-end (forklift_spark/sqlfront.py): replay
+    the insert-only changelog, then atomically replace the table with a
+    quarter-sized SELECT in ONE commit — upserts for surviving keys,
+    tombstones for the rest. The oracle sees only the replacement set, so
+    a leaked pre-overwrite row or a lost replacement row breaks parity."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_sqlow_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = create_entity_table(root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    merge_into(
+        spark, table,
+        log.filter(F.col("op") == "I")
+        .withColumn("event_ts", F.lit(None).cast("timestamp")),
+        query_id="sqlow", epoch=0,
+    )
+    fe = SqlFrontend(spark, {"repos": table})
+    t(spark, sf, "documents").createOrReplaceTempView("docs_src")
+    fe.sql(
+        "INSERT OVERWRITE repos "
+        "SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path, "
+        "lang, 'ow ' || doc_id AS content "
+        "FROM docs_src WHERE doc_id % 4 = 1"
+    )
+    return fe.sql("SELECT repo, path, lang, content_sha FROM repos")
+
+
+#: two-table transaction oracle: disjoint halves of documents land in two
+#: tables inside ONE BEGIN..COMMIT; the result is their union — if the
+#: publish tore (one member visible, one lost), the union breaks parity
+_SQL_TXN_SQL = """
+SELECT source AS repo, 'docs/doc_' || doc_id || '.txt' AS path,
+       CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS side,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+@q("sql_txn", _SQL_TXN_SQL, extra=True)
+def sql_txn(spark, sf):
+    """Multi-table SQL transaction end-to-end (forklift_spark/sqlfront.py
+    BEGIN/COMMIT over lakette/txn.py): two INSERTs into two empty tables
+    staged inside one transaction, published atomically, then read back
+    as one union. Mid-transaction both SELECTs must still see zero rows
+    (no dirty reads) — asserted inline before COMMIT."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    base = os.path.join(tempfile.gettempdir(), f"fk_sqltx_{os.path.basename(sf)}")
+    shutil.rmtree(base, ignore_errors=True)
+    even = create_entity_table(os.path.join(base, "even"), n_buckets=4)
+    odd = create_entity_table(os.path.join(base, "odd"), n_buckets=4)
+    fe = SqlFrontend(spark, {"t_even": even, "t_odd": odd})
+    t(spark, sf, "documents").createOrReplaceTempView("docs_src")
+    fe.sql("BEGIN")
+    fe.sql(
+        "INSERT INTO t_even SELECT source AS repo, "
+        "'docs/doc_' || doc_id || '.txt' AS path, text AS content "
+        "FROM docs_src WHERE doc_id % 2 = 0"
+    )
+    fe.sql(
+        "INSERT INTO t_odd SELECT source AS repo, "
+        "'docs/doc_' || doc_id || '.txt' AS path, text AS content "
+        "FROM docs_src WHERE doc_id % 2 = 1"
+    )
+    staged_counts = (
+        fe.sql("SELECT count(*) AS n FROM t_even").collect()[0].n,
+        fe.sql("SELECT count(*) AS n FROM t_odd").collect()[0].n,
+    )
+    if staged_counts != (0, 0):  # pragma: no cover - isolation guard
+        raise AssertionError(f"dirty read mid-transaction: {staged_counts}")
+    fe.sql("COMMIT")
+    return fe.sql(
+        "SELECT repo, path, 'even' AS side, content_sha FROM t_even "
+        "UNION ALL "
+        "SELECT repo, path, 'odd' AS side, content_sha FROM t_odd"
+    )

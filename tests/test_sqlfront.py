@@ -947,3 +947,20 @@ def test_insert_overwrite_replaces_atomically(spark, fe_table):
     assert old == 4
     with pytest.raises(SqlFrontendError, match="OVERWRITE takes a SELECT"):
         fe.sql("INSERT OVERWRITE repos (repo, path) VALUES ('r', 'x')")
+
+
+def test_run_script_executes_statements_in_order(spark, fe_table):
+    fe, table = fe_table
+    out = fe.run_script("""
+        -- a script mixing DML, a transaction, and a final query
+        DELETE FROM repos WHERE lang = 'de';
+        BEGIN;
+        INSERT INTO repos (repo, path, lang, content)
+            VALUES ('r', 'scripted', 'py', 'has; a semicolon');
+        COMMIT;
+        SELECT path, content FROM repos WHERE path = 'scripted'
+    """).collect()
+    assert [(r.path, r.content) for r in out] == [("scripted", "has; a semicolon")]
+    assert "a" not in _state(spark, table)
+    with pytest.raises(SqlFrontendError, match="empty script"):
+        fe.run_script("  -- nothing\n  ")
