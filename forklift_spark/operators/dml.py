@@ -116,6 +116,21 @@ def _rewrite_buckets(
     out = transform(tagged, F.col("_match")).drop("_match")
     out = out.withColumn("_bucket", table.bucket_expr())
 
+    # table CHECK constraints (lakette/table.py add_constraint) bind every
+    # writer: the UPDATE's post-image rows must satisfy them BEFORE any
+    # file is written — deletes are exempt (tombstones have no post-image).
+    # One bounded aggregate over the touched buckets, only when
+    # constraints are declared; the batch aborts whole on a violation.
+    constraints = meta.get("constraints") or {}
+    if constraints and op_name == "update":
+        from .expectations import Expectation, enforce
+
+        enforce(
+            out.filter(~F.coalesce(F.col("deleted"), F.lit(False))),
+            [Expectation(n, e, action="fail")
+             for n, e in sorted(constraints.items())],
+        )
+
     new_files = _write_datafiles(
         out,
         root=table.root,

@@ -193,3 +193,21 @@ def test_streaming_ingest_enforces_constraints(spark, tmp_path):
                max_files_per_trigger=1)
     st = {r.path: r.content for r in t.snapshot(spark).collect()}
     assert set(st) == {"good", "bad"} and st["bad"] == "fixed"
+
+
+def test_update_where_enforces_constraints(spark, table):
+    """Predicate DML binds to table constraints too: an UPDATE whose
+    post-image violates a CHECK aborts before any write; DELETE (a
+    tombstone write) stays exempt."""
+    table.add_constraint(spark, "content_nonempty", "length(content) > 0")
+    fe = SqlFrontend(spark, {"repos": table})
+    v = int(table.current_metadata()["version"])
+    with pytest.raises(ExpectationError, match="content_nonempty"):
+        fe.sql("UPDATE repos SET content = '' WHERE lang = 'py'")
+    assert int(table.current_metadata()["version"]) == v  # nothing written
+    # a valid UPDATE still flows
+    fe.sql("UPDATE repos SET content = content || '!' WHERE lang = 'py'")
+    # DELETE remains exempt (tombstones have no post-image)
+    fe.sql("DELETE FROM repos WHERE lang = 'fr'")
+    st = {r.path: r.content for r in table.snapshot(spark).collect()}
+    assert st == {"a": "body!"}
