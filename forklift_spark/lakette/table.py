@@ -1113,7 +1113,13 @@ class LaketteTable:
         Exactly like Delta's ALTER TABLE ADD CONSTRAINT, the CURRENT
         snapshot is validated first — one scan, refused loudly if any
         live row violates, so a constraint can never be born already
-        broken. column_lww tables are rejected: a 'P' patch event carries
+        broken. Writers enforce it everywhere rows enter (merge_into for
+        events/INSERT/MERGE/COPY/derive/replicate; dml.py for UPDATE);
+        the one deliberate gap, same as Delta: RESTORE to a
+        pre-constraint version is a metadata rollback and does NOT
+        re-validate — it can resurface rows written before the rule
+        existed (the constraint gates WRITES, not time travel).
+        column_lww tables are rejected: a 'P' patch event carries
         only its written columns, so a row-level predicate over the
         post-image cannot be checked against the event alone (same class
         of reasoning as rename_column's rejection)."""
