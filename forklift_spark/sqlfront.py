@@ -1663,17 +1663,26 @@ class SqlFrontend:
             h = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:24]
             return os.path.join(qdir, f"file-{h}.json")
 
-        # ---- heal orphaned intents (crash between commit and markers)
+        # ---- heal orphaned intents (crash between commit and markers);
+        # a concurrent twin may heal/remove the same intent first — every
+        # step here tolerates losing that race (the operations are
+        # idempotent by content)
         for entry in sorted(table.fs.listdir(qdir)):
             if not entry.startswith("intent-"):
                 continue
             ipath = os.path.join(qdir, entry)
-            intent = table.fs.read_json(ipath)
+            try:
+                intent = table.fs.read_json(ipath)
+            except FileNotFoundError:
+                continue
             if table.epoch_committed(qid, int(intent["epoch"])):
                 for f in intent["files"]:
                     if not table.fs.exists(_fmark(f)):
                         table.fs.put_json(_fmark(f), {"path": f, "epoch": intent["epoch"]})
-            table.fs.remove(ipath)
+            try:
+                table.fs.remove(ipath)
+            except FileNotFoundError:
+                pass
 
         new_files = [f for f in files if not table.fs.exists(_fmark(f))]
         if not new_files:
@@ -1712,15 +1721,37 @@ class SqlFrontend:
             {"epoch": batch_epoch, "files": new_files},
         )
         events = self._events_from(table, df, "U", seq)
-        stats = merge_into(self.spark, table, events,
-                           query_id=qid, epoch=batch_epoch)
+        from .lakette.table import CommitConflictError
+
+        twin = False
+        try:
+            stats = merge_into(self.spark, table, events,
+                               query_id=qid, epoch=batch_epoch)
+        except CommitConflictError:
+            # a CONCURRENT twin racing the same source computed the same
+            # candidate set, hence the same batch epoch — if its commit
+            # carries our (qid, epoch) stamp, OUR exact batch is already
+            # applied: adopt it (write the markers, succeed idempotently)
+            # instead of surfacing a retry the user would no-op anyway.
+            # Any OTHER conflicting writer re-raises untouched.
+            if not table.epoch_committed(qid, batch_epoch):
+                raise
+            twin, stats = True, None
         for f in new_files:
             table.fs.put_json(_fmark(f), {"path": f, "epoch": batch_epoch})
-        table.fs.remove(os.path.join(qdir, f"intent-{batch_epoch}.json"))
-        return self._report("COPY INTO", table.root, {
-            "files_loaded": len(new_files), "files_skipped": len(files) - len(new_files),
-            "rows": stats.batch_rows, "version": stats.version, "seq": seq,
-        })
+        try:
+            table.fs.remove(os.path.join(qdir, f"intent-{batch_epoch}.json"))
+        except FileNotFoundError:
+            pass  # the twin already cleaned it up
+        fields: dict[str, Any] = {
+            "files_loaded": len(new_files),
+            "files_skipped": len(files) - len(new_files),
+        }
+        if twin:
+            fields["applied_by"] = "concurrent twin"
+        else:
+            fields.update(rows=stats.batch_rows, version=stats.version, seq=seq)
+        return self._report("COPY INTO", table.root, fields)
 
     # ------------------------------------------------- SHOW/TRUNCATE TABLE
 

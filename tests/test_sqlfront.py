@@ -964,3 +964,36 @@ def test_run_script_executes_statements_in_order(spark, fe_table):
     assert "a" not in _state(spark, table)
     with pytest.raises(SqlFrontendError, match="empty script"):
         fe.run_script("  -- nothing\n  ")
+
+
+def test_concurrent_copy_into_twins_are_exactly_once(spark, fe_table, tmp_path):
+    """Two threads race the same COPY INTO: whatever the interleaving,
+    every file applies exactly once — the loser either skips (markers
+    already visible) or ADOPTS the twin's identical commit (same batch
+    epoch under the shared statement query-id), never errors, never
+    double-loads."""
+    import threading
+
+    fe, table = fe_table
+    land = tmp_path / "race_land"
+    _write_parquet(spark, land, [("r", f"rc{i}", "py", f"b{i}") for i in range(30)])
+    errs, loaded = [], []
+
+    def run():
+        try:
+            r = SqlFrontend(spark, {"repos": table}).sql(
+                f"COPY INTO repos FROM '{land}' FILEFORMAT = PARQUET"
+            ).collect()[0]
+            loaded.append(int(r.files_loaded))
+        except Exception as e:  # pragma: no cover - any error is a failure
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    # the 30 rows landed exactly once, whoever won
+    got = {r.path for r in table.snapshot(spark).collect() if r.path.startswith("rc")}
+    assert len(got) == 30
+    re = fe.sql(f"COPY INTO repos FROM '{land}' FILEFORMAT = PARQUET").collect()[0]
+    assert re.files_loaded == "0"
