@@ -545,9 +545,86 @@ def run_spark_seed(
             "verify": ver}
 
 
+def copy_worker(root: str, land: str) -> None:
+    """One COPY INTO twin: a separate JVM racing the identical statement
+    against the same table — the per-file exactly-once contract must hold
+    whoever wins each window (sqlfront.py _copy_into: intent record,
+    batch-epoch twin adoption, idempotent markers)."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.session import get_spark
+    from forklift_spark.sqlfront import SqlFrontend
+
+    spark = get_spark(app_name=f"copy-{os.getpid()}", cores=2,
+                      shuffle_partitions=4, driver_memory="3g")
+    fe = SqlFrontend(spark, {"t": LaketteTable(root)})
+    fe.sql(f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET")
+
+
+def run_copy_seed(seed: int, n_files: int = 6, rows_per_file: int = 400,
+                  workdir: str | None = None) -> dict:
+    """Two-JVM COPY INTO twins over one landing dir, one SIGKILL window:
+    kill twin A inside a random early window (JVM spin-up / listing /
+    merge / marker phases all land in it across seeds), restart it, and
+    require the final table to hold EVERY landed row exactly once and a
+    third COPY to load zero files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.session import get_spark
+    from forklift_spark.sqlfront import SqlFrontend
+    from forklift_spark.streaming.ingest import create_entity_table
+
+    rng = random.Random(seed)
+    tmp = workdir or tempfile.mkdtemp(prefix=f"fk_stress_copy_{seed}_")
+    land = os.path.join(tmp, "land")
+    os.makedirs(land, exist_ok=True)
+    for j in range(n_files):
+        rows = {
+            "repo": ["r"] * rows_per_file,
+            "path": [f"f{j}_r{i}" for i in range(rows_per_file)],
+            "commit": [f"c{j}_{i}" for i in range(rows_per_file)],
+            "lang": ["py"] * rows_per_file,
+            "content": [f"body {j} {i}" for i in range(rows_per_file)],
+        }
+        pq.write_table(pa.table(rows), os.path.join(land, f"part-{j:03d}.parquet"))
+    root = os.path.join(tmp, "tbl")
+    create_entity_table(root, n_buckets=4)
+
+    def worker() -> subprocess.Popen:
+        return _spawn(["--copy-worker", "--root", root, "--log", land])
+
+    a, b = worker(), worker()
+    time.sleep(6 + 10 * rng.random())
+    kills = 0
+    if a.poll() is None:
+        a.send_signal(signal.SIGKILL)
+        a.wait()
+        kills = 1
+        a = worker()
+    rc_a = a.wait(timeout=600)
+    rc_b = b.wait(timeout=600)
+
+    spark = get_spark(app_name="stress-copy-verify", cores=4,
+                      shuffle_partitions=8, driver_memory="4g")
+    table = LaketteTable(root)
+    got = {
+        r.path: r.content
+        for r in table.snapshot(spark).select("path", "content").collect()
+    }
+    want = {f"f{j}_r{i}": f"body {j} {i}"
+            for j in range(n_files) for i in range(rows_per_file)}
+    re_copy = SqlFrontend(spark, {"t": table}).sql(
+        f"COPY INTO t FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    ok = got == want and rc_a == 0 and rc_b == 0 and re_copy.files_loaded == "0"
+    return {"seed": seed, "ok": bool(ok), "kills": kills, "rc": (rc_a, rc_b),
+            "rows": len(got), "re_copy_loaded": re_copy.files_loaded}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--level", choices=["meta", "spark", "memvac", "txn"],
+    ap.add_argument("--level", choices=["meta", "spark", "memvac", "txn", "copy"],
                     default="meta")
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=25)
@@ -557,6 +634,7 @@ def main() -> None:
     ap.add_argument("--spark-worker", action="store_true")
     ap.add_argument("--vacuum-worker", action="store_true")
     ap.add_argument("--txn-worker", action="store_true")
+    ap.add_argument("--copy-worker", action="store_true")
     ap.add_argument("--bucket-base", type=int, default=None)
     ap.add_argument("--duration", type=float, default=240.0)
     ap.add_argument("--with-vacuum", action="store_true",
@@ -580,6 +658,9 @@ def main() -> None:
     if args.txn_worker:
         txn_worker(args.root, args.epochs, args.seed)
         return
+    if args.copy_worker:
+        copy_worker(args.root, args.log)
+        return
 
     results = []
     for s in range(args.seeds):
@@ -589,6 +670,8 @@ def main() -> None:
             r = run_memvac_seed(s, epochs=args.epochs)
         elif args.level == "txn":
             r = run_txn_seed(s)
+        elif args.level == "copy":
+            r = run_copy_seed(s)
         else:
             r = run_spark_seed(s, n_events=args.events,
                                with_vacuum=args.with_vacuum)
