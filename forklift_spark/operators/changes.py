@@ -110,11 +110,13 @@ def diff_frames(
         # scan carries — not merely seq. Event-driven merges always advance
         # seq, but predicate DML (operators/dml.py) edits rows IN PLACE with
         # seq preserved (the LWW contract), so a seq-only classifier would
-        # silently hide DML updates from every downstream consumer. Narrow
-        # scans compare (seq, deleted, content_sha) — enough for content
-        # edits; full_rows/old_rows scans carry the payload and so compare
-        # it too, which is why derive/replicate (full-row consumers) see
-        # EVERY DML edit including non-content column fixes.
+        # silently hide DML updates from every downstream consumer. The
+        # caller (snapshot_diff) therefore scans the full comparison basis
+        # on BOTH sides: seq, deleted, content_sha (the witness for the
+        # `content` column — content bodies never move for classification)
+        # plus every other comparable payload column, so EVERY DML edit is
+        # classified, content or not, on tables with or without a content
+        # column.
         new_cols = set(new.columns)
         shared = [
             f.name for f in old.schema.fields
@@ -474,23 +476,42 @@ def snapshot_diff(
         for f in meta_new["schema"]["fields"]
         if f["name"] not in key_cols and f["name"] not in META_COL_NAMES
     ]
-    # the old side only ever contributes keys + engine columns (payload is
-    # emitted from the new side), and without full_rows neither side needs
-    # payload at all — prune at the SCAN, not after the LWW resolve, so a
-    # changelog over a wide table never shuffles content bodies
+    # Comparison basis for the update classifier (diff_frames compares the
+    # columns BOTH scans carry): `content` is witnessed by the engine's
+    # content_sha, so content bodies never need to move for classification
+    # — but every OTHER payload column must be scanned on BOTH sides.
+    # Predicate DML (operators/dml.py) edits rows in place with seq
+    # PRESERVED; a basis of only (seq, deleted, content_sha) makes a
+    # same-seq edit to a non-content column (or any edit on a table with
+    # no content column) invisible, and downstream consumers — the CDC
+    # feed, derive(), replicate(), derive_join's dim span — silently
+    # diverge from the source. Map-typed columns stay excluded (Catalyst
+    # cannot equality-compare maps; patch tables' col_seqs rides the
+    # row-level seq/sha instead). Cost at scale: the non-content payload
+    # of the entity schema (commit, lang) is a few % of content bytes.
+    schema_new = T.StructType.fromJson(meta_new["schema"])
+    old_cols = {f["name"] for f in meta_old["schema"]["fields"]}
+    cmp_cols = [
+        f.name for f in schema_new.fields
+        if f.name in payload_cols and f.name != "content"
+        and f.name in old_cols  # evolved columns exist on one side only:
+        # pre-evolution rows are NULL there by construction, so they can
+        # never flip an otherwise-identical row to "update"
+        and not isinstance(f.dataType, T.MapType)
+    ]
     old = table.snapshot(
         spark,
         include_deleted=True,
         metadata=meta_old,
         buckets=buckets,
-        columns=None if old_rows else [],
+        columns=None if old_rows else cmp_cols,
     )
     new = table.snapshot(
         spark,
         include_deleted=True,
         metadata=meta_new,
         buckets=buckets,
-        columns=None if full_rows else [],
+        columns=None if full_rows else cmp_cols,
     )
     if moved:
         # reachable only on a no-data-change span: align the old side's

@@ -262,6 +262,12 @@ class SqlFrontend:
             return self._alter(stmt, masked)
         if k1 == "CREATE" and k2 == "TABLE":
             return self._create(stmt, masked)
+        if k1 == "CREATE" and k2 == "MATERIALIZED":
+            return self._create_mview(stmt, masked)
+        if k1 == "REFRESH":
+            return self._refresh_mview(stmt, masked)
+        if k1 == "DROP" and k2 == "MATERIALIZED":
+            return self._drop_mview(stmt, masked)
         if k1 == "DROP" and k2 == "TABLE":
             return self._drop(stmt, masked)
         if k1 == "COPY" and k2 == "INTO":
@@ -280,7 +286,8 @@ class SqlFrontend:
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
             "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
-            "SHOW TABLES, SHOW CREATE TABLE, OPTIMIZE [ZORDER BY], ANALYZE "
+            "CREATE/REFRESH/DROP MATERIALIZED VIEW, SHOW TABLES, SHOW CREATE "
+            "TABLE, SHOW MATERIALIZED VIEWS, OPTIMIZE [ZORDER BY], ANALYZE "
             "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE, "
             "BEGIN/COMMIT/ROLLBACK"
         )
@@ -1572,6 +1579,159 @@ class SqlFrontend:
             self._catalog.drop(canon)
         return self._report("DROP TABLE", canon, {"dropped": True})
 
+    # ---------------------------------------------------- MATERIALIZED VIEW
+
+    def _create_mview(self, stmt: str, masked: str) -> DataFrame:
+        """CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name>
+        [LOCATION '<path>'] AS SELECT ... — an incrementally-maintained
+        derived lakette table (sqlmview.py): the SELECT's shape picks the
+        maintenance operator (derive / derive_agg / derive_join), the
+        definition persists under the view's root, and REFRESH consumes
+        changefeed spans exactly-once at O(changed) cost. The view IS a
+        lakette table: SELECT, time travel, .files/.history, EXPORT all
+        work on it; DML/INSERT into it is refused only by convention (the
+        deriver's fingerprint guard catches a drifted state on refresh)."""
+        m = re.match(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: CREATE MATERIALIZED VIEW [IF NOT EXISTS] <name> "
+                "[LOCATION '<path>'] AS SELECT ..."
+            )
+        name = stmt[m.start(2):m.end(2)]
+        pos = m.end(0)
+        location = None
+        loc = re.match(r"LOCATION\s+('(?:[^']|'')*')\s*", masked[pos:], re.IGNORECASE)
+        if loc:
+            location = _unquote(stmt[pos + loc.start(1):pos + loc.end(1)])
+            pos += loc.end()
+        am = re.match(r"AS\s+(SELECT)\b", masked[pos:], re.IGNORECASE)
+        if not am:
+            raise SqlFrontendError(
+                "CREATE MATERIALIZED VIEW needs AS SELECT ... "
+                f"(unparsed: {stmt[pos:pos + 40].strip()!r})"
+            )
+        select_text = stmt[pos + am.start(1):]
+        select_masked = masked[pos + am.start(1):]
+        if self._is_table(name):
+            if m.group(1):
+                return self._report("CREATE MATERIALIZED VIEW", name, {
+                    "created": False, "reason": "exists",
+                })
+            raise SqlFrontendError(
+                f"name {name!r} already registered (use IF NOT EXISTS)"
+            )
+        is_catalog = not isinstance(self._catalog, Mapping)
+        if location is None:
+            if not is_catalog:
+                raise SqlFrontendError(
+                    "managed materialized views need a lakette Catalog "
+                    "resolver; with a plain table dict, give LOCATION '<path>'"
+                )
+            location = os.path.join(self._catalog.root, "tables", name.lower())
+        from . import sqlmview
+
+        try:
+            table, definition, report = sqlmview.create_mview(
+                self.spark, name, location, select_text, select_masked,
+                self._table, original_sql=stmt,
+            )
+        except sqlmview.MviewError as e:
+            raise SqlFrontendError(f"CREATE MATERIALIZED VIEW: {e}") from None
+        if is_catalog:
+            self._catalog.register(name, location)
+        else:
+            try:
+                self._catalog[name] = table
+            except TypeError:
+                raise SqlFrontendError(
+                    f"created materialized view at {location!r} but the "
+                    "resolver mapping is read-only; register it yourself"
+                ) from None
+        return self._report("CREATE MATERIALIZED VIEW", name, {
+            "created": True, "location": location, "kind": definition["kind"],
+            "rows": report["rows"], "src_version": report["src_version"],
+        })
+
+    def _refresh_mview(self, stmt: str, masked: str) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW <name> — one incremental maintenance
+        pass: consume the source changefeed spans since the last applied
+        version and merge exactly-once (the derive operators' offsets and
+        markers). Cost scales with CHANGED data; a vacuumed-past-offset
+        source degrades to one resync epoch, reported, never corruption."""
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError("supported: REFRESH MATERIALIZED VIEW <name>")
+        name = stmt[m.start(1):m.end(1)]
+        table = self._table(name)
+        from . import sqlmview
+
+        definition = sqlmview.read_definition(table)
+        if definition is None:
+            raise SqlFrontendError(
+                f"{name!r} is not a materialized view (no _mview.json under "
+                f"{table.root}) — REFRESH applies to CREATE MATERIALIZED "
+                "VIEW tables only"
+            )
+        try:
+            report = sqlmview.refresh_mview(
+                self.spark, table.root, table.fs, definition
+            )
+        except sqlmview.MviewError as e:
+            raise SqlFrontendError(f"REFRESH: {e}") from None
+        if not isinstance(self._catalog, Mapping):
+            # move the catalog pin forward so vacuum pinning tracks the
+            # refreshed head (idempotent; no-op for dict resolvers)
+            self._catalog.advance(self._names()[name.lower()])
+        return self._report("REFRESH MATERIALIZED VIEW", table.root, report)
+
+    def _drop_mview(self, stmt: str, masked: str) -> DataFrame:
+        """DROP MATERIALIZED VIEW [IF EXISTS] <name> — unregisters the
+        name (metadata-only, DROP TABLE's contract); the view's data and
+        definition stay on disk for the owner to reclaim. Refuses plain
+        tables (use DROP TABLE) so the two namespaces don't blur."""
+        m = re.match(
+            rf"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: DROP MATERIALIZED VIEW [IF EXISTS] <name>"
+            )
+        name = stmt[m.start(2):m.end(2)]
+        canon = self._names().get(name.lower())
+        if canon is None:
+            if m.group(1):
+                return self._report("DROP MATERIALIZED VIEW", name, {
+                    "dropped": False, "reason": "not registered",
+                })
+            raise SqlFrontendError(
+                f"unknown materialized view {name!r} (use IF EXISTS); "
+                f"registered: {sorted(self._names().values())}"
+            )
+        from . import sqlmview
+
+        if sqlmview.read_definition(self._table(canon)) is None:
+            raise SqlFrontendError(
+                f"{canon!r} is a plain table, not a materialized view — "
+                "use DROP TABLE"
+            )
+        if isinstance(self._catalog, Mapping):
+            try:
+                del self._catalog[canon]
+            except TypeError:
+                raise SqlFrontendError(
+                    "resolver mapping is read-only; drop the entry yourself"
+                ) from None
+        else:
+            self._catalog.drop(canon)
+        return self._report("DROP MATERIALIZED VIEW", canon, {"dropped": True})
+
     # ------------------------------------------------------------ COPY INTO
 
     def _copy_into(self, stmt: str, masked: str) -> DataFrame:
@@ -1766,11 +1926,27 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 rows, "name string, root string, version long, key_cols string"
             )
+        if re.match(r"SHOW\s+MATERIALIZED\s+VIEWS\s*$", masked, re.IGNORECASE):
+            from . import sqlmview
+
+            rows = []
+            for name in sorted(self._names().values()):
+                t = self._table(name)
+                d = sqlmview.read_definition(t)
+                if d is None:
+                    continue
+                rows.append((name, t.root, d["kind"], d.get("sql", "")))
+            return self.spark.createDataFrame(
+                rows, "name string, root string, kind string, definition string"
+            )
         m = re.match(
             rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", masked, re.IGNORECASE
         )
         if not m:
-            raise SqlFrontendError("supported: SHOW TABLES | SHOW CREATE TABLE <t>")
+            raise SqlFrontendError(
+                "supported: SHOW TABLES | SHOW CREATE TABLE <t> | "
+                "SHOW MATERIALIZED VIEWS"
+            )
         name = stmt[m.start(1):m.end(1)]
         table = self._table(name)
         meta = table.current_metadata()

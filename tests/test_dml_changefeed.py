@@ -56,6 +56,53 @@ def test_dml_emits_row_level_changes(spark, tmp_path):
     assert changes == {("delete", "a"), ("update", "c")}
 
 
+def test_dml_non_content_edit_is_visible(spark, tmp_path):
+    """Regression (r5): a predicate-DML edit preserves seq AND may leave
+    content (hence content_sha) untouched — e.g. fixing `lang`. The diff's
+    comparison basis must cover every payload column, or the change is
+    invisible to the CDC feed and derive() silently diverges. Also covers
+    tables with NO content column at all (content_sha NULL everywhere)."""
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, [_ev("I", 1, "a", lang="de"), _ev("I", 2, "b")], 0)
+    v_pre = table.current_metadata()["version"]
+    dst_root = str(tmp_path / "dst")
+    derive(spark, table, dst_root, MAPPING, derive_id="d")
+
+    update_where(spark, table, {"lang": "'go'"}, "path = 'a'")
+    v_post = table.current_metadata()["version"]
+
+    # narrow feed sees it (same seq, same content_sha — payload compared)
+    diff = snapshot_diff(spark, table, v_pre, v_post)
+    assert [(r.change, r.path, r.seq) for r in diff.collect()] == [("update", "a", 1)]
+    # full-row feed carries the new value
+    full = snapshot_diff(spark, table, v_pre, v_post, full_rows=True)
+    assert [(r.change, r.lang) for r in full.collect()] == [("update", "go")]
+    # and derive converges to transform(final source) — not the stale row
+    derive(spark, table, dst_root, MAPPING, derive_id="d")
+    got = {r.path: r.lang
+           for r in LaketteTable(dst_root).snapshot(spark).select("path", "lang").collect()}
+    assert got["a"] == "go"
+
+    # a table WITHOUT a content column: same contract
+    from forklift_spark.lakette.table import LaketteTable as LT
+    from pyspark.sql import types as T
+
+    dim = LT.create(
+        str(tmp_path / "dim"),
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]),
+        ["k"], n_buckets=4,
+    )
+    ev = spark.createDataFrame([("U", 1, "x", "old")], "op string, seq long, k string, v string")
+    merge_into(spark, dim, ev, query_id="s", epoch=0)
+    v1 = dim.current_metadata()["version"]
+    update_where(spark, dim, {"v": "'new'"}, "k = 'x'")
+    d2 = snapshot_diff(spark, dim, v1, dim.current_metadata()["version"], full_rows=True)
+    assert [(r.change, r.k, r.v) for r in d2.collect()] == [("update", "x", "new")]
+
+
 def test_derive_propagates_dml_and_restore(spark, tmp_path):
     """bronze -> silver across a span containing DML and a restore: the
     derived table must converge to transform(final source) sha-exact —
