@@ -32,6 +32,7 @@ import os
 import re
 import time
 import uuid
+from collections.abc import Mapping
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any
@@ -1096,6 +1097,56 @@ class LaketteTable:
                 for k in ("stats_cols", "bloom_cols")
             },
             writer=writer or {"query_id": "__drop__", "epoch": int(cur["version"]),
+                              "nonce": uuid.uuid4().hex},
+            base_version=int(cur["version"]),
+        )
+
+    def add_columns(
+        self, columns: Mapping[str, Any], *, writer: dict | None = None
+    ) -> TableCommit:
+        """Add nullable user columns WITHOUT rewriting any data — the
+        explicit-DDL twin of merge_into's implicit additive evolution
+        (operators/merge.py _schema_evolve): a metadata-only commit
+        appends the fields before the engine meta tail; files written
+        earlier simply lack the new physical columns and read back as
+        typed NULLs under the current schema. `columns` maps name -> Spark
+        DataType or DDL type string (anything `StructType.fromDDL`
+        accepts). Re-using a previously DROPPED logical name mints a FRESH
+        physical id through the retired list (commit_version's colmap
+        extension), so the dropped column's old bytes can never resurrect
+        under the new column."""
+        if not columns:
+            raise ValueError("add_columns: no columns given")
+        cur = self._raw_current()
+        schema_cur = T.StructType.fromJson(cur["schema"])
+        existing = {f.name for f in schema_cur.fields}
+        new_fields: list[T.StructField] = []
+        for name, typ in dict(columns).items():
+            if name in existing:
+                raise ValueError(f"add_columns: column {name!r} already exists")
+            if name in META_COL_NAMES or name == "op":
+                raise ValueError(
+                    f"add_columns: {name!r} is reserved for the engine "
+                    "(op/seq/content_sha/deleted/col_seqs)"
+                )
+            if isinstance(typ, T.DataType):
+                dt = typ
+            else:
+                try:
+                    dt = T.StructType.fromDDL(f"__x {typ}")[0].dataType
+                except Exception as e:
+                    raise ValueError(
+                        f"add_columns: cannot parse type {typ!r} for "
+                        f"{name!r}: {e}"
+                    ) from None
+            new_fields.append(T.StructField(name, dt, True))
+        body = [f for f in schema_cur.fields if f.name not in META_COL_NAMES]
+        meta_tail = [f for f in schema_cur.fields if f.name in META_COL_NAMES]
+        return self.commit_version(
+            new_files=[], replaced_buckets=set(),
+            schema=T.StructType(body + new_fields + meta_tail),
+            writer=writer or {"query_id": "__add_column__",
+                              "epoch": int(cur["version"]),
                               "nonce": uuid.uuid4().hex},
             base_version=int(cur["version"]),
         )

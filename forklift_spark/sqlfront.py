@@ -518,13 +518,31 @@ class SqlFrontend:
                         raise SqlFrontendError(
                             f"{ident}: the change feed needs its starting "
                             "offset — FROM <t>.changes VERSION AS OF "
-                            "<n>|'<tag>' (or TIMESTAMP AS OF '<ts>')"
+                            "<n>|'<tag>' [TO <m>|'<tag>'] (or TIMESTAMP "
+                            "AS OF '<ts>')"
                         )
-                    from .operators.changes import changes_since
+                    from .operators.changes import changes_since, snapshot_diff
 
-                    cur_v, diff = changes_since(
-                        self.spark, table, from_v, full_rows=True
+                    # optional bounded span (Delta table_changes(start, end)
+                    # parity): ... VERSION AS OF <n> TO <m>|'<tag>'
+                    to_m = re.match(
+                        r"\s*TO\s+(\d+|'[^']*')", masked[end:], re.IGNORECASE
                     )
+                    if to_m:
+                        vtext2 = stmt[end + to_m.start(1): end + to_m.end(1)]
+                        to_v = (
+                            table.ref_version(_unquote(vtext2))
+                            if vtext2.startswith("'") else int(vtext2)
+                        )
+                        end += to_m.end()
+                        cur_v = to_v
+                        diff = snapshot_diff(
+                            self.spark, table, from_v, to_v, full_rows=True
+                        )
+                    else:
+                        cur_v, diff = changes_since(
+                            self.spark, table, from_v, full_rows=True
+                        )
                     view = f"__lakette_{base.lower()}__changes_{from_v}_{cur_v}"
                     diff.createOrReplaceTempView(view)
                     out.append(stmt[last:ident_span[0]])
@@ -2200,12 +2218,14 @@ class SqlFrontend:
             rf"|CREATE\s+(TAG|BRANCH)\s+({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
             rf"|DROP\s+(?:TAG|BRANCH)\s+({_IDENT})"
             rf"|ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)"
-            rf"|DROP\s+CONSTRAINT\s+({_IDENT}))\s*$",
+            rf"|DROP\s+CONSTRAINT\s+({_IDENT})"
+            r"|ADD\s+COLUMNS?\s*\((.+)\))\s*$",
             masked, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlFrontendError(
                 "supported: ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN a | "
+                "ADD COLUMN[S] (c TYPE, ...) | "
                 "CREATE TAG|BRANCH <name> [VERSION AS OF n] | DROP TAG <name> | "
                 "ADD CONSTRAINT <name> CHECK (expr) | DROP CONSTRAINT <name>"
             )
@@ -2238,5 +2258,23 @@ class SqlFrontend:
             except ValueError as e:
                 raise SqlFrontendError(f"DROP CONSTRAINT: {e}") from None
             return self._report("ALTER DROP CONSTRAINT", table.root, {"version": c.version})
+        if m.group(12):
+            # explicit additive evolution — the DDL twin of merge_into's
+            # implicit ALTER-then-merge; metadata-only, old rows read NULL
+            body = stmt[m.start(12):m.end(12)]
+            schema, keys = self._parse_coldefs(body, masked[m.start(12):m.end(12)])
+            if keys is not None:
+                raise SqlFrontendError(
+                    "ADD COLUMN takes no PRIMARY KEY clause (keys are fixed "
+                    "at CREATE TABLE — they are the merge identity)"
+                )
+            try:
+                c = table.add_columns({f.name: f.dataType for f in schema.fields})
+            except ValueError as e:
+                raise SqlFrontendError(f"ADD COLUMN: {e}") from None
+            return self._report("ALTER ADD COLUMN", table.root, {
+                "version": c.version,
+                "columns": ",".join(f.name for f in schema.fields),
+            })
         table.drop_ref(stmt[m.start(8):m.end(8)])
         return self._report("ALTER DROP REF", table.root, {"dropped": stmt[m.start(8):m.end(8)]})

@@ -1706,3 +1706,89 @@ def sql_txn(spark, sf):
         "UNION ALL "
         "SELECT repo, path, 'odd' AS side, content_sha FROM t_odd"
     )
+
+
+#: silver (map+filter mview) rows annotated with their gold (agg mview)
+#: group — one result hashing BOTH derived tables of the SQL medallion
+_SQL_MVIEW_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         lang, text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL, NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+),
+silver AS (
+  SELECT repo, path, seq, lang, CAST(length(content) AS BIGINT) AS n_chars,
+         sha256(upper(content)) AS content_sha
+  FROM ranked WHERE rn = 1 AND op <> 'D' AND lang <> 'de'
+),
+gold AS (
+  SELECT lang, count(*) AS lang_n, CAST(sum(n_chars) AS BIGINT) AS lang_sz
+  FROM silver GROUP BY lang
+)
+SELECT s.repo, s.path, s.seq, s.lang, s.n_chars, s.content_sha,
+       g.lang_n, g.lang_sz
+FROM silver s JOIN gold g ON s.lang = g.lang
+"""
+
+
+@q("sql_mview", _SQL_MVIEW_SQL, extra=True)
+def sql_mview(spark, sf):
+    """SQL materialized-view medallion end-to-end (forklift_spark/
+    sqlmview.py): CREATE MATERIALIZED VIEW silver (projection + WHERE ->
+    derive) over the post-insert bronze, CREATE MATERIALIZED VIEW gold
+    (GROUP BY -> derive_agg) CHAINED over silver, then land the update +
+    delete epochs in bronze and REFRESH both — two incremental
+    maintenance passes through changefeed spans, exactly-once. The result
+    joins every silver row to its gold group, so one value-hash witnesses
+    BOTH derived tables against the pure-SQL recompute."""
+    from forklift_spark.sqlfront import SqlFrontend
+
+    base = os.path.join(tempfile.gettempdir(), f"fk_mv_{os.path.basename(sf)}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = create_entity_table(os.path.join(base, "bronze"), n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    fe = SqlFrontend(spark, {"repos": table})
+
+    def _epoch(i, op):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn(
+                "event_ts", F.lit(None).cast("timestamp")
+            ),
+            query_id="mv_src",
+            epoch=i,
+        )
+
+    _epoch(0, "I")
+    fe.sql(
+        f"CREATE MATERIALIZED VIEW silver LOCATION '{base}/silver' AS "
+        "SELECT repo, path, lang, CAST(length(content) AS LONG) AS n_chars, "
+        "upper(content) AS content FROM repos WHERE lang <> 'de'"
+    )
+    fe.sql(
+        f"CREATE MATERIALIZED VIEW gold LOCATION '{base}/gold' AS "
+        "SELECT lang, count(*) AS lang_n, sum(n_chars) AS lang_sz "
+        "FROM silver GROUP BY lang"
+    )
+    _epoch(1, "U")
+    _epoch(2, "D")
+    fe.sql("REFRESH MATERIALIZED VIEW silver")
+    fe.sql("REFRESH MATERIALIZED VIEW gold")
+    return fe.sql(
+        "SELECT s.repo, s.path, s.seq, s.lang, s.n_chars, s.content_sha, "
+        "g.lang_n, g.lang_sz "
+        "FROM silver s JOIN gold g ON s.lang = g.lang"
+    )

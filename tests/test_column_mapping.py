@@ -110,6 +110,21 @@ def test_drop_never_resurrects_and_retires_physical(spark, tmp_path):
     assert old == {"a": "py", "b": "rs"}
 
 
+def test_add_columns_ddl_mints_fresh_physical_after_drop(spark, tmp_path):
+    """Explicit ADD COLUMN (table.add_columns — the DDL twin of merge's
+    implicit evolution) follows the same no-resurrection rule: re-adding
+    a dropped logical name maps to a fresh physical id, and pre-existing
+    rows read typed NULL."""
+    t = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, t, [_ev("I", 1, "a", lang="py")])
+    t.drop_column("lang")
+    t.add_columns({"lang": "string", "stars": "bigint"})
+    meta = t._raw_current()
+    assert meta["colmap"]["lang"] == "lang__2"  # fresh physical id
+    row = t.snapshot(spark).select("lang", "stars").collect()[0]
+    assert row.lang is None and row.stars is None  # no resurrection
+
+
 def test_restore_across_rename(spark, tmp_path):
     t = create_entity_table(str(tmp_path / "t"), n_buckets=2)
     _seed(spark, t, [_ev("I", 1, "a", lang="py")])

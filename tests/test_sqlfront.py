@@ -905,6 +905,66 @@ def test_changes_metadata_table_is_the_cdc_feed(spark, fe_table):
         fe.sql("SELECT * FROM repos.changes")
 
 
+def test_changes_bounded_span_to_version(spark, fe_table):
+    """FROM <t>.changes VERSION AS OF <n> TO <m> — the bounded span
+    (Delta table_changes(start, end) parity): later commits must NOT
+    leak into the feed, and tags resolve on both ends."""
+    fe, table = fe_table
+    v0 = int(table.current_metadata()["version"])
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    v1 = int(table.current_metadata()["version"])
+    table.create_ref("mid", kind="tag")
+    _seed(spark, table, [_ev("I", 10, "zz")], epoch=2)
+
+    rows = fe.sql(
+        f"SELECT change, path FROM repos.changes VERSION AS OF {v0} TO {v1}"
+    ).collect()
+    assert [(r.change, r.path) for r in rows] == [("update", "a")]
+    # tag as the end bound; alias still attaches after the TO clause
+    rows = fe.sql(
+        f"SELECT c.change, c.path FROM repos.changes VERSION AS OF {v0} "
+        "TO 'mid' c WHERE c.change = 'update'"
+    ).collect()
+    assert [(r.change, r.path) for r in rows] == [("update", "a")]
+    # unbounded still reaches the head
+    n = fe.sql(
+        f"SELECT count(*) AS n FROM repos.changes VERSION AS OF {v0}"
+    ).collect()[0].n
+    assert n == 2
+
+
+def test_alter_add_column(spark, fe_table):
+    """ALTER TABLE ADD COLUMN[S]: metadata-only additive evolution — old
+    rows read typed NULL, new writes carry the column, SHOW CREATE TABLE
+    lists it, and reserved/duplicate names are refused."""
+    fe, table = fe_table
+    rep = fe.sql(
+        "ALTER TABLE repos ADD COLUMNS (stars BIGINT, meta STRUCT<a: INT>)"
+    ).collect()[0]
+    assert rep.columns == "stars,meta"
+
+    # pre-evolution rows: typed NULLs
+    got = fe.sql("SELECT path, stars, meta FROM repos WHERE path = 'a'").collect()[0]
+    assert got.stars is None and got.meta is None
+    # new writes carry it through the ordinary merge path
+    fe.sql("UPDATE repos SET stars = 7 WHERE path = 'a'")
+    assert fe.sql(
+        "SELECT stars FROM repos WHERE path = 'a'"
+    ).collect()[0].stars == 7
+    # surfaces in SHOW CREATE TABLE
+    ddl = fe.sql("SHOW CREATE TABLE repos").collect()[0].createtab_stmt
+    assert "stars BIGINT" in ddl
+    # loud gates: duplicate, reserved, bad type, PRIMARY KEY
+    with pytest.raises(SqlFrontendError, match="already exists"):
+        fe.sql("ALTER TABLE repos ADD COLUMN (stars LONG)")
+    with pytest.raises(SqlFrontendError, match="reserved"):
+        fe.sql("ALTER TABLE repos ADD COLUMN (seq LONG)")
+    with pytest.raises(SqlFrontendError, match="cannot parse column types"):
+        fe.sql("ALTER TABLE repos ADD COLUMN (x NOTATYPE)")
+    with pytest.raises(SqlFrontendError, match="PRIMARY KEY"):
+        fe.sql("ALTER TABLE repos ADD COLUMN (x INT, PRIMARY KEY (x))")
+
+
 def test_fsck_and_export_statements(spark, fe_table, tmp_path):
     fe, table = fe_table
     # healthy table: single ok row (FSCK reports, never repairs)
