@@ -39,6 +39,12 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("VACUUM repos RETAIN 24 HOURS DRY RUN")
     fe.sql("FSCK TABLE repos DEEP")
     fe.sql("EXPORT TABLE repos VERSION AS OF 'trained' TO '/drops/repos'")
+    fe.sql("ALTER TABLE repos ADD COLUMNS (stars BIGINT)")
+    fe.sql("SELECT * FROM repos.changes VERSION AS OF 3 TO 7")  # bounded span
+    fe.sql("CREATE MATERIALIZED VIEW py_docs LOCATION '/lake/py' AS "
+           "SELECT repo, path, content FROM repos WHERE lang = 'py'")
+    fe.sql("REFRESH MATERIALIZED VIEW py_docs")    # incremental, O(changed)
+    fe.sql("SHOW MATERIALIZED VIEWS")
 
 Every statement returns a DataFrame (queries: the result; DML/utility: a
 one-row report), so `fe.sql` composes like `spark.sql`.
@@ -1967,6 +1973,15 @@ class SqlFrontend:
             )
         name = stmt[m.start(1):m.end(1)]
         table = self._table(name)
+        from . import sqlmview
+
+        mdef = sqlmview.read_definition(table)
+        if mdef is not None:
+            # a materialized view's DDL is its definition statement — the
+            # stored SQL re-runs verbatim (CREATE adopts same-SQL roots)
+            return self.spark.createDataFrame(
+                [(mdef.get("sql", ""),)], "createtab_stmt string"
+            )
         meta = table.current_metadata()
         cols = ",\n".join(
             f"  {f.name} {f.dataType.simpleString().upper()}"

@@ -188,6 +188,11 @@ def test_mview_lifecycle_show_drop_adopt(spark, fe):
     shown = {r.name: r.kind for r in front.sql("SHOW MATERIALIZED VIEWS").collect()}
     assert shown == {"mv": "map"}
 
+    # SHOW CREATE TABLE on an mview returns its definition statement,
+    # which re-runs verbatim (the adoption contract below relies on it)
+    ddl = front.sql("SHOW CREATE TABLE mv").collect()[0].createtab_stmt
+    assert ddl.startswith("CREATE MATERIALIZED VIEW mv")
+
     # duplicate name: loud; IF NOT EXISTS: no-op
     with pytest.raises(SqlFrontendError, match="already registered"):
         front.sql(sql)
