@@ -454,6 +454,28 @@ def refresh_mview(spark, root: str, fs, definition: dict[str, Any]) -> dict[str,
     raise MviewError(f"unknown mview kind {kind!r} in {def_path(root)}")
 
 
+def refresh_hook(table: LaketteTable):
+    """A `run_ingest(derived=[...])` hook keeping this materialized view
+    fresh from inside the streaming loop — the SQL-declared face of the
+    medallion pattern (streaming/ingest.py's derived= contract: any
+    callable taking the SparkSession). The definition is re-read per
+    refresh, so a view re-created with different SQL between epochs is
+    picked up (and a dropped definition fails loudly, never silently
+    stops maintaining)."""
+    root, fs = table.root, table.fs
+
+    def _hook(spark):
+        d = read_definition(LaketteTable(root, storage=fs))
+        if d is None:
+            raise MviewError(
+                f"{root} is not a materialized view (no _mview.json) — "
+                "was it dropped mid-ingest?"
+            )
+        return refresh_mview(spark, root, fs, d)
+
+    return _hook
+
+
 def create_mview(
     spark,
     name: str,

@@ -219,6 +219,59 @@ def test_mview_lifecycle_show_drop_adopt(spark, fe):
         front.sql("REFRESH MATERIALIZED VIEW repos")
 
 
+# ------------------------------------------------- streaming integration
+
+def test_mview_refresh_hook_in_run_ingest(spark, tmp_path):
+    """SQL-declared mviews ride the medallion loop: run_ingest(derived=
+    [refresh_hook(view)]) keeps the view fresh per epoch, and after the
+    drain it equals the recompute of the final bronze state."""
+    from forklift_spark.changelog import ChangelogSpec, generate_changelog
+    from forklift_spark.sqlmview import refresh_hook
+    from forklift_spark.streaming.ingest import run_ingest
+
+    log_dir = str(tmp_path / "log")
+    generate_changelog(
+        ChangelogSpec(n_events=1500, n_repos=4, paths_per_repo=10,
+                      seed=7, segment_rows=500),
+        log_dir,
+    )
+    bronze = create_entity_table(str(tmp_path / "bronze"), n_buckets=4)
+    front = SqlFrontend(spark, {"bronze": bronze})
+    # seed one epoch so the CREATE has a source snapshot, then stream
+    run_ingest(spark, log_dir, bronze, str(tmp_path / "ck0"),
+               query_id="mvloop", max_files_per_trigger=1, timeout_sec=120,
+               available_now=True)
+    front.sql(
+        f"CREATE MATERIALIZED VIEW mv LOCATION '{tmp_path / 'mv'}' AS "
+        "SELECT repo, path, lang, length(content) AS n FROM bronze "
+        "WHERE lang <> 'md'"
+    )
+    # more events through the loop WITH the hook
+    generate_changelog(
+        ChangelogSpec(n_events=1500, n_repos=4, paths_per_repo=10,
+                      seed=8, segment_rows=500),
+        str(tmp_path / "log2"),
+    )
+    report = run_ingest(
+        spark, str(tmp_path / "log2"), bronze, str(tmp_path / "ck1"),
+        query_id="mvloop2", max_files_per_trigger=1, timeout_sec=120,
+        derived=[refresh_hook(front._table("mv"))],
+    )
+    assert any(not e.skipped for e in report.epochs)
+    got = sorted(
+        tuple(r) for r in front.sql(
+            "SELECT repo, path, lang, n FROM mv"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in front.sql(
+            "SELECT repo, path, lang, length(content) AS n FROM bronze "
+            "WHERE lang <> 'md'"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 # ------------------------------------------------------------ loud gates
 
 @pytest.mark.parametrize("select,msg", [
