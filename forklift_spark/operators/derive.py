@@ -142,7 +142,8 @@ def _spec_fingerprint(mapping: MappingSpec, predicate) -> dict:
 
 
 def _spec_guard(
-    dst: LaketteTable, derive_id: str, fp: dict, allow_spec_change: bool
+    dst: LaketteTable, derive_id: str, fp: dict, allow_spec_change: bool,
+    force_resync: bool = False,
 ) -> tuple[str, bool, "callable"]:
     """Shared drift guard for derive() and derive_agg(): persist the
     transform's fingerprint next to the destination; raise when a later
@@ -155,19 +156,32 @@ def _spec_guard(
               resync epoch can never be skipped by the old spec's markers;
               a crash between the resync commit and the fingerprint write
               re-enters and heals idempotently (the marker gates the merge)
-      store_fp  call after the first successful apply under this spec."""
+      store_fp  call after the first successful apply under this spec.
+
+    A persisted REPAIR GENERATION (`_repair_gen` alongside the
+    fingerprint) is folded into the qid and bumped on every resync
+    trigger — an accepted spec change or `force_resync=True`. This makes
+    every resync epoch land in a marker namespace no previous epoch ever
+    used, which (a) lets a caller force a full re-derivation at an
+    UNCHANGED source version (repairing out-of-band destination drift —
+    the old per-spec qid already holds a marker at that version and would
+    skip the merge), and (b) closes the A->B->A spec flip-flop hole:
+    returning to a previously-used spec used to resurrect its old qid
+    whose markers claimed the resync version was already applied,
+    silently leaving B-spec rows behind. The bump is crash-idempotent: a
+    retry recomputes the same generation (stored gen never advanced) and
+    re-enters the same fresh namespace, where the marker gates the merge."""
     import hashlib
     import json as _json
 
-    qid = (
-        derive_id + "@"
-        + hashlib.sha256(_json.dumps(fp, sort_keys=True).encode()).hexdigest()[:8]
-    )
     fp_dir = os.path.join(dst.root, "_derive")
     fp_path = os.path.join(fp_dir, f"{derive_id}.json")
     spec_changed = False
+    gen = 0
     if dst.fs.exists(fp_path):
-        if dst.fs.read_json(fp_path) != fp:
+        stored = dst.fs.read_json(fp_path)
+        gen = int(stored.pop("_repair_gen", 0))
+        if stored != fp:
             if not allow_spec_change:
                 raise ValueError(
                     f"derive spec for {derive_id!r} differs from the one this "
@@ -177,10 +191,18 @@ def _spec_guard(
                     f"resync epoch under the new spec."
                 )
             spec_changed = True
+    if spec_changed or force_resync:
+        gen += 1
+
+    qid = (
+        derive_id + "@"
+        + hashlib.sha256(_json.dumps(fp, sort_keys=True).encode()).hexdigest()[:8]
+        + (f"+r{gen}" if gen else "")
+    )
 
     def store_fp() -> None:
         dst.fs.makedirs(fp_dir)
-        dst.fs.put_json(fp_path, fp)
+        dst.fs.put_json(fp_path, {**fp, "_repair_gen": gen} if gen else fp)
 
     return qid, spec_changed, store_fp
 
@@ -300,6 +322,7 @@ def derive(
     n_buckets: int | None = None,
     every_version: bool = False,
     allow_spec_change: bool = False,
+    force_resync: bool = False,
 ) -> DeriveReport:
     """Bring the derived table at `dst_root` up to the source's current
     version under the transform (mapping, predicate). Creates the
@@ -316,7 +339,16 @@ def derive(
     state vs the destination, overwrite semantics) so every row is
     re-derived consistently, and updates the stored fingerprint. String/
     SQL spec entries get exact drift detection; Column/pandas entries are
-    opaque (a swap between two opaque entries is not detectable)."""
+    opaque (a swap between two opaque entries is not detectable).
+
+    `force_resync=True` runs the same full resync epoch at an UNCHANGED
+    spec — the repair lever for out-of-band destination drift (rows
+    edited/merged into the derived table behind the deriver's back) or
+    plain suspicion: expected state is recomputed from the current source
+    snapshot, state-diffed against the destination (repair semantics:
+    divergent payloads rewritten, extra keys deleted), and applied in a
+    fresh marker namespace so it is never skipped as already-done. The
+    SQL face is `REFRESH MATERIALIZED VIEW <name> FULL`."""
     src_meta = src._raw_current()
     target_v = int(src_meta["version"])
     key_cols = list(src_meta["key_cols"])
@@ -340,7 +372,8 @@ def derive(
 
     # spec drift guard (see docstring / _spec_guard)
     qid, spec_changed, _store_fp = _spec_guard(
-        dst, derive_id, _spec_fingerprint(mapping, predicate), allow_spec_change
+        dst, derive_id, _spec_fingerprint(mapping, predicate), allow_spec_change,
+        force_resync=force_resync,
     )
 
     def _apply(batch: DataFrame, epoch: int, *, mode_: str, overwrite: bool = False):
@@ -398,9 +431,9 @@ def derive(
         _store_fp()
         return report
 
-    if spec_changed:
-        # every row must be re-derived under the new spec (fresh offsets:
-        # the per-spec qid has no markers, so the epoch cannot be skipped)
+    if spec_changed or force_resync:
+        # every row must be re-derived (fresh offsets: the gen-bumped qid
+        # has no markers, so the resync epoch cannot be skipped)
         return _resync()
 
     last = last_replicated_version(dst, qid)

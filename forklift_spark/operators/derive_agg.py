@@ -362,6 +362,7 @@ def derive_agg(
     mode: str = "cow",
     n_buckets: int | None = None,
     allow_spec_change: bool = False,
+    force_resync: bool = False,
 ) -> AggDeriveReport:
     """Bring the gold table at `dst_root` up to the source's current
     version under (group_by, aggs, predicate) — see module docstring for
@@ -371,7 +372,10 @@ def derive_agg(
     A changed spec raises unless `allow_spec_change=True`, which REBUILDS
     the destination under the new spec (drop + recreate + one recompute
     epoch — additive-only schema evolution cannot drop a removed aggregate
-    column, and gold tables are small; same drift guard as derive())."""
+    column, and gold tables are small; same drift guard as derive()).
+    `force_resync=True` repairs out-of-band gold drift at an UNCHANGED
+    spec: full recompute, state-diffed against the destination and applied
+    in a fresh marker namespace (SQL: REFRESH MATERIALIZED VIEW x FULL)."""
     src_meta = src._raw_current()
     target_v = int(src_meta["version"])
     key_cols = list(src_meta["key_cols"])
@@ -409,7 +413,9 @@ def derive_agg(
         "predicate": predicate if isinstance(predicate, (str, type(None))) else "<non-sql>",
         "strategy": strategy,
     }
-    qid, spec_changed, store_fp = _spec_guard(dst, derive_id, fp, allow_spec_change)
+    qid, spec_changed, store_fp = _spec_guard(
+        dst, derive_id, fp, allow_spec_change, force_resync=force_resync
+    )
     report = AggDeriveReport(src_version=target_v, strategy=strategy)
 
     def _group_exprs(frame: DataFrame) -> DataFrame:
@@ -472,6 +478,12 @@ def derive_agg(
         report.applied_epochs.append(_apply(batch, target_v, overwrite=True))
         store_fp()
         return report
+
+    if force_resync and not spec_changed:
+        # same spec, forced repair: the schema is identical, so the
+        # in-place state-diff resync applies (no rebuild needed); the
+        # gen-bumped qid guarantees the epoch is never marker-skipped
+        return _resync()
 
     if spec_changed:
         # An ACCEPTED spec change REBUILDS the gold table: the spec IS the

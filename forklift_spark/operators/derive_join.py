@@ -311,10 +311,15 @@ def derive_join(
     dim_prefix: str = "dim_",
     reverse_lookup_max_keys: int = 1024,
     allow_spec_change: bool = False,
+    force_resync: bool = False,
 ) -> DeriveJoinReport:
     """Bring the derived join table at `dst_root` up to both sources'
     current versions (module docstring). Safe to call repeatedly; fits
-    `run_ingest(derived=[...])` as `lambda s: derive_join(s, ...)`."""
+    `run_ingest(derived=[...])` as `lambda s: derive_join(s, ...)`.
+    `force_resync=True` repairs out-of-band destination drift at an
+    UNCHANGED spec: full expected-state recompute, state-diffed against
+    the destination, applied in a fresh marker namespace (SQL: REFRESH
+    MATERIALIZED VIEW x FULL)."""
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if fact.root == dim.root:
@@ -356,7 +361,7 @@ def derive_join(
         "dim_root": dim.root,
     }
     qid, spec_changed, store_fp = _spec_guard(
-        dst, derive_id, fp, allow_spec_change
+        dst, derive_id, fp, allow_spec_change, force_resync=force_resync
     )
     off_path = os.path.join(dst.root, "_derive", f"{derive_id}.offsets.json")
 
@@ -419,7 +424,7 @@ def derive_join(
         _store_offsets()
         return report
 
-    if spec_changed:
+    if spec_changed or force_resync:
         return _full(initial=False)
 
     have_offsets = dst.fs.exists(off_path)

@@ -1680,17 +1680,23 @@ class SqlFrontend:
         })
 
     def _refresh_mview(self, stmt: str, masked: str) -> DataFrame:
-        """REFRESH MATERIALIZED VIEW <name> — one incremental maintenance
-        pass: consume the source changefeed spans since the last applied
-        version and merge exactly-once (the derive operators' offsets and
-        markers). Cost scales with CHANGED data; a vacuumed-past-offset
-        source degrades to one resync epoch, reported, never corruption."""
+        """REFRESH MATERIALIZED VIEW <name> [FULL] — one incremental
+        maintenance pass: consume the source changefeed spans since the
+        last applied version and merge exactly-once (the derive operators'
+        offsets and markers). Cost scales with CHANGED data; a
+        vacuumed-past-offset source degrades to one resync epoch,
+        reported, never corruption. The FULL variant forces a complete
+        re-derivation (state-diff repair of out-of-band view drift) even
+        when the view looks current — O(table), the explicit exception."""
         m = re.match(
-            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*$",
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})(\s+FULL)?\s*$",
             masked, re.IGNORECASE,
         )
         if not m:
-            raise SqlFrontendError("supported: REFRESH MATERIALIZED VIEW <name>")
+            raise SqlFrontendError(
+                "supported: REFRESH MATERIALIZED VIEW <name> [FULL]"
+            )
+        full = bool(m.group(2))
         name = stmt[m.start(1):m.end(1)]
         table = self._table(name)
         from . import sqlmview
@@ -1704,7 +1710,7 @@ class SqlFrontend:
             )
         try:
             report = sqlmview.refresh_mview(
-                self.spark, table.root, table.fs, definition
+                self.spark, table.root, table.fs, definition, full=full
             )
         except sqlmview.MviewError as e:
             raise SqlFrontendError(f"REFRESH: {e}") from None

@@ -413,10 +413,17 @@ def compile_mview(plan: dict[str, Any], resolve) -> dict[str, Any]:
 
 # ------------------------------------------------------------ executing
 
-def refresh_mview(spark, root: str, fs, definition: dict[str, Any]) -> dict[str, Any]:
+def refresh_mview(
+    spark, root: str, fs, definition: dict[str, Any], *, full: bool = False
+) -> dict[str, Any]:
     """Run one incremental maintenance pass from the persisted definition.
     Exactly-once / crash-resume / vacuumed-source resync are the derive
-    operators' contracts; returns a normalized report dict."""
+    operators' contracts; returns a normalized report dict. `full=True`
+    (SQL: REFRESH MATERIALIZED VIEW x FULL) forces a complete
+    re-derivation — expected state recomputed from the current source
+    snapshot, state-diffed against the view, divergent rows rewritten and
+    extra keys deleted — the repair lever when the view is suspected of
+    out-of-band drift (derive's force_resync contract)."""
     kind = definition["kind"]
     did = definition["derive_id"]
     if kind == "map":
@@ -424,6 +431,7 @@ def refresh_mview(spark, root: str, fs, definition: dict[str, Any]) -> dict[str,
         r = derive(
             spark, src, root, definition["mapping"],
             predicate=definition.get("predicate"), derive_id=did,
+            force_resync=full,
         )
         return {"kind": kind, "src_version": r.src_version,
                 "epochs": len(r.applied_epochs), "rows": r.applied_rows,
@@ -433,6 +441,7 @@ def refresh_mview(spark, root: str, fs, definition: dict[str, Any]) -> dict[str,
         r = derive_agg(
             spark, src, root, definition["group_by"], definition["aggs"],
             predicate=definition.get("predicate"), derive_id=did,
+            force_resync=full,
         )
         return {"kind": kind, "src_version": r.src_version,
                 "epochs": len(r.applied_epochs), "rows": r.applied_rows,
@@ -445,6 +454,7 @@ def refresh_mview(spark, root: str, fs, definition: dict[str, Any]) -> dict[str,
             spark, fact, dim, root, definition["on"], definition["mapping"],
             how=definition["how"], derive_id=did,
             dim_prefix=definition.get("dim_prefix", "dim_"),
+            force_resync=full,
         )
         return {"kind": kind,
                 "src_version": f"{r.fact_version}+{r.dim_version}",
