@@ -1792,3 +1792,67 @@ def sql_mview(spark, sf):
         "g.lang_n, g.lang_sz "
         "FROM silver s JOIN gold g ON s.lang = g.lang"
     )
+
+
+#: record-level secondary index postings after the full I/U/D replay, in
+#: pure SQL: the index must hold exactly one (term, repo, path) posting
+#: per LIVE final-state row with term = its commit (md5 of the winning
+#: content) — updates MOVED their term (old posting retracted), deletes
+#: dropped theirs. The range restriction exercises the lookup face.
+_IDX_SQL = """
+WITH changelog AS (
+  SELECT 'I' AS op, doc_id AS seq, source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path, md5(text) AS commit
+  FROM documents
+  UNION ALL
+  SELECT 'U', doc_id + 10000000, source, 'docs/doc_' || doc_id || '.txt',
+         md5(text || ' v2')
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'D', doc_id + 20000000, source, 'docs/doc_' || doc_id || '.txt',
+         NULL
+  FROM documents WHERE doc_id % 10 = 7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT commit AS term, repo, path
+FROM ranked WHERE rn = 1 AND op <> 'D' AND commit >= '0' AND commit <= '3z'
+"""
+
+
+@q("idx_lookup", _IDX_SQL, extra=True)
+def idx_lookup(spark, sf):
+    """Record-level secondary index end-to-end (operators/derive_index.py):
+    replay the insert epoch, build the index on `commit` (initial sync),
+    land the update + delete epochs and derive AGAIN — one incremental
+    span in which updates MOVE their term (the old posting must be
+    retracted, the key-changing case derive() refuses) and deletes drop
+    theirs. The returned range lookup runs through index_lookup's
+    kmin/kmax file pruning; the postings must equal the pure-SQL LWW
+    final state's (commit, repo, path) rows in the range."""
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.operators.derive_index import derive_index, index_lookup
+
+    base = os.path.basename(sf)
+    src_root = os.path.join(tempfile.gettempdir(), f"fk_idx_src_{base}")
+    idx_root = os.path.join(tempfile.gettempdir(), f"fk_idx_idx_{base}")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    table = create_entity_table(src_root, n_buckets=8)
+    log = _doc_changelog(spark, sf)
+    for i, op in enumerate(["I", "U", "D"]):
+        merge_into(
+            spark,
+            table,
+            log.filter(F.col("op") == op).withColumn(
+                "event_ts", F.lit(None).cast("timestamp")
+            ),
+            query_id="idx_src",
+            epoch=i,
+        )
+        if op == "I":  # initial sync from the post-insert snapshot
+            derive_index(spark, table, idx_root, "commit", derive_id="by_commit")
+    derive_index(spark, table, idx_root, "commit", derive_id="by_commit")
+    return index_lookup(spark, LaketteTable(idx_root), "0", hi="3z")
