@@ -65,7 +65,7 @@ class IndexDeriveReport:
 
     @property
     def applied_rows(self) -> int:
-        return sum(s.rows_applied for s in self.applied_epochs)
+        return sum(s.applied_rows for s in self.applied_epochs)
 
 
 def _term_field(
@@ -249,6 +249,30 @@ def derive_index(
         _apply(ups.unionByName(dels), target_v, overwrite=True)
     )
     return report
+
+
+def index_version(dst: LaketteTable, derive_id: str = "index") -> int | None:
+    """The SOURCE version this index currently reflects, or None if it
+    was never synced. Read-only: recomputes the spec-scoped epoch-marker
+    namespace from the persisted fingerprint (`_derive/<id>.json`,
+    including the repair generation) and reads the derive offsets — no
+    Spark session, no snapshot. The freshness gate for transparent SQL
+    index acceleration: a lookup may only be served from an index whose
+    `index_version` >= the source's current version."""
+    import hashlib
+    import json as _json
+
+    fp_path = os.path.join(dst.root, "_derive", f"{derive_id}.json")
+    if not dst.fs.exists(fp_path):
+        return None
+    stored = dst.fs.read_json(fp_path)
+    gen = int(stored.pop("_repair_gen", 0))
+    qid = (
+        derive_id + "@"
+        + hashlib.sha256(_json.dumps(stored, sort_keys=True).encode()).hexdigest()[:8]
+        + (f"+r{gen}" if gen else "")
+    )
+    return last_replicated_version(dst, qid)
 
 
 def index_lookup(

@@ -195,6 +195,9 @@ class SqlFrontend:
         #: where COMMIT writes its transaction record; default: the
         #: Catalog's txn_dir, else _txn_sql under the first member's root
         self._txn_dir = txn_dir
+        #: per-statement record of secondary-index point-lookup rewrites
+        #: applied by the last _select (observability + tests)
+        self.last_index_accel: list[dict] = []
 
     # ------------------------------------------------------------ resolve
 
@@ -270,8 +273,14 @@ class SqlFrontend:
             return self._create(stmt, masked)
         if k1 == "CREATE" and k2 == "MATERIALIZED":
             return self._create_mview(stmt, masked)
+        if k1 == "CREATE" and k2 == "INDEX":
+            return self._create_index(stmt, masked)
+        if k1 == "REFRESH" and k2 == "INDEX":
+            return self._refresh_index(stmt, masked)
         if k1 == "REFRESH":
             return self._refresh_mview(stmt, masked)
+        if k1 == "DROP" and k2 == "INDEX":
+            return self._drop_index(stmt, masked)
         if k1 == "DROP" and k2 == "MATERIALIZED":
             return self._drop_mview(stmt, masked)
         if k1 == "DROP" and k2 == "TABLE":
@@ -292,8 +301,10 @@ class SqlFrontend:
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
             "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
-            "CREATE/REFRESH/DROP MATERIALIZED VIEW, SHOW TABLES, SHOW CREATE "
-            "TABLE, SHOW MATERIALIZED VIEWS, OPTIMIZE [ZORDER BY], ANALYZE "
+            "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE/REFRESH/DROP "
+            "INDEX, SHOW TABLES, SHOW CREATE "
+            "TABLE, SHOW MATERIALIZED VIEWS, SHOW INDEXES ON <t>, "
+            "OPTIMIZE [ZORDER BY], ANALYZE "
             "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE, "
             "BEGIN/COMMIT/ROLLBACK"
         )
@@ -481,6 +492,81 @@ class SqlFrontend:
             scopes.append((m.group(1).lower(), j))
         return scopes
 
+    _BLOCK_TOKENS = re.compile(
+        r"[()]|\b(?:WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|"
+        r"DISTRIBUTE|CLUSTER|SORT|UNION|INTERSECT|EXCEPT)\b",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def _top_conjuncts(cls, stmt: str, masked: str) -> list[tuple[str, str]] | None:
+        """The top-level WHERE's AND-conjuncts [(text, masked)], or None
+        when the statement has no top-level WHERE or has a top-level set
+        operation (each branch owns its own WHERE, so no conjunct is
+        statement-global). Conjuncts inside parens — subqueries, OR
+        groups, CTE bodies — never surface here, which is exactly the
+        soundness boundary index acceleration needs: only a predicate
+        that EVERY result row must satisfy may prune a table's scan. A
+        BETWEEN's own AND stays inside its conjunct."""
+        depth, start, end = 0, None, len(masked)
+        for m in cls._BLOCK_TOKENS.finditer(masked):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+                continue
+            if tok == ")":
+                depth -= 1
+                continue
+            if depth:
+                continue
+            up = tok.upper()
+            if up in ("UNION", "INTERSECT", "EXCEPT"):
+                return None
+            if up == "WHERE":
+                if start is None:
+                    start = m.end()
+            elif start is not None and end == len(masked):
+                end = m.start()
+        if start is None:
+            return None
+        body, mbody = stmt[start:end], masked[start:end]
+        parts, d, seg, pending = [], 0, 0, 0
+        for m in re.finditer(r"[()]|\b(?:AND|BETWEEN)\b", mbody, re.IGNORECASE):
+            t = m.group(0)
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0:
+                if t.upper() == "BETWEEN":
+                    pending += 1
+                elif pending:
+                    pending -= 1
+                else:
+                    parts.append((body[seg:m.start()], mbody[seg:m.start()]))
+                    seg = m.end()
+        parts.append((body[seg:], mbody[seg:]))
+        return [(a.strip(), b.strip()) for a, b in parts if a.strip()]
+
+    def _multi_relation(self, masked: str) -> bool:
+        """True when the statement can reference more than one relation —
+        the gate that makes index acceleration require an alias-QUALIFIED
+        conjunct (an unqualified column in a join could belong to either
+        side). Conservative by design: a false positive only forgoes the
+        optimization, never changes results."""
+        if len(self._REF.findall(masked)) > 1:
+            return True
+        if re.search(r"\bJOIN\b|\b(?:FROM|JOIN)\s*\(", masked, re.IGNORECASE):
+            return True
+        # FROM-list commas: `FROM a, b` / `FROM a AS x, b`, also after a
+        # time-travel clause
+        return bool(re.search(
+            rf"\bFROM\s+{_IDENT}(?:\s+VERSION\s+AS\s+OF\s+(?:\d+|'[^']*')"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'[^']*')?"
+            rf"(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?\s*,",
+            masked, re.IGNORECASE,
+        ))
+
     def _select(self, stmt: str, masked: str) -> DataFrame:
         """Register each referenced lakette table (at its requested
         version) as a temp view, splice the view name into the statement,
@@ -489,8 +575,20 @@ class SqlFrontend:
         the DataFrame path. View names are deterministic per (table,
         version), so repeated statements re-register (picking up new
         commits) instead of leaking one view per call. CTE names shadow
-        lakette tables, per SQL scoping."""
+        lakette tables, per SQL scoping.
+
+        Point-lookup acceleration: a table read at its CURRENT version
+        whose registered secondary index (CREATE INDEX) matches a
+        top-level WHERE conjunct gets an index-pruned view instead — a
+        superset frame (index-matched keys' buckets, semi-joined to the
+        matched keys), so the statement's own WHERE still decides the
+        rows; only the files opened change. `last_index_accel` records
+        each rewrite for observability/tests; every safety gate falls
+        back to the full snapshot view (sqlindex.accelerate)."""
         scopes = self._cte_scopes(masked)
+        self.last_index_accel = []
+        conjuncts = self._top_conjuncts(stmt, masked)
+        multi = self._multi_relation(masked)
         out, last = [], 0
 
         def _shadowed(name: str, pos: int) -> bool:
@@ -585,15 +683,39 @@ class SqlFrontend:
                 )
             else:
                 version = int(table.current_metadata()["version"])
-            view = f"__lakette_{ident.lower().replace('.', '_')}_v{version}"
-            table.create_or_replace_view(self.spark, view, version=version)
-            out.append(stmt[last:ident_span[0]])
-            out.append(view)
             # keep qualified column refs (`repos.path`) resolving: alias
             # the view back to the original name — unless the user wrote
             # their own alias right after the reference
             nxt = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", masked[end:], re.IGNORECASE)
-            if not (nxt and nxt.group(1).lower() not in self._POST_REF_KEYWORDS):
+            user_alias = (
+                nxt.group(1)
+                if nxt and nxt.group(1).lower() not in self._POST_REF_KEYWORDS
+                else None
+            )
+            alias = user_alias or ident.split(".")[-1]
+            accel = None
+            if conjuncts and version_span is None and ts_span is None:
+                from . import sqlindex
+
+                accel = sqlindex.accelerate(
+                    self.spark, table, version, conjuncts, [alias], multi
+                )
+            if accel is not None:
+                df, info = accel
+                # the counter keeps a self-join's two rewrites (different
+                # aliases, different conjuncts) from sharing one view
+                view = (
+                    f"__lakette_{ident.lower().replace('.', '_')}_v{version}"
+                    f"_ix{len(self.last_index_accel)}"
+                )
+                df.createOrReplaceTempView(view)
+                self.last_index_accel.append({"table": ident, **info})
+            else:
+                view = f"__lakette_{ident.lower().replace('.', '_')}_v{version}"
+                table.create_or_replace_view(self.spark, view, version=version)
+            out.append(stmt[last:ident_span[0]])
+            out.append(view)
+            if user_alias is None:
                 out.append(f" AS {ident.split('.')[-1]}")
             last = end
             return True
@@ -1762,6 +1884,133 @@ class SqlFrontend:
             self._catalog.drop(canon)
         return self._report("DROP MATERIALIZED VIEW", canon, {"dropped": True})
 
+    # -------------------------------------------------------------- indexes
+
+    def _create_index(self, stmt: str, masked: str) -> DataFrame:
+        """CREATE INDEX [IF NOT EXISTS] <name> ON <t> (<term_expr>)
+        [WHERE <pred>] [LOCATION '<path>'] — a record-level secondary
+        index: derive_index's derived lakette table keyed (term,
+        *source_keys), registered under the source's root so point
+        lookups (`WHERE <term_expr> = '<lit>'` / IN / BETWEEN, top-level
+        conjunct) are served index-pruned instead of by table scan
+        (sqlindex.py module doc spells out the rewrite and its safety
+        gates). The build syncs at the table's current version; REFRESH
+        INDEX (or run_ingest's derived= hook) maintains it at O(changed
+        rows) per span."""
+        m = re.match(
+            rf"CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+ON\s+"
+            rf"({_IDENT})\s*\(",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: CREATE INDEX [IF NOT EXISTS] <name> ON <table> "
+                "(<expr>) [WHERE <pred>] [LOCATION '<path>']"
+            )
+        name = stmt[m.start(2):m.end(2)]
+        tname = stmt[m.start(3):m.end(3)]
+        table = self._table(tname)
+        open_pos = m.end() - 1
+        close = self._paren_span(masked, open_pos)
+        term = stmt[open_pos + 1:close - 1].strip()
+        rest, mrest = stmt[close:], masked[close:]
+        predicate = location = None
+        lm = re.search(r"\bLOCATION\s+('(?:[^']|'')*')\s*$", mrest, re.IGNORECASE)
+        if lm:
+            location = _unquote(rest[lm.start(1):lm.end(1)])
+            rest, mrest = rest[:lm.start()], mrest[:lm.start()]
+        wm = re.match(r"\s*WHERE\s+(.+?)\s*$", mrest, re.IGNORECASE | re.DOTALL)
+        if wm:
+            predicate = rest[wm.start(1):wm.end(1)].strip()
+        elif mrest.strip():
+            raise SqlFrontendError(
+                f"CREATE INDEX: unparsed trailing text {rest.strip()!r}"
+            )
+        from . import sqlindex
+
+        if sqlindex._ci_get(table, name) is not None:
+            if m.group(1):
+                return self._report("CREATE INDEX", name, {
+                    "created": False, "reason": "exists",
+                })
+            raise SqlFrontendError(
+                f"index {name!r} already exists on {tname} (use IF NOT EXISTS)"
+            )
+        try:
+            _idx, defn, report = sqlindex.create_index(
+                self.spark, table, name, term,
+                predicate=predicate, location=location, original_sql=stmt,
+            )
+        except ValueError as e:
+            raise SqlFrontendError(f"CREATE INDEX: {e}") from None
+        return self._report("CREATE INDEX", name, {
+            "created": True, "on": tname, "term": term,
+            "location": defn["root"], "src_version": report.src_version,
+            "rows": report.applied_rows,
+        })
+
+    def _refresh_index(self, stmt: str, masked: str) -> DataFrame:
+        """REFRESH INDEX <name> ON <t> [FULL] — one incremental
+        maintenance pass over the source changefeed span (O(changed
+        rows), exactly-once under the index's derive offsets); FULL
+        forces a complete re-derivation (out-of-band drift repair, the
+        REFRESH MATERIALIZED VIEW ... FULL contract)."""
+        m = re.match(
+            rf"REFRESH\s+INDEX\s+({_IDENT})\s+ON\s+({_IDENT})(\s+FULL)?\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: REFRESH INDEX <name> ON <table> [FULL]"
+            )
+        name = stmt[m.start(1):m.end(1)]
+        tname = stmt[m.start(2):m.end(2)]
+        from . import sqlindex
+
+        try:
+            _defn, report = sqlindex.refresh_index(
+                self.spark, self._table(tname), name, full=bool(m.group(3))
+            )
+        except sqlindex.SqlIndexError as e:
+            raise SqlFrontendError(f"REFRESH INDEX: {e}") from None
+        return self._report("REFRESH INDEX", name, {
+            "on": tname, "src_version": report.src_version,
+            "rows": report.applied_rows, "resync": report.resync,
+            "initial_sync": report.initial_sync,
+        })
+
+    def _drop_index(self, stmt: str, masked: str) -> DataFrame:
+        """DROP INDEX [IF EXISTS] <name> ON <t> — unregisters the index
+        (metadata-only; its data files stay on disk for the owner to
+        reclaim, DROP TABLE's contract). Point lookups on the term fall
+        back to plain scans immediately."""
+        m = re.match(
+            rf"DROP\s+INDEX\s+(IF\s+EXISTS\s+)?({_IDENT})\s+ON\s+({_IDENT})\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: DROP INDEX [IF EXISTS] <name> ON <table>"
+            )
+        name = stmt[m.start(2):m.end(2)]
+        table = self._table(stmt[m.start(3):m.end(3)])
+        from . import sqlindex
+
+        try:
+            defn = sqlindex.drop_index(table, name)
+        except sqlindex.SqlIndexError:
+            if m.group(1):
+                return self._report("DROP INDEX", name, {
+                    "dropped": False, "reason": "not registered",
+                })
+            raise SqlFrontendError(
+                f"no index {name!r} on {stmt[m.start(3):m.end(3)]} "
+                "(use IF EXISTS)"
+            ) from None
+        return self._report("DROP INDEX", name, {
+            "dropped": True, "location": defn["root"],
+        })
+
     # ------------------------------------------------------------ COPY INTO
 
     def _copy_into(self, stmt: str, masked: str) -> DataFrame:
@@ -1969,13 +2218,36 @@ class SqlFrontend:
             return self.spark.createDataFrame(
                 rows, "name string, root string, kind string, definition string"
             )
+        im = re.match(
+            rf"SHOW\s+INDEXES\s+ON\s+({_IDENT})\s*$", masked, re.IGNORECASE
+        )
+        if im:
+            from . import sqlindex
+            from .operators.derive_index import index_version
+
+            table = self._table(stmt[im.start(1):im.end(1)])
+            cur = int(table.current_metadata()["version"])
+            rows = []
+            for name, d in sorted(sqlindex.read_indexes(table).items()):
+                iv = index_version(
+                    sqlindex.index_table(table, d), d["derive_id"]
+                )
+                rows.append((
+                    name, d["term"], d.get("predicate"), d["root"],
+                    iv, cur, iv == cur,
+                ))
+            return self.spark.createDataFrame(
+                rows,
+                "name string, term string, predicate string, root string, "
+                "synced_version long, current_version long, fresh boolean",
+            )
         m = re.match(
             rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", masked, re.IGNORECASE
         )
         if not m:
             raise SqlFrontendError(
                 "supported: SHOW TABLES | SHOW CREATE TABLE <t> | "
-                "SHOW MATERIALIZED VIEWS"
+                "SHOW MATERIALIZED VIEWS | SHOW INDEXES ON <t>"
             )
         name = stmt[m.start(1):m.end(1)]
         table = self._table(name)
