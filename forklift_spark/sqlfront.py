@@ -267,6 +267,10 @@ class SqlFrontend:
             return self._table(self._one_ident(stmt, masked, "DESCRIBE HISTORY")).history_df(self.spark)
         if k1 == "DESCRIBE" and k2 == "DETAIL":
             return self._detail(self._one_ident(stmt, masked, "DESCRIBE DETAIL"))
+        if k1 == "DESCRIBE":
+            return self._describe(self._one_ident(
+                stmt, masked, "DESCRIBE TABLE" if k2 == "TABLE" else "DESCRIBE"
+            ))
         if k1 == "ALTER" and k2 == "TABLE":
             return self._alter(stmt, masked)
         if k1 == "CREATE" and k2 == "TABLE":
@@ -305,7 +309,7 @@ class SqlFrontend:
             "INDEX, SHOW TABLES, SHOW CREATE "
             "TABLE, SHOW MATERIALIZED VIEWS, SHOW INDEXES ON <t>, "
             "OPTIMIZE [ZORDER BY], ANALYZE "
-            "TABLE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL, ALTER TABLE, "
+            "TABLE, VACUUM, RESTORE, DESCRIBE [TABLE]/HISTORY/DETAIL, ALTER TABLE, "
             "BEGIN/COMMIT/ROLLBACK"
         )
 
@@ -2502,6 +2506,45 @@ class SqlFrontend:
                 f"{n} CHECK ({e})" for n, e in sorted(cons.items())
             ),
         })
+
+    def _describe(self, ident: str) -> DataFrame:
+        """DESCRIBE [TABLE] <t> — one row per USER column in schema order:
+        logical name, Spark SQL type, nullability, and the engine roles the
+        column plays (key / cluster[pos] / bloom). Engine META columns and
+        retired (dropped) physical columns never appear; renamed columns
+        show their CURRENT logical name (metadata `schema` is the logical
+        view — what a reader of `snapshot()` sees; colmap handles the
+        physical side). Metadata-only: reads the version file, never a
+        manifest shard or data file."""
+        from .lakette.table import META_COL_NAMES
+
+        table = self._table(ident)
+        meta = table.current_metadata()
+        keys = set(meta.get("key_cols") or [])
+        cluster = list(meta.get("cluster_by") or [])
+        bloom = set(meta.get("bloom_cols") or [])
+        rows = []
+        for f in meta["schema"]["fields"]:
+            logical = f["name"]
+            if logical in META_COL_NAMES:
+                continue
+            roles = []
+            if logical in keys:
+                roles.append("key")
+            if logical in cluster:
+                roles.append(f"cluster[{cluster.index(logical)}]")
+            if logical in bloom:
+                roles.append("bloom")
+            dtype = T.StructField.fromJson(f).dataType.simpleString()
+            rows.append((logical, dtype, bool(f.get("nullable", True)),
+                         ", ".join(roles)))
+        schema = T.StructType([
+            T.StructField("col_name", T.StringType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("nullable", T.BooleanType()),
+            T.StructField("roles", T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
 
     def _alter(self, stmt: str, masked: str) -> DataFrame:
         m = re.match(

@@ -1057,3 +1057,57 @@ def test_concurrent_copy_into_twins_are_exactly_once(spark, fe_table, tmp_path):
     assert len(got) == 30
     re = fe.sql(f"COPY INTO repos FROM '{land}' FILEFORMAT = PARQUET").collect()[0]
     assert re.files_loaded == "0"
+
+
+# ---- DESCRIBE [TABLE] (round 5) ------------------------------------------
+
+
+def test_describe_lists_user_columns_with_roles(spark, fe_table):
+    fe, table = fe_table
+    rows = {r.col_name: r for r in fe.sql("DESCRIBE repos").collect()}
+    # engine META columns never leak
+    assert "seq" not in rows and "deleted" not in rows
+    assert "path" in rows and "content" in rows
+    assert "key" in rows["path"].roles
+    assert rows["lang"].data_type == "string"
+    # DESCRIBE TABLE spelling is the same statement
+    rows2 = {r.col_name for r in fe.sql("DESCRIBE TABLE repos").collect()}
+    assert rows2 == set(rows)
+
+
+def test_describe_roles_and_rename(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("size", T.IntegerType(), True),
+    ])
+    t = LaketteTable.create(
+        str(tmp_path / "d"), schema, ["id"], n_buckets=2,
+        bloom_cols=["commit"], cluster_by=["lang", "commit"],
+        cluster_mode="zorder",
+    )
+    fe = SqlFrontend(spark, {"t": t})
+    rows = {r.col_name: r for r in fe.sql("DESCRIBE t").collect()}
+    assert "key" in rows["id"].roles
+    assert "cluster[0]" in rows["lang"].roles
+    assert "cluster[1]" in rows["commit"].roles and "bloom" in rows["commit"].roles
+    assert rows["size"].data_type == "int"
+    # rename flows through column mapping: DESCRIBE shows the NEW logical
+    # name, the old one is gone
+    t.rename_column("size", "bytes")
+    rows = {r.col_name: r for r in fe.sql("DESCRIBE t").collect()}
+    assert "bytes" in rows and "size" not in rows
+    assert rows["bytes"].data_type == "int"
+
+
+def test_describe_unknown_table_is_loud(spark, fe_table):
+    fe, _ = fe_table
+    with pytest.raises(SqlFrontendError, match="unknown table"):
+        fe.sql("DESCRIBE nope")

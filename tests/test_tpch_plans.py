@@ -40,3 +40,50 @@ def test_q5_broadcast_count(spark, sf_small):
     plan = executed_plan(QUERIES["tpch_q5"](spark, sf_small))
     n_broadcast = len(re.findall(r"BroadcastHashJoin", plan))
     assert n_broadcast >= 3, f"expected >=3 broadcast joins:\n{plan[:3000]}"
+
+
+# ---- round-5 subquery family -------------------------------------------
+# These guard the DECORRELATED shapes: EXISTS/IN must execute as semi
+# joins, NOT EXISTS as anti joins, and the only nested-loop allowed is
+# q22's 1-row scalar-subquery broadcast.
+
+from harness.queries import EXTRA_QUERIES  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q4", "tpch_q18", "tpch_q21"])
+def test_subquery_family_no_nested_loop(spark, sf_small, name):
+    plan = executed_plan(EXTRA_QUERIES[name](spark, sf_small))
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan), (
+        f"{name}: cartesian/nested-loop join in plan:\n{plan[:2000]}"
+    )
+
+
+def test_q4_exists_is_semi_join(spark, sf_small):
+    plan = executed_plan(EXTRA_QUERIES["tpch_q4"](spark, sf_small))
+    assert "LeftSemi" in plan, plan[:2000]
+    df = EXTRA_QUERIES["tpch_q4"](spark, sf_small)
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q18_having_filters_before_join(spark, sf_small):
+    """The HAVING aggregate runs before the semi join: the semi's right
+    side is the aggregated/filtered orderkey set, not raw lineitem."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q18"](spark, sf_small))
+    assert "LeftSemi" in plan, plan[:2000]
+    semi_pos = plan.find("LeftSemi")
+    agg_pos = plan.rfind("HashAggregate")
+    assert agg_pos > semi_pos >= 0, "aggregate must feed the semi join"
+
+
+def test_q21_semi_and_anti(spark, sf_small):
+    plan = executed_plan(EXTRA_QUERIES["tpch_q21"](spark, sf_small))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2500]
+
+
+def test_q22_scalar_broadcast_and_anti(spark, sf_small):
+    """The scalar subquery arrives as a 1-row broadcast (the ONLY place a
+    BroadcastNestedLoopJoin is the right plan) and the NOT EXISTS is an
+    anti join — customers are never compared pairwise."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q22"](spark, sf_small))
+    assert "LeftAnti" in plan, plan[:2500]
+    assert not re.search(r"CartesianProduct", plan), plan[:2000]
