@@ -1856,3 +1856,76 @@ def idx_lookup(spark, sf):
             derive_index(spark, table, idx_root, "commit", derive_id="by_commit")
     derive_index(spark, table, idx_root, "commit", derive_id="by_commit")
     return index_lookup(spark, LaketteTable(idx_root), "0", hi="3z")
+
+
+# ---------------------------------------------------------------------------
+# S6 wire formats: Debezium envelope ingestion (round 5)
+# ---------------------------------------------------------------------------
+
+_DBZ_LWW_SQL = """
+SELECT user_id, event_type, value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) x
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@q("cdc_debezium", _DBZ_LWW_SQL, extra=True)
+def cdc_debezium(spark, sf):
+    """End-to-end Debezium wire-format ingestion: encode the events table
+    as Debezium {before, after, op, source.lsn} JSON (errors become 'd'
+    deletes carrying only `before`, everything else 'u' upserts), parse it
+    back through sources.debezium.debezium_to_batch (lsn -> seq), merge
+    into a fresh lakette table keyed on user_id, snapshot-scan. The DuckDB
+    oracle computes the same final state as a plain argmax-by-event_id
+    LWW with error-deletes dropped — so the adapter's envelope handling,
+    seq derivation, and tombstone semantics are all checked against an
+    independent SQL formulation, not the adapter's own code."""
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+    from forklift_spark.sources.debezium import debezium_to_batch
+
+    ev = t(spark, sf, "events")
+    payload = F.struct(F.col("user_id"), F.col("event_type"), F.col("value"))
+    src = F.struct(F.col("event_id").alias("lsn"))
+    upserts = ev.filter(F.col("event_type") != "error").select(
+        F.to_json(
+            F.struct(payload.alias("after"), F.lit("u").alias("op"), src.alias("source"))
+        ).alias("value")
+    )
+    deletes = ev.filter(F.col("event_type") == "error").select(
+        F.to_json(
+            F.struct(payload.alias("before"), F.lit("d").alias("op"), src.alias("source"))
+        ).alias("value")
+    )
+    feed = upserts.unionByName(deletes)
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    batch, dead = debezium_to_batch(feed, "value", payload_schema=payload_schema)
+
+    root = os.path.join(tempfile.gettempdir(), f"fk_dbz_{os.path.basename(sf)}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = LaketteTable.create(
+        root,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+            ]
+        ),
+        ["user_id"],
+        n_buckets=8,
+    )
+    merge_into(spark, table, batch, query_id="dbz", epoch=0)
+    return table.snapshot(spark).select("user_id", "event_type", "value")

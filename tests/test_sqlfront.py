@@ -1082,8 +1082,6 @@ def test_describe_roles_and_rename(spark, tmp_path):
 
     schema = T.StructType([
         T.StructField("id", T.LongType(), False),
-        T.StructField("seq", T.LongType(), False),
-        T.StructField("deleted", T.BooleanType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("commit", T.StringType(), True),
         T.StructField("size", T.IntegerType(), True),
