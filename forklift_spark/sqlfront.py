@@ -304,7 +304,8 @@ class SqlFrontend:
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
-            "CREATE TABLE [AS SELECT], DROP TABLE, COPY INTO, TRUNCATE TABLE, "
+            "CREATE TABLE [AS SELECT | SHALLOW CLONE], DROP TABLE, COPY "
+            "INTO, TRUNCATE TABLE, "
             "CREATE/REFRESH/DROP MATERIALIZED VIEW, CREATE/REFRESH/DROP "
             "INDEX, SHOW TABLES, SHOW CREATE "
             "TABLE, SHOW MATERIALIZED VIEWS, SHOW INDEXES ON <t>, "
@@ -1474,6 +1475,10 @@ class SqlFrontend:
                 [USING LAKETTE] [LOCATION '<path>'] [TBLPROPERTIES (...)]
                 AS SELECT ...
 
+            CREATE TABLE [IF NOT EXISTS] <name> SHALLOW CLONE <src>
+                [VERSION AS OF <n>|'<tag>' | TIMESTAMP AS OF '<ts>']
+                [LOCATION '<path>']
+
         Divergence from Delta, stated: lakette tables are KEYED CDC
         tables, so PRIMARY KEY is REQUIRED (Delta OSS has no PK; here it
         is the merge arbitration identity). Column types parse through
@@ -1494,10 +1499,19 @@ class SqlFrontend:
                 "supported: CREATE TABLE [IF NOT EXISTS] <name> (cols..., "
                 "PRIMARY KEY (k,...)) [LOCATION '<path>'] [TBLPROPERTIES (...)]"
                 " | CREATE TABLE <name> PRIMARY KEY (k,...) ... AS SELECT ..."
+                " | CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF "
+                "<n>|'<tag>' | TIMESTAMP AS OF '<ts>'] [LOCATION '<path>']"
             )
         name = stmt[m.start(2):m.end(2)]
         if_not_exists = m.group(1) is not None
         pos = m.end(0)
+
+        clone_m = re.match(
+            rf"SHALLOW\s+CLONE\s+({_IDENT})", masked[pos:], re.IGNORECASE
+        )
+        if clone_m:
+            return self._create_clone(stmt, masked, name, if_not_exists,
+                                      pos, clone_m)
 
         # ---- optional "( column defs )" (never the PRIMARY KEY clause)
         schema = None
@@ -1656,6 +1670,98 @@ class SqlFrontend:
             fields["rows"] = stats.batch_rows
             fields["version"] = stats.version
         return self._report("CREATE TABLE", name, fields)
+
+    def _create_clone(
+        self, stmt: str, masked: str, name: str, if_not_exists: bool,
+        pos: int, clone_m,
+    ) -> DataFrame:
+        """CREATE TABLE [IF NOT EXISTS] <name> SHALLOW CLONE <src>
+        [VERSION AS OF <n>|'<tag>' | TIMESTAMP AS OF '<ts>'] [LOCATION '<p>']
+
+        Zero-copy clone (Delta SHALLOW CLONE syntax): compiles onto
+        LaketteTable.shallow_clone — the clone's manifests reference the
+        source's data files, no bytes move, and the cloned source version
+        is PINNED with a tag so source vacuum can never eat the clone's
+        files (the Delta hazard, closed by default; see shallow_clone's
+        docstring). The clone registers under <name> like any other
+        table; it is fully independent after birth (writes/compaction
+        land in its own data/ dir)."""
+        src = self._table(stmt[pos + clone_m.start(1):pos + clone_m.end(1)])
+        pos += clone_m.end()
+        version: int | None = None
+        location = None
+        while True:
+            ws = re.match(r"\s*", masked[pos:])
+            pos += ws.end()
+            if pos >= len(masked):
+                break
+            vm = re.match(r"VERSION\s+AS\s+OF\s+(\d+|'[^']*')",
+                          masked[pos:], re.IGNORECASE)
+            tsm = re.match(r"TIMESTAMP\s+AS\s+OF\s+('[^']*')",
+                           masked[pos:], re.IGNORECASE)
+            loc = re.match(r"LOCATION\s+('(?:[^']|'')*')",
+                           masked[pos:], re.IGNORECASE)
+            if vm:
+                if version is not None:
+                    raise SqlFrontendError("duplicate AS OF clause")
+                vtext = stmt[pos + vm.start(1):pos + vm.end(1)]
+                version = (src.ref_version(_unquote(vtext))
+                           if vtext.startswith("'") else int(vtext))
+                pos += vm.end()
+            elif tsm:
+                if version is not None:
+                    raise SqlFrontendError("duplicate AS OF clause")
+                version = src.version_as_of(
+                    _unquote(stmt[pos + tsm.start(1):pos + tsm.end(1)])
+                )
+                pos += tsm.end()
+            elif loc:
+                if location is not None:
+                    raise SqlFrontendError("duplicate LOCATION clause")
+                location = _unquote(stmt[pos + loc.start(1):pos + loc.end(1)])
+                pos += loc.end()
+            else:
+                raise SqlFrontendError(
+                    "SHALLOW CLONE: unparsed clause "
+                    f"{stmt[pos:pos + 40].strip()!r}; supported: VERSION AS "
+                    "OF <n>|'<tag>', TIMESTAMP AS OF '<ts>', LOCATION '<p>'"
+                )
+        if self._is_table(name):
+            if if_not_exists:
+                return self._report("CREATE TABLE", name, {
+                    "created": False, "reason": "exists",
+                })
+            raise SqlFrontendError(
+                f"table {name!r} already registered (use IF NOT EXISTS)"
+            )
+        is_catalog = not isinstance(self._catalog, Mapping)
+        if location is None:
+            if not is_catalog:
+                raise SqlFrontendError(
+                    "managed clones need a lakette Catalog resolver; with a "
+                    "plain table dict, give LOCATION '<path>'"
+                )
+            location = os.path.join(self._catalog.root, "tables", name.lower())
+        clone, pin = src.shallow_clone(
+            location, version=version, storage=src.fs
+        )
+        if is_catalog:
+            self._catalog.register(name, location)
+        else:
+            try:
+                self._catalog[name] = clone
+            except TypeError:
+                raise SqlFrontendError(
+                    f"cloned table at {location!r} but the resolver mapping "
+                    "is read-only; register it yourself"
+                ) from None
+        meta = clone.current_metadata()
+        return self._report("CREATE TABLE", name, {
+            "created": True, "location": location,
+            "cloned_from": src.root,
+            "source_version": int(meta["clone_of"]["version"]),
+            "pin": pin or "",
+        })
 
     def _parse_coldefs(self, body: str, mbody: str) -> tuple[T.StructType, list[str] | None]:
         """`col TYPE, ..., PRIMARY KEY (k, ...)` -> (user schema, keys).

@@ -1109,3 +1109,84 @@ def test_describe_unknown_table_is_loud(spark, fe_table):
     fe, _ = fe_table
     with pytest.raises(SqlFrontendError, match="unknown table"):
         fe.sql("DESCRIBE nope")
+
+
+# ---- CREATE TABLE ... SHALLOW CLONE ----------------------------------
+
+
+def test_sql_shallow_clone_zero_copy_and_pinned(spark, fe_table, tmp_path):
+    """The SQL clone compiles onto shallow_clone: zero-copy birth, a
+    vacuum pin on the source, and full independence after birth."""
+    fe, table = fe_table
+    rep = fe.sql(
+        f"CREATE TABLE dev SHALLOW CLONE repos LOCATION '{tmp_path / 'dev'}'"
+    ).collect()[0]
+    assert rep.created == "True"
+    pin = rep.pin
+    assert pin.startswith("clone-")
+    assert any(r["name"] == pin for r in table.list_refs())
+    # same rows, no data copied (clone data dir empty at birth)
+    assert fe.sql("SELECT count(*) AS n FROM dev").collect()[0].n == 4
+    import os as _os
+    dev_data = str(tmp_path / "dev" / "data")
+    assert not any(_os.scandir(dev_data))
+    # independence: write to the clone, source unchanged
+    fe.sql("UPDATE dev SET lang = 'rs' WHERE path = 'a'")
+    assert _state(spark, table)["a"][0] == "de"
+    assert {r.path: r.lang for r in fe.sql(
+        "SELECT path, lang FROM dev").collect()}["a"] == "rs"
+
+
+def test_sql_shallow_clone_version_and_tag(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    v1 = table.current_metadata()["version"]
+    table.create_ref("pre", kind="tag", version=v1)
+    _seed(spark, table, [_ev("U", 9, "a", lang="go")], epoch=1)
+    fe.sql(
+        f"CREATE TABLE old SHALLOW CLONE repos VERSION AS OF {v1} "
+        f"LOCATION '{tmp_path / 'old'}'"
+    )
+    fe.sql(
+        f"CREATE TABLE tagd SHALLOW CLONE repos VERSION AS OF 'pre' "
+        f"LOCATION '{tmp_path / 'tagd'}'"
+    )
+    for nm in ("old", "tagd"):
+        got = {r.path: r.lang
+               for r in fe.sql(f"SELECT path, lang FROM {nm}").collect()}
+        assert got["a"] == "de", nm  # pre-update state travelled
+
+
+def test_sql_shallow_clone_guards(spark, fe_table, tmp_path):
+    fe, table = fe_table
+    # plain-dict resolver without LOCATION is loud
+    with pytest.raises(SqlFrontendError, match="LOCATION"):
+        fe.sql("CREATE TABLE dev SHALLOW CLONE repos")
+    # existing name is loud; IF NOT EXISTS is a no-op report
+    with pytest.raises(SqlFrontendError, match="already registered"):
+        fe.sql(
+            f"CREATE TABLE repos SHALLOW CLONE repos "
+            f"LOCATION '{tmp_path / 'x'}'"
+        )
+    rep = fe.sql(
+        f"CREATE TABLE IF NOT EXISTS repos SHALLOW CLONE repos "
+        f"LOCATION '{tmp_path / 'x'}'"
+    ).collect()[0]
+    assert rep.created == "False"
+    # junk trailing clause is loud
+    with pytest.raises(SqlFrontendError, match="unparsed clause"):
+        fe.sql("CREATE TABLE dev SHALLOW CLONE repos DEEP COPY")
+
+
+def test_sql_shallow_clone_managed_under_catalog(spark, tmp_path):
+    """LOCATION-less clone under a Catalog resolver is managed and
+    registered (with the catalog's own vacuum pin on the clone)."""
+    from forklift_spark.lakette.catalog import Catalog
+
+    cat = Catalog.create(str(tmp_path / "cat"))
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=2)
+    _seed(spark, table, [_ev("I", 1, "a"), _ev("I", 2, "b")])
+    cat.register("repos", table.root)
+    fe = SqlFrontend(spark, cat)
+    fe.sql("CREATE TABLE snap SHALLOW CLONE repos")
+    assert "snap" in cat.names()
+    assert fe.sql("SELECT count(*) AS n FROM snap").collect()[0].n == 2
