@@ -367,3 +367,631 @@ def tpch_q22(spark, sf):
         )
         .orderBy("cntry")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-suite completion (round 5): the 14 remaining TPC-H query shapes,
+# adapted to the synthetic schema. partsupp does not exist in the testdata,
+# so Q2/Q9/Q11/Q16/Q20 derive the part-supplier relation from DISTINCT
+# (l_partkey, l_suppkey) pairs and stand in ps_supplycost/ps_availqty with
+# p_retailprice / shipped-quantity aggregates; Q12's commit/receipt lateness
+# becomes ship-lag vs the order date, and Q13/Q16's comment filters become
+# o_orderpriority / s_acctbal predicates. Every query keeps its canonical
+# Catalyst rewrite: Q2 correlated-scalar-max -> window/self-agg join, Q8's
+# two nation roles, Q15's uncorrelated scalar max, Q17's per-part correlated
+# average, Q19's disjunctive join predicate, Q20's doubly-nested IN. All are
+# extra=True: full DuckDB parity via scripts/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q2",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                   FROM supplier, nation, region
+                   WHERE s_nationkey = n_nationkey
+                     AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+       SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+              p_partkey, p_name
+       FROM part, ps, eu
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND p_size <= 10 AND p_type = 'LARGE'
+         AND s_acctbal = (SELECT max(eu2.s_acctbal)
+                          FROM ps ps2, eu eu2
+                          WHERE ps2.l_partkey = p_partkey
+                            AND eu2.s_suppkey = ps2.l_suppkey)
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100""",
+    extra=True,
+)
+def tpch_q2(spark, sf):
+    """Q2 shape: minimum-cost supplier — the correlated scalar subquery
+    (best account balance among a part's European suppliers, standing in
+    for min ps_supplycost). Expressed as a window max over the part key on
+    the already-joined candidates: ONE pass, no re-join of the subquery —
+    the plan Catalyst would produce from the decorrelated form anyway."""
+    from pyspark.sql import Window
+
+    ps = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    cand = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .join(p, ps.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q6",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    extra=True,
+)
+def tpch_q6(spark, sf):
+    """Q6 shape: forecasting-revenue-change — the pure scan+filter+agg
+    query. At 100 TB all three predicates push into the parquet scan
+    (PushedFilters) and ONE double crosses the exchange."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l_shipdate) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                  AND TIMESTAMP '1997-12-31 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""",
+    extra=True,
+)
+def tpch_q7(spark, sf):
+    """Q7 shape: volume shipping between two nations — nation joined TWICE
+    in different roles (supplier side / customer side) with a disjunctive
+    cross-role predicate. Both nation copies broadcast; the disjunction is
+    a post-join filter over two broadcast attributes, never a cartesian."""
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "tpch_q8",
+    """SELECT o_year,
+              round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                    / sum(volume), 6) AS mkt_share
+       FROM (SELECT year(o_orderdate) AS o_year,
+                    l_extendedprice * (1 - l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part, supplier, lineitem, orders, customer,
+                  nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+               AND s_nationkey = n2.n_nationkey
+               AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00'
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY o_year
+       ORDER BY o_year""",
+    extra=True,
+)
+def tpch_q8(spark, sf):
+    """Q8 shape: national market share — the 8-table join with nation in
+    two roles (market region via customer, share nation via supplier) and
+    a conditional-aggregate ratio. part/supplier/nation/region broadcast;
+    the only shuffles are the two fact-side equi joins."""
+    p = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf, "customer")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "tpch_q9",
+    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+       FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                    l_extendedprice * (1 - l_discount)
+                      - 0.5 * p_retailprice * l_quantity AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+               AND p_name LIKE '%red%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""",
+    extra=True,
+)
+def tpch_q9(spark, sf):
+    """Q9 shape: product-type profit — 5-table join grouped by supplier
+    nation and order year. ps_supplycost does not exist in the testdata;
+    unit cost is stood in by 0.5 * p_retailprice, preserving the
+    profit-expression shape (revenue minus quantity-scaled cost)."""
+    p = t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    n = t(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@q(
+    "tpch_q11",
+    """SELECT l_partkey AS ps_partkey,
+              round(sum(l_extendedprice * l_quantity), 2) AS part_value
+       FROM lineitem, supplier, nation
+       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_7'
+       GROUP BY l_partkey
+       HAVING sum(l_extendedprice * l_quantity) >
+              (SELECT sum(l_extendedprice * l_quantity) * 0.001
+               FROM lineitem, supplier, nation
+               WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                 AND n_name = 'NATION_7')
+       ORDER BY part_value DESC, ps_partkey""",
+    extra=True,
+)
+def tpch_q11(spark, sf):
+    """Q11 shape: important stock — a grouped aggregate filtered by an
+    uncorrelated scalar subquery over the SAME aggregate input (fraction of
+    the national total). ps_supplycost*ps_availqty is stood in by shipped
+    value sum(l_extendedprice*l_quantity). The base (nation-filtered
+    lineitem) is computed once and reused for both the per-part aggregate
+    and the 1-row global total, which broadcasts into the HAVING filter."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
+        )
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("value").alias("part_value_raw"))
+    total = base.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value_raw") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("part_value_raw", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@q(
+    "tpch_q12",
+    """SELECT l_linestatus AS ship_class,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY ship_class
+       ORDER BY ship_class""",
+    extra=True,
+)
+def tpch_q12(spark, sf):
+    """Q12 shape: shipping-mode priority — join with a cross-table
+    inequality (ship lag > 60 days stands in for receipt-after-commit) and
+    the canonical CASE-pivot conditional counts. The inequality rides the
+    equi join on orderkey, so it never degrades the join strategy."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@q(
+    "tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+    extra=True,
+)
+def tpch_q13(spark, sf):
+    """Q13 shape: customer order-count distribution — LEFT OUTER join with
+    a predicate INSIDE the join condition (never a post-filter: customers
+    with only '5-LOW' orders must still appear with count 0), then a
+    double aggregate. count(o_orderkey) counts non-null keys only."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@q(
+    "tpch_q14",
+    """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
+    extra=True,
+)
+def tpch_q14(spark, sf):
+    """Q14 shape: promotion effect — broadcast dim join + conditional
+    aggregate ratio collapsing to ONE row. The month filter pushes into
+    the lineitem scan; part broadcasts."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey""",
+    extra=True,
+)
+def tpch_q15(spark, sf):
+    """Q15 shape: top supplier — the view-then-scalar-max pattern. The
+    quarterly revenue aggregate is computed ONCE and reused for both the
+    max (1 row, broadcast) and the equality filter; ties all surface, as
+    the spec requires."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf, "supplier")
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+       WHERE p_partkey = l_partkey
+         AND p_brand <> 'Brand#3'
+         AND p_type <> 'PROMO'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    extra=True,
+)
+def tpch_q16(spark, sf):
+    """Q16 shape: parts/supplier relationship — the part-supplier relation
+    is DISTINCT (l_partkey, l_suppkey) (no partsupp in the testdata), the
+    complaint exclusion becomes a NOT IN over negative-balance suppliers
+    (left-anti: supplier keys are never null, so NOT IN == anti here), and
+    the headline aggregate is a count DISTINCT over the join key."""
+    ps = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@q(
+    "tpch_q17",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND p_brand = 'Brand#5' AND p_type = 'SMALL'
+         AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+    extra=True,
+)
+def tpch_q17(spark, sf):
+    """Q17 shape: small-quantity-order revenue — the correlated average
+    subquery. Decorrelated the way Catalyst would: per-part averages are
+    a grouped aggregate over lineitem joined back on the part key; the
+    brand/type filter broadcasts into BOTH sides so the average aggregate
+    only runs over qualifying parts' rows."""
+    p = t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL")
+    )
+    li = t(spark, sf, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "tpch_q19",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30))""",
+    extra=True,
+)
+def tpch_q19(spark, sf):
+    """Q19 shape: discounted revenue — the disjunctive mixed predicate
+    spanning both join sides. The equi key still drives a hash join; the
+    OR-of-conjuncts lands as a post-join filter, and Catalyst derives the
+    implied single-side prefilters (brand IN (...), quantity <= 30) that
+    push into each scan."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "tpch_q20",
+    """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+       FROM supplier, nation
+       WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                           WHERE l_partkey IN (SELECT p_partkey FROM part
+                                               WHERE p_name LIKE 'red%')
+                             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                           GROUP BY l_suppkey
+                           HAVING sum(l_quantity) > 210)
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+       ORDER BY s_name""",
+    extra=True,
+)
+def tpch_q20(spark, sf):
+    """Q20 shape: potential part promotion — the doubly-nested IN.
+    Innermost: name-prefix part keys (broadcast semi). Middle: suppliers
+    whose 1996 shipped quantity of those parts beats the availability
+    threshold (grouped HAVING -> semi build side). Outermost: nation-
+    filtered suppliers semi-joined against that set. At 100 TB each level
+    shrinks the next's input — no inverted evaluation order is possible."""
+    red_parts = (
+        t(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 210)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -87,3 +87,73 @@ def test_q22_scalar_broadcast_and_anti(spark, sf_small):
     plan = executed_plan(EXTRA_QUERIES["tpch_q22"](spark, sf_small))
     assert "LeftAnti" in plan, plan[:2500]
     assert not re.search(r"CartesianProduct", plan), plan[:2000]
+
+
+# ---- round-5 full-suite completion --------------------------------------
+# Guards for the 14 remaining queries. q11/q15/q17 join a 1-row scalar
+# aggregate with no condition — the BroadcastNestedLoopJoin over a 1-row
+# build side is the CORRECT plan there (same as q22) — so they get the
+# weaker no-CartesianProduct guard; everything else must be free of
+# nested loops entirely.
+
+_R5_STRICT = [
+    "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q19", "tpch_q20",
+]
+_R5_SCALAR = ["tpch_q11", "tpch_q15", "tpch_q17"]
+
+
+@pytest.mark.parametrize("name", _R5_STRICT)
+def test_r5_suite_no_nested_loop(spark, sf_small, name):
+    plan = executed_plan(EXTRA_QUERIES[name](spark, sf_small))
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan), (
+        f"{name}: cartesian/nested-loop join in plan:\n{plan[:2000]}"
+    )
+
+
+@pytest.mark.parametrize("name", _R5_SCALAR)
+def test_r5_scalar_subquery_no_cartesian(spark, sf_small, name):
+    plan = executed_plan(EXTRA_QUERIES[name](spark, sf_small))
+    assert not re.search(r"CartesianProduct", plan), plan[:2000]
+
+
+def test_q6_filters_reach_scan(spark, sf_small):
+    df = EXTRA_QUERIES["tpch_q6"](spark, sf_small)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_discount")
+    assert_pushed_filters(df, "l_quantity")
+
+
+def test_q8_dims_all_broadcast(spark, sf_small):
+    """part, supplier, region and both nation roles arrive via broadcast;
+    the only shuffle joins are lineitem ⋈ orders ⋈ customer."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q8"](spark, sf_small))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4, plan[:3000]
+
+
+def test_q13_join_predicate_stays_in_join(spark, sf_small):
+    """The o_orderpriority filter lives in the outer join (customers with
+    zero qualifying orders must still appear), so the plan keeps LeftOuter
+    and the row for every customer."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q13"](spark, sf_small))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan[:2000]
+
+
+def test_q16_not_in_is_anti_join(spark, sf_small):
+    plan = executed_plan(EXTRA_QUERIES["tpch_q16"](spark, sf_small))
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q20_nested_in_is_semi_chain(spark, sf_small):
+    """Both IN levels decorrelate to semi joins: parts into lineitem,
+    qualifying suppliers into supplier."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q20"](spark, sf_small))
+    assert len(re.findall(r"LeftSemi", plan)) >= 2, plan[:2500]
+
+
+def test_q2_correlated_max_is_window(spark, sf_small):
+    """The correlated scalar max evaluates as ONE window over the joined
+    candidates — the part-supplier relation is scanned once, not re-joined
+    per subquery evaluation."""
+    plan = executed_plan(EXTRA_QUERIES["tpch_q2"](spark, sf_small))
+    assert "Window" in plan, plan[:2500]
