@@ -39,6 +39,7 @@ operators; SURVEY.md §2.10 lakehouse parity).
     fe.sql("VACUUM repos RETAIN 24 HOURS DRY RUN")
     fe.sql("FSCK TABLE repos DEEP")
     fe.sql("EXPORT TABLE repos VERSION AS OF 'trained' TO '/drops/repos'")
+    fe.sql("PURGE TABLE repos KEYS (('r1', 'a.py'), ('r2', 'b.py')) DRY RUN")
     fe.sql("ALTER TABLE repos ADD COLUMNS (stars BIGINT)")
     fe.sql("SELECT * FROM repos.changes VERSION AS OF 3 TO 7")  # bounded span
     fe.sql("CREATE MATERIALIZED VIEW py_docs LOCATION '/lake/py' AS "
@@ -301,6 +302,8 @@ class SqlFrontend:
             return self._fsck(stmt, masked)
         if k1 == "EXPORT":
             return self._export(stmt, masked)
+        if k1 == "PURGE":
+            return self._purge(stmt, masked)
         raise SqlFrontendError(
             f"unsupported statement {k1 + (' ' + k2 if k2 else '')!r}; supported: "
             "SELECT/WITH, INSERT INTO, UPDATE, DELETE FROM, MERGE INTO, "
@@ -311,7 +314,7 @@ class SqlFrontend:
             "TABLE, SHOW MATERIALIZED VIEWS, SHOW INDEXES ON <t>, "
             "OPTIMIZE [ZORDER BY], ANALYZE "
             "TABLE, VACUUM, RESTORE, DESCRIBE [TABLE]/HISTORY/DETAIL, ALTER TABLE, "
-            "BEGIN/COMMIT/ROLLBACK"
+            "PURGE TABLE ... KEYS, BEGIN/COMMIT/ROLLBACK"
         )
 
     # --------------------------------------------------------- transactions
@@ -2436,6 +2439,67 @@ class SqlFrontend:
             [(s, i, str(rep["checked"])) for s, i in rows],
             "status string, issue string, checked string",
         )
+
+    def _purge(self, stmt: str, masked: str) -> DataFrame:
+        """PURGE TABLE <t> KEYS (<key>[, <key> ...]) [DRY RUN] — the
+        right-to-be-forgotten statement (operators/purge.py purge_keys):
+        erase the named keys' payload from EVERY retained version (history,
+        tags, staged commits), keeping time travel for everything else.
+        `<key>` is a literal for single-column keys or a parenthesized
+        literal tuple in key-column order for composite keys; literals are
+        '<string>' (with '' escaping) or numbers. DRY RUN plans and counts
+        without rewriting."""
+        m = re.match(
+            rf"PURGE\s+TABLE\s+({_IDENT})\s+KEYS\s*\((.*)\)\s*(DRY\s+RUN)?\s*$",
+            masked, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlFrontendError(
+                "supported: PURGE TABLE <t> KEYS (<key>[, <key> ...]) "
+                "[DRY RUN] — <key> := literal | (literal, ...)"
+            )
+        table = self._table(stmt[m.start(1):m.end(1)])
+        body = stmt[m.start(2):m.end(2)]
+        mbody = masked[m.start(2):m.end(2)]
+
+        def _lit(text: str) -> Any:
+            text = text.strip()
+            if text.startswith("'") and text.endswith("'"):
+                return _unquote(text)
+            try:
+                return int(text)
+            except ValueError:
+                try:
+                    return float(text)
+                except ValueError:
+                    raise SqlFrontendError(
+                        f"PURGE: key literal must be a quoted string or a "
+                        f"number, got {text!r}"
+                    ) from None
+
+        keys: list[Any] = []
+        for item, mitem in zip(_split_top(body, mbody),
+                               _split_top(mbody, mbody)):
+            item = item.strip()
+            if item.startswith("(") and item.endswith(")"):
+                inner, minner = item[1:-1], mitem.strip()[1:-1]
+                keys.append(tuple(_lit(p) for p in _split_top(inner, minner)))
+            else:
+                keys.append(_lit(item))
+        from .operators.purge import purge_keys
+
+        try:
+            report = purge_keys(self.spark, table, keys,
+                                dry_run=m.group(3) is not None)
+        except ValueError as e:
+            raise SqlFrontendError(f"PURGE: {e}") from None
+        return self._report("PURGE", table.root, {
+            "keys": report["keys"], "versions": report["versions_scanned"],
+            "candidate_files": report["candidate_files"],
+            "files_rewritten": report.get("files_rewritten", 0),
+            "rows_redacted": report.get("rows_redacted", 0),
+            "dry_run": report["dry_run"],
+        })
 
     def _export(self, stmt: str, masked: str) -> DataFrame:
         """EXPORT TABLE <t> [VERSION AS OF <n>|'<tag>'] TO '<path>' —
