@@ -36,7 +36,13 @@ to erasure requests should use non-personal surrogate keys. Upstream
 retention (the ingest change log, dead-letter files, exports) is the
 caller's jurisdiction: purge covers the TABLE and everything derived from
 its files (time travel, snapshot_diff/changes spans, clones sharing these
-files all serve redacted data immediately).
+files all serve redacted data immediately). DERIVED tables (derive /
+derive_agg / materialized views) hold their own files with TRANSFORMED
+copies of the payload — issue purge_keys on each derived table too
+(key-preserving derives keep the source key, so the same key list works;
+tests/test_purge.py::test_purge_applies_to_derived_tables). Secondary
+INDEX tables derived from payload columns should be rebuilt or purged by
+their own keys.
 
 Cost shape at 100 TB: candidate files are planned from metadata alone via
 hash-bucket pruning per retained version (a key lives in exactly one

@@ -208,3 +208,40 @@ def test_purge_sql_statement(spark, tmp_path):
         fe.sql("PURGE TABLE repos KEYS (lang)")  # not a literal
     with pytest.raises(SqlFrontendError, match="composite"):
         fe.sql("PURGE TABLE repos KEYS ('just-one-part')")
+
+
+def test_purge_applies_to_derived_tables(spark, tmp_path):
+    """A derived (silver) table holds TRANSFORMED payloads of the purged
+    key — erasure must be issued there too (key-preserving derives keep
+    the same key). purge_keys works identically on the derived table, and
+    a later incremental derive() span does not resurrect the payload
+    (the purged source rows are tombstones, which flow as deletes)."""
+    from forklift_spark.operators.derive import derive
+
+    src = _build(spark, str(tmp_path / "src"))
+    mapping = {"lang": "lang", "content": "upper(content)"}
+    dst_root = str(tmp_path / "silver")
+    derive(spark, src, dst_root, mapping)
+    from forklift_spark.lakette.table import LaketteTable
+
+    dst = LaketteTable(dst_root)
+    assert [r for r in dst.snapshot(spark).collect()
+            if r.path == "a" and "SECRET" in (r.content or "")]
+
+    purge_keys(spark, src, [("r", "a")])
+    rep = purge_keys(spark, dst, [("r", "a")])
+    assert rep["verified_clean"] is True
+    for t in (src, dst):
+        import glob as _g
+        for f in _g.glob(os.path.join(t.root, "data", "*.parquet")):
+            cols = pq.read_table(f).to_pydict()
+            assert not any(
+                isinstance(x, str) and "SECRET" in x
+                for vals in cols.values() for x in vals
+            ), f
+
+    # new source activity + catch-up derive: the purged key stays gone
+    _seed(spark, src, [_ev("U", 50, "r", "b", content="keep-b3")], epoch=20)
+    derive(spark, src, dst_root, mapping)
+    rows = {r.path: r.content for r in dst.snapshot(spark).collect()}
+    assert "a" not in rows and rows["b"] == "KEEP-B3"
