@@ -245,3 +245,61 @@ def test_purge_applies_to_derived_tables(spark, tmp_path):
     derive(spark, src, dst_root, mapping)
     rows = {r.path: r.content for r in dst.snapshot(spark).collect()}
     assert "a" not in rows and rows["b"] == "KEEP-B3"
+
+
+def test_purge_mid_rescale_folds_specs(spark, tmp_path):
+    """Purge on a table mid-bucket-rescale: history spans two bucket specs
+    (old files live under n=4, new commits under n=16); candidate folding
+    (current-spec bucket % old nb) must find the key's files under BOTH
+    specs — missing the old spec would leak pre-rescale payload."""
+    table = _build(spark, str(tmp_path / "t"), n_buckets=4)
+    table.rescale(16)
+    _seed(spark, table, [
+        _ev("U", 20, "r", "a", content="SECRET-A3"),
+        _ev("U", 21, "r", "b", content="keep-b3"),
+    ], epoch=5)
+
+    rep = purge_keys(spark, table, [("r", "a")])
+    assert rep["rows_redacted"] >= 3  # seq 1, 5 (old spec) + 20 (new spec)
+    assert rep["verified_clean"] is True
+    for f in glob.glob(os.path.join(table.root, "data", "*.parquet")):
+        cols = pq.read_table(f).to_pydict()
+        assert not any(
+            isinstance(x, str) and "SECRET" in x
+            for vals in cols.values() for x in vals
+        ), f
+    for v in [h["version"] for h in table.history()]:
+        assert not [r for r in table.snapshot(spark, version=v).collect()
+                    if r.path == "a"], f"v{v}"
+
+
+def test_purge_resolves_renamed_columns(spark, tmp_path):
+    """Purge after a payload-column rename: files written BEFORE the
+    rename carry the original physical name — redaction must resolve
+    logical -> physical through each version's column mapping, not assume
+    current logical names exist in old files."""
+    table = _build(spark, str(tmp_path / "t"))
+    table.rename_column("content", "body")
+    _seed_renamed(spark, table, epoch=6)
+
+    rep = purge_keys(spark, table, [("r", "a")])
+    assert rep["verified_clean"] is True
+    # old-name era payload gone (raw sweep finds no secret under any name)
+    for f in glob.glob(os.path.join(table.root, "data", "*.parquet")):
+        cols = pq.read_table(f).to_pydict()
+        assert not any(
+            isinstance(x, str) and "SECRET" in x
+            for vals in cols.values() for x in vals
+        ), f
+    live = {r.path for r in table.snapshot(spark).collect()}
+    assert "a" not in live and "b" in live
+
+
+def _seed_renamed(spark, table, *, epoch):
+    """One more commit under the POST-rename schema (body column)."""
+    df = spark.createDataFrame(
+        [("U", 30, "r", "a", "c30", "go", "SECRET-A4", None, 1)],
+        "op string, seq long, repo string, path string, commit string, "
+        "lang string, body string, event_ts timestamp, schema_ver int",
+    )
+    merge_into(spark, table, df, query_id="seed2", epoch=epoch)
