@@ -303,3 +303,79 @@ def _seed_renamed(spark, table, *, epoch):
         "lang string, body string, event_ts timestamp, schema_ver int",
     )
     merge_into(spark, table, df, query_id="seed2", epoch=epoch)
+
+
+# ------------------------------------------------- randomized property sweep
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_REPOS = ["r0", "r1"]
+_PATHS = ["a", "b", "c", "d"]
+
+_ev_st = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(_REPOS),
+    st.sampled_from(_PATHS),
+)
+
+#: a purge scenario = an event stream (seq = position+1), batch cut points
+#: (each batch is one commit -> one retained version), mode per batch, and
+#: the subset of keys to purge
+_purge_scenario_st = st.lists(_ev_st, min_size=2, max_size=24).flatmap(
+    lambda evs: st.tuples(
+        st.just(evs),
+        st.sets(st.integers(1, max(1, len(evs) - 1)), max_size=3),
+        st.sampled_from(["cow", "mor"]),
+        st.sets(
+            st.tuples(st.sampled_from(_REPOS), st.sampled_from(_PATHS)),
+            min_size=1, max_size=3,
+        ),
+    )
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(scenario=_purge_scenario_st)
+def test_purge_property_random_histories(spark, tmp_path_factory, scenario):
+    """Property: for ANY event stream, ANY commit batching, either merge
+    mode, and ANY purge key subset — after purge_keys, (1) every retained
+    version's live snapshot equals its pre-purge snapshot minus the purged
+    keys, (2) no retained data file contains any purged key's payload,
+    (3) the purge verify pass reports clean."""
+    import uuid
+
+    evs, cuts, mode, purge_set = scenario
+    root = str(tmp_path_factory.mktemp("purgeprop") / uuid.uuid4().hex)
+    table = create_entity_table(root, n_buckets=4)
+    rows = [
+        (op, i + 1, r, p, f"c{i + 1}", "py", f"PAYLOAD[{r}/{p}#{i + 1}]", None, 1)
+        for i, (op, r, p) in enumerate(evs)
+    ]
+    bounds = sorted(cuts | {len(evs)})
+    start = 0
+    for epoch, end in enumerate(bounds):
+        if end > start:
+            _seed(spark, table, rows[start:end], epoch=epoch, mode=mode)
+        start = end
+
+    versions = [h["version"] for h in table.history()]
+    before = _versions_state(spark, table, versions)
+    rep = purge_keys(spark, table, sorted(purge_set))
+    assert rep["verified_clean"] is True
+
+    after = _versions_state(spark, table, versions)
+    for v in versions:
+        want = [t for t in before[v] if (t[0], t[1]) not in purge_set]
+        assert after[v] == want, f"v{v}"
+    needles = {f"PAYLOAD[{r}/{p}#" for r, p in purge_set}
+    for f in glob.glob(os.path.join(table.root, "data", "*.parquet")):
+        for vals in pq.read_table(f).to_pydict().values():
+            for x in vals:
+                if isinstance(x, str):
+                    assert not any(n in x for n in needles), (f, x)
