@@ -219,9 +219,18 @@ def purge_keys(
 
     dry_run=True plans candidates and COUNTS matching/needs-redaction rows
     without writing anything (the pre-flight before an erasure run).
-    verify=True (default) re-scans the candidate files after the rewrite
-    and asserts zero needs-redaction rows remain — the erasure
-    post-condition as a measured fact. Returns the report dict.
+    verify=True (default) re-plans and re-scans after the rewrite and
+    asserts zero needs-redaction rows remain — the erasure post-condition
+    as a measured fact.
+
+    Concurrent commits: planning-then-rewriting races a writer that
+    COMMITS new files mid-purge. The loop below closes that window —
+    after each rewrite pass it re-reads the table version and re-plans if
+    anything landed meanwhile (new files get their own pass), up to
+    `max_rounds`. What no rewrite can fix is a writer that READ pre-purge
+    payload into memory before the purge and commits it after the last
+    round — that is what verify catches (module docstring: quiesce
+    writers; purge is idempotent, re-run it). Returns the report dict.
     """
     raw = table._raw_current()
     if raw.get("column_lww"):
@@ -234,7 +243,6 @@ def purge_keys(
     key_tuples = _normalize_keys(keys, key_cols)
     key_set = frozenset(key_tuples)
     buckets_now = _key_buckets(spark, table, key_tuples)
-    n_now = int(raw["n_buckets"])
 
     # string single-key tables additionally range-prune on [min, max]
     key_range = None
@@ -242,77 +250,101 @@ def purge_keys(
         ks = sorted(k[0] for k in key_tuples)
         key_range = (ks[0], ks[-1])
 
-    # ---- candidate planning: metadata only, bucket-pruned per version
-    history = table.history()
-    items: dict[str, dict] = {}
-    foreign: list[str] = []
+    def _plan() -> tuple[list[dict], dict, list]:
+        """Candidate files from metadata alone, bucket-pruned per retained
+        version (+ staged WAP records), with per-version physical key
+        names. Returns (work list, current raw metadata, history)."""
+        cur = table._raw_current()
+        n_now = int(cur["n_buckets"])
+        history = table.history()
+        items: dict[str, dict] = {}
+        foreign: list[str] = []
 
-    def _add(f: dict, phys_keys: list[str]) -> None:
-        rel = f["path"]
-        if os.path.isabs(rel):
-            foreign.append(rel)
-            return
-        items.setdefault(rel, {
-            "path": rel,
-            "abs_path": os.path.join(table.root, rel),
-            "phys_keys": phys_keys,
-        })
+        def _add(f: dict, phys_keys: list[str]) -> None:
+            rel = f["path"]
+            if os.path.isabs(rel):
+                foreign.append(rel)
+                return
+            items.setdefault(rel, {
+                "path": rel,
+                "abs_path": os.path.join(table.root, rel),
+                "phys_keys": phys_keys,
+            })
 
-    for h in history:
-        vraw = table._raw_metadata_at(h["version"])
-        cm = _colmap(vraw)
-        phys_keys = [cm.get(c, c) for c in vraw["key_cols"]]
-        nv = int(vraw["n_buckets"])
-        bv = sorted({b % nv for b in buckets_now}) if n_now % nv == 0 else None
-        for f in table.plan_files(buckets=bv, key_range=key_range,
-                                  metadata=vraw):
-            _add(f, phys_keys)
-    cm_now = _colmap(raw)
-    phys_now = [cm_now.get(c, c) for c in key_cols]
-    for rec in table.list_staged():
-        for f in rec["new_files"]:
-            _add(f, phys_now)
-    if foreign:
-        raise ValueError(
-            "purge_keys on a shallow clone would rewrite the SOURCE "
-            f"table's files ({len(foreign)} absolute references, e.g. "
-            f"{foreign[0]!r}) — purge the source table instead; clones "
-            "sharing its files are cleansed by the same rewrite"
+        for h in history:
+            vraw = table._raw_metadata_at(h["version"])
+            cm = _colmap(vraw)
+            phys_keys = [cm.get(c, c) for c in vraw["key_cols"]]
+            nv = int(vraw["n_buckets"])
+            bv = (sorted({b % nv for b in buckets_now})
+                  if n_now % nv == 0 else None)
+            for f in table.plan_files(buckets=bv, key_range=key_range,
+                                      metadata=vraw):
+                _add(f, phys_keys)
+        cm_now = _colmap(cur)
+        phys_now = [cm_now.get(c, c) for c in key_cols]
+        for rec in table.list_staged():
+            for f in rec["new_files"]:
+                _add(f, phys_now)
+        if foreign:
+            raise ValueError(
+                "purge_keys on a shallow clone would rewrite the SOURCE "
+                f"table's files ({len(foreign)} absolute references, e.g. "
+                f"{foreign[0]!r}) — purge the source table instead; clones "
+                "sharing its files are cleansed by the same rewrite"
+            )
+        return sorted(items.values(), key=lambda d: d["path"]), cur, history
+
+    sc = spark.sparkContext
+
+    def _run(work: list[dict], counting_only: bool) -> list[dict]:
+        par = min(len(work), sc.defaultParallelism)
+        return (
+            sc.parallelize(work, par)
+            .map(lambda it: _redact_file(it, key_set, counting_only))
+            .collect()
         )
 
-    work = sorted(items.values(), key=lambda d: d["path"])
+    max_rounds = 3
+    rounds = 0
+    seen: set[str] = set()
+    files_rewritten = rows_matched = rows_redacted = candidate_files = 0
+    while True:
+        work, cur, history = _plan()
+        v0 = int(cur["version"])
+        candidate_files = max(candidate_files, len(work))
+        rounds += 1
+        if work:
+            results = _run(work, dry_run)
+            files_rewritten += sum(1 for r in results if r["rewritten"])
+            # matched/redacted counted once per file (later rounds re-scan
+            # already-clean files and add zero redactions by idempotence)
+            fresh = [r for r in results if r["path"] not in seen]
+            rows_matched += sum(r["matched"] for r in fresh)
+            rows_redacted += sum(r["redacted"] for r in results)
+            seen.update(r["path"] for r in results)
+        if dry_run:
+            break
+        if int(table._raw_current()["version"]) == v0 or rounds >= max_rounds:
+            break
+
     report: dict[str, Any] = {
         "keys": len(key_set),
         "versions_scanned": len(history),
-        "candidate_files": len(work),
+        "candidate_files": candidate_files,
         "buckets": buckets_now,
+        "rounds": rounds,
         "dry_run": dry_run,
+        "files_rewritten": files_rewritten,
+        "rows_matched": rows_matched,
+        "rows_redacted": rows_redacted,
     }
-    if not work:
-        report.update(files_rewritten=0, rows_matched=0, rows_redacted=0)
-        if verify and not dry_run:
-            report["verified_clean"] = True
-        return report
-
-    # ---- the rewrite: ONE distributed job over the candidate list
-    sc = spark.sparkContext
-    par = min(len(work), sc.defaultParallelism)
-    results = (
-        sc.parallelize(work, par)
-        .map(lambda it: _redact_file(it, key_set, dry_run))
-        .collect()
-    )
-    report["files_rewritten"] = sum(1 for r in results if r["rewritten"])
-    report["rows_matched"] = sum(r["matched"] for r in results)
-    report["rows_redacted"] = sum(r["redacted"] for r in results)
 
     if verify and not dry_run:
-        leftover = (
-            sc.parallelize(work, par)
-            .map(lambda it: _redact_file(it, key_set, True))
-            .collect()
+        work, _cur, _history = _plan()  # fresh plan: verify what IS retained
+        remaining = (
+            sum(r["redacted"] for r in _run(work, True)) if work else 0
         )
-        remaining = sum(r["redacted"] for r in leftover)
         report["verified_clean"] = remaining == 0
         if remaining:
             raise RuntimeError(

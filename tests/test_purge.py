@@ -305,6 +305,50 @@ def _seed_renamed(spark, table, *, epoch):
     merge_into(spark, table, df, query_id="seed2", epoch=epoch)
 
 
+def test_purge_replans_after_concurrent_commit(spark, tmp_path):
+    """A writer that COMMITS new files between purge's rewrite pass and
+    its post-pass version check gets a second pass: purge_keys re-plans
+    (purge.py round loop) and redacts the late file too, so the default
+    verify sees a clean table instead of raising."""
+    table = _build(spark, str(tmp_path / "t"))
+    orig = table._raw_current
+    state = {"committed": False}
+
+    def _secret_on_disk():
+        for f in glob.glob(os.path.join(table.root, "data", "*.parquet")):
+            for vals in pq.read_table(f).to_pydict().values():
+                if any(isinstance(x, str) and "SECRET" in x for x in vals):
+                    return True
+        return False
+
+    def hooked():
+        # Disk going SECRET-free means round 1's rewrite just finished and
+        # purge is at its version check — land a concurrent commit that
+        # re-introduces payload for the purged key in a NEW data file.
+        if not state["committed"] and not _secret_on_disk():
+            state["committed"] = True  # set first: _seed re-enters hooked
+            _seed(spark, table,
+                  [_ev("U", 9, "r", "a", content="SECRET-LATE")], epoch=3)
+        return orig()
+
+    table._raw_current = hooked
+    rep = purge_keys(spark, table, [("r", "a")])
+    table._raw_current = orig
+
+    assert state["committed"], "injection never fired"
+    assert rep["rounds"] == 2, rep
+    assert rep["verified_clean"] is True
+    # the late commit's payload was redacted in the second round...
+    assert not _secret_on_disk()
+    # ...and its tombstone kept the late seq (LWW arbitration intact)
+    tomb = [r for r in table.snapshot(spark, include_deleted=True).collect()
+            if r.path == "a"]
+    assert tomb and tomb[0].content is None and tomb[0].seq == 9
+    # a table with no mid-purge writer takes exactly one round
+    rep2 = purge_keys(spark, table, [("r", "b")])
+    assert rep2["rounds"] == 1 and rep2["verified_clean"] is True
+
+
 # ------------------------------------------------- randomized property sweep
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
