@@ -301,13 +301,22 @@ def accelerate(
         term_col = idx.key_cols()[0]
         tfield = next(f for f in idx.user_schema().fields if f.name == term_col)
         is_str = isinstance(tfield.dataType, T.StringType)
+        # (kmin, kmax) file pruning is LEXICOGRAPHIC — sound only when the
+        # comparison itself is a string comparison, i.e. a string term
+        # column matched against STRING literals. A numeric literal on a
+        # string column compares numerically in Spark ('0123' = 123 is
+        # true), so a string-range prune there could skip the very file
+        # holding a matching row; such lookups keep the unpruned index
+        # scan (it is small) and still bucket-prune the source.
         if hit[0] == "eq":
             terms = hit[1]
-            kr = (min(map(str, terms)), max(map(str, terms))) if is_str else None
+            all_str = all(isinstance(t, str) for t in terms)
+            kr = (min(terms), max(terms)) if is_str and all_str else None
             cond = F.col(term_col).isin(terms)
         else:
             lo, hi = hit[1], hit[2]
-            kr = (str(lo), str(hi)) if is_str else None
+            all_str = isinstance(lo, str) and isinstance(hi, str)
+            kr = (lo, hi) if is_str and all_str else None
             cond = F.col(term_col).between(F.lit(lo), F.lit(hi))
         snap = idx.snapshot(spark, key_range=kr) if kr else idx.snapshot(spark)
         src_keys = src.key_cols()

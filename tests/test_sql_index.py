@@ -189,3 +189,34 @@ def test_show_drop_and_hook(spark, fe):
     assert missing.asDict()["dropped"] == "False"
     with pytest.raises(SqlFrontendError, match="no index"):
         front.sql("DROP INDEX by_commit ON repos")
+
+
+def test_numeric_literal_on_string_term_skips_string_prune(spark, tmp_path):
+    """`commit = 107` on a STRING commit column compares NUMERICALLY in
+    Spark ('0107' = 107 is true), so the lexicographic (kmin, kmax) file
+    prune — sound only for string-vs-string comparisons — must be skipped
+    for non-string literals: with commits '0101'..'0125' every index file
+    has kmax < '107' lexicographically, and a string-range prune would
+    silently drop the matching row (sqlindex.accelerate all_str gate)."""
+    table = create_entity_table(str(tmp_path / "t"), n_buckets=4)
+    _seed(spark, table, [
+        ("I", i, "r", f"p{i:02d}", f"{100 + i:04d}", "py", "body", None, 1)
+        for i in range(1, 26)
+    ])
+    front = SqlFrontend(spark, {"repos": table})
+    front.sql("CREATE INDEX by_commit ON repos (commit)")
+
+    got = front.sql("SELECT path, commit FROM repos WHERE commit = 107").collect()
+    assert [(r.path, r.commit) for r in got] == [("p07", "0107")]
+    assert front.last_index_accel and front.last_index_accel[0]["keys"] == 1
+
+    # BETWEEN with numeric bounds takes the same gate
+    got = front.sql(
+        "SELECT path FROM repos WHERE commit BETWEEN 103 AND 105 ORDER BY path"
+    ).collect()
+    assert [r.path for r in got] == ["p03", "p04", "p05"]
+    assert front.last_index_accel[0]["kind"] == "range"
+
+    # string literals keep the file-pruned fast path and agree
+    got = front.sql("SELECT path FROM repos WHERE commit = '0107'").collect()
+    assert [r.path for r in got] == ["p07"]
