@@ -379,7 +379,7 @@ class LaketteTable:
             "stats_cols", "bloom_cols", "cluster_by", "cluster_mode",
             "column_lww", "schema", "colmap", "retired_cols", "bucket_specs",
             "total_files", "total_rows", "total_delta_files", "spec_files",
-            "requires_dedup",
+            "requires_dedup", "constraints",
         )
         v1 = {k: meta[k] for k in carry if k in meta}
         v1.update(

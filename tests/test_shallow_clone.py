@@ -106,6 +106,28 @@ def test_schema_surface_travels(spark, tmp_path):
     assert got["a"] is None and got["b"] == "c2"
 
 
+def test_check_constraints_travel_with_clone(spark, tmp_path):
+    """A clone must keep enforcing the source's CHECK constraints — losing
+    them silently would let the clone accept rows the source's contract
+    forbids (shallow_clone `carry` includes "constraints")."""
+    from forklift_spark.operators.expectations import ExpectationError
+
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
+    _seed(spark, src, [_ev("I", 1, "a", content="ok")])
+    src.add_constraint(spark, "content_nonempty",
+                       "content IS NOT NULL AND length(content) > 0")
+    dst, _ = src.shallow_clone(str(tmp_path / "dst"))
+
+    assert dst._raw_current().get("constraints", {}).keys() == \
+        {"content_nonempty"}
+    with pytest.raises(ExpectationError, match="content_nonempty"):
+        _seed(spark, dst, [_ev("I", 2, "b", content="")], epoch=1)
+    # the rule exists independently in the clone: droppable there alone
+    dst.drop_constraint("content_nonempty")
+    _seed(spark, dst, [_ev("I", 3, "b", content="")], epoch=2)
+    assert "content_nonempty" in src._raw_current()["constraints"]
+
+
 def test_guards(spark, tmp_path):
     src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
     _seed(spark, src, [_ev("I", 1, "a")])
