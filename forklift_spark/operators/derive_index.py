@@ -281,10 +281,20 @@ def index_lookup(
     """Posting list for one term (or the [term, hi] range): the source
     keys whose indexed expression currently evaluates inside the range.
     File-pruned by the index's (kmin, kmax) stats on the term key — the
-    scan opens only index files whose sorted term range intersects."""
-    lo_s, hi_s = str(term), str(term if hi is None else hi)
+    scan opens only index files whose sorted term range intersects.
+
+    The (kmin, kmax) prune is LEXICOGRAPHIC, so it applies only when the
+    comparison itself is string-vs-string: a non-string term argument
+    against a string term column compares NUMERICALLY in Spark
+    ('0107' = 107 is true), and a str(term) range could prune the very
+    file holding a match (same gate as sqlindex.accelerate). Numeric
+    term columns carry no kmin/kmax stats at all, so nothing is lost."""
+    lo, hi_v = term, term if hi is None else hi
+    all_str = isinstance(lo, str) and isinstance(hi_v, str)
     term_col = index.key_cols()[0]
-    snap = index.snapshot(spark, key_range=(lo_s, hi_s))
+    snap = index.snapshot(
+        spark, key_range=(lo, hi_v) if all_str else None
+    )
     cond = (
         (F.col(term_col) == F.lit(term))
         if hi is None

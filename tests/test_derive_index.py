@@ -210,3 +210,28 @@ def test_composite_term_expression(spark, src, tmp_path):
         derive_index(
             spark, src, str(tmp_path / "bad"), "array(lang)", derive_id="arr"
         )
+
+
+def test_lookup_with_numeric_term_on_string_column_is_not_mispruned(
+    spark, tmp_path
+):
+    """index_lookup(idx, 107) on a STRING term column: Spark compares
+    '0107' = 107 numerically (true), but the (kmin, kmax) file prune is
+    lexicographic — with commits '0101'..'0125' every file's kmax sorts
+    below '107', so a str(term) range would prune away the match. The
+    prune must only apply to string-vs-string lookups."""
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
+    _apply(spark, src, [
+        _ev("I", i, "r", f"f/{i}.txt", f"{100 + i:04d}") for i in range(1, 26)
+    ], 0)
+    idx_root = str(tmp_path / "idx")
+    derive_index(spark, src, idx_root, "commit", derive_id="by_commit")
+    idx = LaketteTable(idx_root)
+
+    hits = index_lookup(spark, idx, 107)
+    assert [(r.repo, r.path) for r in hits.collect()] == [("r", "f/7.txt")]
+    rows = index_point_read(spark, idx, src, 107)
+    assert [r.commit for r in rows.collect()] == ["0107"]
+    # string lookups keep the pruned fast path and agree
+    assert [(r.repo, r.path) for r in index_lookup(spark, idx, "0107").collect()] \
+        == [("r", "f/7.txt")]
