@@ -26,6 +26,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
+from datetime import date as _date
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -1260,6 +1261,12 @@ def _write_datafiles(
                         lo, hi = mm["min"].as_py(), mm["max"].as_py()
                         if lo is None:
                             continue
+                        if isinstance(lo, _date):
+                            # DateType stats ride the manifest JSON as ISO
+                            # strings (not serializable raw); ISO order ==
+                            # chronological order, so col_ranges pruning
+                            # with ISO-string bounds stays exact
+                            lo, hi = lo.isoformat(), hi.isoformat()
                         cur = st["cstats"].get(c)
                         st["cstats"][c] = (
                             [lo, hi] if cur is None

@@ -362,3 +362,53 @@ def test_pyfiles_zip_is_built_fresh_and_matches_source():
             if fn.endswith(".py"):
                 on_disk.add(os.path.relpath(os.path.join(root, fn), repo))
     assert on_disk == {n for n in names}
+
+
+# ------------------------------------- DateType columns in stats_cols
+
+
+def test_date_stats_cols_write_and_prune(spark, tmp_path):
+    """stats_cols may name a DateType column: the writer records its
+    per-file [min, max] as ISO strings (datetime.date is not JSON
+    serializable raw; ISO order == chronological order, so the
+    lexicographic cstats prune stays exact) and col_ranges with
+    ISO-string bounds returns exactly the filtered snapshot."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from forklift_spark.lakette.table import LaketteTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("content", T.StringType()),
+    ])
+    table = LaketteTable.create(
+        str(tmp_path / "t"), schema, ["k"],
+        n_buckets=2, stats_cols=["d"], target_file_rows=16,
+    )
+    rows = [
+        ("I", i, f"k{i:03d}",
+         datetime.date(2024, 1, 1) + datetime.timedelta(days=i), "x")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, seq long, k string, d date, content string"
+    )
+    merge_into(spark, table, df, query_id="a", epoch=0)
+
+    meta = table.current_metadata()
+    stats = [f["cstats"]["d"] for f in meta["files"]
+             if f.get("cstats", {}).get("d")]
+    assert stats, "date stats were not recorded"
+    assert all(isinstance(v, str) for s in stats for v in s)
+
+    pruned = table.snapshot(
+        spark, col_ranges={"d": ("2024-01-06", "2024-01-11")}
+    )
+    want = sorted(
+        r.k for r in table.snapshot(spark)
+        .filter(F.col("d").between("2024-01-06", "2024-01-11")).collect()
+    )
+    assert sorted(r.k for r in pruned.collect()) == want and len(want) == 6
