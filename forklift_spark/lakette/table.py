@@ -1504,9 +1504,35 @@ class LaketteTable:
                     )
                 if any(x is None for x in vals):
                     raise ValueError("col_eq values must be non-NULL")
-            clean_files = self._bloom_prune(
-                clean_files, {cmap.get(c, c): v for c, v in col_eq.items()}
-            )
+
+            # Blooms hash the CANONICAL STRING of the column's NATIVE
+            # values, but the row filter below compares under Spark's
+            # coercion rules — a type-mismatched lookup (col_eq
+            # {"commit": 123} on a string column) can match rows ('0123')
+            # whose hashed form str(123) never would, a false-negative
+            # prune. Only type-faithful lookups prune; the rest keep
+            # every file and stay exact through the row filter.
+            def _typed(c: str, v) -> bool:
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
+                try:
+                    ft = schema[c].dataType
+                except KeyError:
+                    return False
+                if isinstance(ft, T.StringType):
+                    return all(isinstance(x, str) for x in vals)
+                if isinstance(ft, (T.LongType, T.IntegerType,
+                                   T.ShortType, T.ByteType)):
+                    return all(
+                        isinstance(x, int) and not isinstance(x, bool)
+                        for x in vals
+                    )
+                return False
+
+            bloomable = {
+                cmap.get(c, c): v for c, v in col_eq.items() if _typed(c, v)
+            }
+            if bloomable:
+                clean_files = self._bloom_prune(clean_files, bloomable)
 
         if mapped:
             # read under physical names, then project back to logical —

@@ -151,3 +151,23 @@ def test_col_eq_in_set_prunes_and_is_exact(spark, tmp_path):
         table.snapshot(spark, col_eq={"commit": []})
     with pytest.raises(ValueError, match="non-NULL"):
         table.snapshot(spark, col_eq={"commit": ["sha007", None]})
+
+
+def test_type_mismatched_col_eq_does_not_misprune(spark, tmp_path):
+    """col_eq={"commit": 123} on a STRING bloom column: the row filter
+    compares numerically under Spark coercion ('0123' = 123 is true),
+    but the stored bloom hashed str('0123') — probing str(123) would
+    "prove" absence and prune the matching file. Type-mismatched lookups
+    must skip bloom pruning and stay exact via the row filter."""
+    table = _table(str(tmp_path / "t"))
+    _seed(spark, table, [
+        _ev("I", i, f"p{i:02d}", commit=f"{100 + i:04d}") for i in range(1, 25)
+    ])
+    got = table.snapshot(spark, col_eq={"commit": 107}).collect()
+    assert [(r.path, r.commit) for r in got] == [("p07", "0107")]
+    # IN-set with any non-string member takes the same gate
+    got = table.snapshot(spark, col_eq={"commit": [103, 105]}).collect()
+    assert sorted(r.commit for r in got) == ["0103", "0105"]
+    # string lookups keep pruning and agree
+    got = table.snapshot(spark, col_eq={"commit": "0107"}).collect()
+    assert [(r.path, r.commit) for r in got] == [("p07", "0107")]
