@@ -78,6 +78,21 @@ def _term_field(
             f"index term must be an atomic type (it becomes a key column "
             f"with file min/max stats); {term_expr!r} is {f.dataType.simpleString()}"
         )
+    if isinstance(f.dataType, T.BooleanType):
+        # Two reasons, both load-bearing: (1) a two-valued term cannot
+        # select — every posting list is ~half the table; use a PARTIAL
+        # index (predicate=) to scope rows instead. (2) soundness of the
+        # SQL acceleration matcher: a boolean term's top-level operator
+        # (OR/AND/NOT) binds LOOSER than '='/IN/BETWEEN, so a textual
+        # whole-conjunct match like `a = 1 OR b` = 2 would mis-bracket
+        # what SQL parses as `a = 1 OR (b = 2)`. Every non-boolean term's
+        # top-level operator (arithmetic, ||, CASE..END) binds tighter,
+        # which is what makes the matcher's bracketing exact.
+        raise ValueError(
+            f"index term must not be boolean ({term_expr!r}): a two-valued "
+            "posting list cannot select; use a partial index "
+            "(predicate=...) to scope rows instead"
+        )
     return f
 
 

@@ -235,3 +235,17 @@ def test_lookup_with_numeric_term_on_string_column_is_not_mispruned(
     # string lookups keep the pruned fast path and agree
     assert [(r.repo, r.path) for r in index_lookup(spark, idx, "0107").collect()] \
         == [("r", "f/7.txt")]
+
+
+def test_boolean_terms_are_rejected(spark, tmp_path):
+    """Boolean terms are refused: a two-valued posting list cannot
+    select, and — the soundness half — a boolean term's top-level OR/AND
+    binds looser than '=', so the SQL matcher's textual bracketing of
+    `WHERE a = 1 OR b = 2` against term `a = 1 OR b` would disagree with
+    SQL's parse. Partial indexes (predicate=) are the supported way to
+    scope rows."""
+    src = create_entity_table(str(tmp_path / "src"), n_buckets=2)
+    _apply(spark, src, [_ev("I", 1, "r", "f.txt", "c1")], 0)
+    with pytest.raises(ValueError, match="must not be boolean"):
+        derive_index(spark, src, str(tmp_path / "idx"),
+                     "lang = 'py' OR content IS NULL", derive_id="bad")
