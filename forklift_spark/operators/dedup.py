@@ -63,18 +63,20 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def char_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 5) -> DataFrame:
-    """Distinct character k-gram shingles per document: (id, shingle)."""
+    """Distinct character k-gram shingles per document: (id, shingle).
+
+    Per-document distinctness is computed locally (array_distinct before the
+    explode), so the result needs ZERO exchanges — the old row-level
+    .distinct() shuffled the whole exploded shingle table once just to
+    dedupe within documents (guide §2.4: remove shuffles outright). Assumes
+    `id_col` is unique per input row (it is a document id)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(1, length(_c) - {k - 1})),"
+        f" i -> substring(_c, i, {k}))"
+    )
     return (
         df.select(F.col(id_col).alias("_id"), F.col(content_col).alias("_c"))
-        .select(
-            "_id",
-            "_c",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("_c") - (k - 1)))
-            ).alias("_i"),
-        )
-        .select("_id", F.expr(f"substring(_c, _i, {k})").alias("shingle"))
-        .distinct()
+        .select("_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -84,7 +86,11 @@ def word_shingles(df: DataFrame, content_col: str, id_col: str, n: int = 3) -> D
     Word n-grams keep the inverted index sparse (shingle document-frequency
     stays low), so the self-join below is ~linear in corpus size — char
     shingles over a small vocabulary make every doc collide with every doc
-    and the join goes quadratic."""
+    and the join goes quadratic.
+
+    Distinctness is per document and computed locally (array_distinct before
+    the explode — zero exchanges; the old row-level .distinct() paid a full
+    shuffle of the exploded table). Assumes `id_col` is unique per row."""
     words = F.split(F.trim(F.col(content_col)), r"\s+")
     gram_expr = F.expr(
         "transform(sequence(0, size(_w) - %d), i -> %s)"
@@ -96,8 +102,7 @@ def word_shingles(df: DataFrame, content_col: str, id_col: str, n: int = 3) -> D
     )
     return (
         df.select(F.col(id_col).alias("_id"), words.alias("_w"))
-        .select("_id", F.explode(gram).alias("shingle"))
-        .distinct()
+        .select("_id", F.explode(F.array_distinct(gram)).alias("shingle"))
     )
 
 
@@ -120,30 +125,123 @@ def shingle_jaccard_pairs(
     pass `max_shingle_df` to drop shingles above that document frequency
     from BOTH the index and the set sizes (the standard stop-shingle cut in
     published near-dup pipelines). Default None keeps exact semantics —
-    the harness oracle runs exact; the LSH path is the true scale route."""
+    the harness oracle runs exact; the LSH path is the true scale route.
+
+    r6 (optimization round): the candidate join is PREFIX-FILTERED with a
+    POSITIONAL bound (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al.
+    2008) — both filters are LOSSLESS, so the result is bit-identical to
+    the naive inverted-index join while enumerating orders of magnitude
+    fewer pairs on dense corpora:
+
+      * order every document's shingles by ascending global document
+        frequency (rarest first; any total order is correct — rare-first
+        minimizes join fan-out). A pair with Jaccard >= t shares its
+        globally-smallest common shingle within the first
+        |X| - ceil(t*|X|) + 1 shingles of EACH side, so indexing only that
+        prefix misses no qualifying pair.
+      * a prefix match on shingle w at ranks (ra, rb) bounds the overlap
+        from above by 1 + min(na - ra, nb - rb) when w is the pair's
+        smallest common shingle; requiring that bound to reach
+        ceil(t/(1+t)*(na+nb)) (the minimum intersection Jaccard >= t
+        needs) prunes matches that cannot qualify. The pair's smallest
+        common shingle always survives, so the surviving-match set still
+        covers every qualifying pair.
+
+    Surviving candidates are verified with the EXACT intersection computed
+    in codegen (array_intersect over the per-doc shingle-string sets), so
+    no hashing enters the result — identical output, including borderline
+    rounding, to the pre-r6 formulation (proven set-equal vs the DuckDB
+    oracle at sf0.01/0.1/1.0)."""
     if shingle_kind == "word":
         sh = word_shingles(df, content_col, id_col, ngram_n)
     else:
         sh = char_shingles(df, content_col, id_col, k)
     if max_shingle_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        dfreq_cut = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = (
-            sh.join(F.broadcast(dfreq.filter(F.col("_df") > max_shingle_df)),
+            sh.join(F.broadcast(dfreq_cut.filter(F.col("_df") > max_shingle_df)),
                     "shingle", "left_anti")
         )
-    sh = _cached(sh)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # global document frequency per shingle: orders each doc's prefix
+    # (rarest shingles first). AQE turns this join into a broadcast at
+    # runtime when the vocabulary is small.
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # ONE grouped doc table carries everything downstream: the df-sorted
+    # shingle-string set (exact verification + set size) and its xxhash64
+    # twin (cheap long join keys / cheap intersection filter). Grouping once
+    # replaces the old window + separate docsets groupBy (two shuffles of
+    # the full shingle table) with one.
+    docs = _cached(
+        sh.join(dfreq, "shingle")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias("_ss"))
+        .select(
+            "_id",
+            F.expr("transform(_ss, x -> x.shingle)").alias("_set"),
+            F.expr("transform(_ss, x -> xxhash64(x.shingle))").alias("_hs"),
+            F.size("_ss").alias("_n"),
+        )
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    # safe prefix length: |X| - floor(t*|X|) + 1 >= the exact
+    # |X| - ceil(t*|X|) + 1 (a longer prefix only adds candidates — never
+    # drops one — so FP rounding of floor() cannot cost correctness)
+    plen = (F.col("_n") - F.floor(F.lit(float(threshold)) * F.col("_n")).cast("int") + 1)
+    pref = docs.select(
+        "_id", "_n", F.posexplode(F.slice("_hs", F.lit(1), plen)).alias("_pos", "_h")
+    ).select("_id", "_n", (F.col("_pos") + 1).alias("_rn"), "_h")
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    # minimum intersection for Jaccard >= t; the 1e-9 slack biases FP
+    # rounding toward MORE candidates (never fewer)
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("pa._n") + F.col("pb._n"))
+        - F.lit(1e-9)
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa._h") == F.col("pb._h"))
+            & (F.col("pa._id") < F.col("pb._id"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("pa._n") - F.col("pa._rn"), F.col("pb._n") - F.col("pb._rn")
+                )
+                >= alpha
+            ),
+        )
+        .select(F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b"))
+        .distinct()
+    )
+    # stage-1 screen on the hashed sets: array_intersect over longs is far
+    # cheaper than over strings at millions of candidates. The margin of 2
+    # keeps any pair whose hashed intersection could understate the true
+    # one by up to two 64-bit collisions *among one pair's common shingles*
+    # (probability ~2^-128 per pair) — candidates are only ever ADDED here,
+    # never lost, so stage 2 sees every qualifying pair.
+    ha = docs.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"), F.col("_n").alias("na"))
+    hb = docs.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"), F.col("_n").alias("nb"))
+    alpha_pair = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
+    )
+    surv = (
+        cand.join(ha.hint("shuffle_hash"), "id_a")
+        .join(hb.hint("shuffle_hash"), "id_b")
+        .withColumn("_ih", F.size(F.array_intersect("_ha", "_hb")))
+        .filter(F.col("_ih") >= alpha_pair - F.lit(2))
+        .select("id_a", "id_b")
+    )
+    # stage-2 EXACT verification: intersection counted over the original
+    # shingle strings, so the reported pairs and jaccard values are
+    # bit-identical to the naive formulation (no hash enters the result).
+    va = docs.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("_n").alias("na"))
+    vb = docs.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("_n").alias("nb"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        surv.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -213,25 +311,23 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the shingle sets
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("_idb"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(a, "id_a")
-        .join(
-            b,
-            (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")),
-            "inner",
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # verify candidates with exact jaccard over the shingle sets: per-doc
+    # shingle arrays + codegen array_intersect (r6 — the old three-way
+    # re-join shuffled every candidate's full shingle set to count the
+    # intersection; the array form joins each side once and counts in-stage)
+    docsets = sh.groupBy("_id").agg(
+        F.collect_list("shingle").alias("_set"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb"))
+    sa = docsets.select(
+        F.col("_id").alias("id_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
+    )
+    sb = docsets.select(
+        F.col("_id").alias("id_b"), F.col("_set").alias("_sb"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
