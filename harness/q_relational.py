@@ -527,18 +527,22 @@ def win_offset_frame(spark, sf):
 )
 def win_lww(spark, sf):
     """W5 — the LWW argmax that powers the CDC dedupe, in its
-    batch-expressible form (key=user_id, commit order=event_id)."""
-    w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
-    return (
-        t(spark, sf, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            F.round("value", 4).alias("last_value"),
-        )
+    batch-expressible form (key=user_id, commit order=event_id).
+
+    r6: runs through the engine's own lww_dedupe (max_by aggregate with
+    map-side partial aggregation) instead of a row_number window — the
+    window shuffled and sorted EVERY event row; the aggregate collapses to
+    one row per key before the exchange (guide §2.3). event_id is unique
+    (generator invariant), so the argmax is tie-free and the result is
+    identical to the windowed form the oracle SQL still expresses."""
+    from forklift_spark.operators.merge import lww_dedupe
+
+    ev = t(spark, sf, "events").select("user_id", "event_id", "event_type", "value")
+    return lww_dedupe(ev, ["user_id"], "event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
     )
 
 
