@@ -374,27 +374,35 @@ def agg_quantile(spark, sf):
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
 def agg_rollup_cube(spark, sf):
-    """A5 — ROLLUP and CUBE grouping sets with grouping_id, tagged union."""
+    """A5 — ROLLUP and CUBE grouping sets with grouping_id, tagged union.
+
+    r6: ONE cube aggregate serves both branches. For two grouping columns
+    the rollup's grouping sets {(f,s),(f),()} are exactly the cube's sets
+    minus the (s)-only one (gid==2), and a shared grouping set's aggregate
+    values are computed identically — so the rollup branch is the cube
+    result filtered to gid != 2. One lineitem scan and one Expand(x4)
+    instead of two scans and Expand(x3)+Expand(x4); results unchanged
+    (oracle-verified)."""
     li = t(spark, sf, "lineitem")
-    aggs = [
-        F.grouping_id().alias("gid"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    ]
-    cols = ["src", "l_returnflag", "l_linestatus", "gid", "sum_qty", "n"]
-    r = (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .withColumn("src", F.lit("rollup"))
-        .select(*cols)
-    )
     c = (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(*aggs)
-        .withColumn("src", F.lit("cube"))
-        .select(*cols)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
-    return r.unionByName(c)
+    # each cube row fans out to its tags map-side (explode), so the cube
+    # subtree exists ONCE in the plan — a union of two branches would
+    # compute the whole aggregate twice (no exchange reuse across the
+    # differing projections)
+    tags = F.when(
+        F.col("gid") != 2, F.array(F.lit("rollup"), F.lit("cube"))
+    ).otherwise(F.array(F.lit("cube")))
+    return c.select(
+        F.explode(tags).alias("src"),
+        "l_returnflag", "l_linestatus", "gid", "sum_qty", "n",
+    )
 
 
 @q(
