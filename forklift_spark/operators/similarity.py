@@ -79,20 +79,29 @@ def cosine_pairs(
             "pass a blocking column (label / LSH bucket) or explicitly "
             "opt in with allow_quadratic=True"
         )
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    # r6: hoist the double-cast and the norm OUT of the join — the old form
+    # recomputed transform(cast) x2 and _norm x2 for EVERY enumerated pair;
+    # per-row precomputation leaves one zip_with dot product per pair. The
+    # expressions are identical per row, so cos values are bit-identical.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pre = df.select(
+        F.col(id_col).alias("_id"), vd.alias("_vd"), _norm(vd).alias("_nrm"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        *( [F.col(block_col).alias("_blk_b")] if block_col else [] ),
+    a = pre.select(
+        F.col("_id").alias("id_a"), F.col("_vd").alias("va"), F.col("_nrm").alias("na"),
+        *( [F.col("_blk")] if block_col else [] ),
+    )
+    b = pre.select(
+        F.col("_id").alias("id_b"), F.col("_vd").alias("vb"), F.col("_nrm").alias("nb"),
+        *( [F.col("_blk").alias("_blk_b")] if block_col else [] ),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("_blk") == F.col("_blk_b"))
     out = (
         a.join(b, cond)
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
