@@ -489,10 +489,22 @@ def pack_greedy(spark, sf):
        LIMIT 10""",
 )
 def ann_cosine_topk(spark, sf):
-    """Brute-force exact cosine top-k (the correctness baseline for ANN)."""
+    """Brute-force exact cosine top-k (the correctness baseline for ANN).
+
+    r6: the query vector rides the plan as a broadcast 1-row join instead
+    of a driver .first() round trip — one Spark job instead of two; the
+    float->double cast is exact, so scores (and the rounded output) are
+    bit-identical to the literal-vector form."""
     emb = t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return sim.brute_force_topk(emb, "embedding", "vec_id", qvec, k=10)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    scored = emb.join(F.broadcast(q)).select(
+        "vec_id", sim.cosine(F.col("embedding"), F.col("_q")).alias("cos")
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos", 4).alias("cos"))
+    )
 
 
 @q("ann_lsh")  # rows-only: ANN recall is approximate by design
